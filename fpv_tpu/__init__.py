@@ -1,0 +1,20 @@
+"""fpv_tpu — TPU-native lossless 16-bit grayscale video compression framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+google/fusion-power-video: byte-plane splitting, delta-frame and
+clamped-gradient prediction, entropy coding, a self-describing container with
+random-access frame index and embedded previews, streaming encode/decode
+sessions, a columnar batch subsystem and an Arrow frontend — plus a
+TPU-native container profile (FPVT) whose entire data path (filter chain and
+chunked rANS entropy coding) runs batched on accelerator.
+"""
+
+__version__ = "0.1.0"
+
+from fpv_tpu.api.frame import ChunkFlags, FrameFlags, FramePlanes  # noqa: F401
+from fpv_tpu.api.encoder import Encoder, encode_file  # noqa: F401
+from fpv_tpu.api.decoder import (  # noqa: F401
+    RandomAccessDecoder,
+    StreamingDecoder,
+    decode_file,
+)

