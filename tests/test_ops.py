@@ -1,0 +1,128 @@
+"""Device op kernels vs numpy oracles (reference semantics)."""
+
+import numpy as np
+import pytest
+
+from fpv_tpu.api import frame as frame_ops
+from fpv_tpu.models import heuristics, predictors
+from fpv_tpu.ops import heuristics as jheur
+from fpv_tpu.ops import planes as jplanes
+from fpv_tpu.ops import predict as jpredict
+from fpv_tpu.ops import preview as jpreview
+from fpv_tpu.utils import testdata
+
+
+def _batch(n=3, h=24, w=40, bits=16, seed=5):
+    return testdata.plasma_frames(n, h, w, bits=bits, seed=seed)
+
+
+@pytest.mark.parametrize("shift,big_endian", [(0, False), (4, False), (8, False),
+                                              (0, True), (4, True), (8, True)])
+def test_split_planes_matches_oracle(shift, big_endian):
+    imgs = testdata.noise_frames(2, 16, 24)
+    high, low, nonzero = jplanes.split_planes(imgs, shift, big_endian)
+    for i in range(2):
+        ref = frame_ops.split_planes(imgs[i], shift, big_endian)
+        np.testing.assert_array_equal(np.asarray(high)[i], ref.high)
+        if ref.low is not None:
+            np.testing.assert_array_equal(np.asarray(low)[i], ref.low)
+            assert bool(np.asarray(nonzero)[i]) == bool(ref.low.any())
+        else:
+            assert not bool(np.asarray(nonzero)[i])
+
+
+def test_combine_and_unextract():
+    imgs = _batch()
+    high, low, _ = jplanes.split_planes(imgs, 0, False)
+    back = np.asarray(jplanes.combine_planes(high, low))
+    np.testing.assert_array_equal(back, imgs)
+    # unextract matches oracle bytes
+    out = np.asarray(jplanes.unextract(imgs, 4, True))
+    for i in range(imgs.shape[0]):
+        expect = frame_ops.unextract_frame(imgs[i], 4, True)
+        np.testing.assert_array_equal(out[i].tobytes(), expect.tobytes())
+
+
+def test_cg_flat_encode_matches_oracle():
+    imgs = _batch()
+    high = (imgs >> 8).astype(np.uint8)
+    res = np.asarray(jpredict.cg_flat_encode(high))
+    for i in range(high.shape[0]):
+        np.testing.assert_array_equal(res[i], predictors.cg_encode_np(high[i]))
+
+
+def test_cg_flat_encode_decode_roundtrip_via_oracle():
+    high = (testdata.noise_frames(2, 12, 16) >> 8).astype(np.uint8)
+    res = np.asarray(jpredict.cg_flat_encode(high))
+    for i in range(2):
+        np.testing.assert_array_equal(predictors.cg_decode_np(res[i]), high[i])
+
+
+def test_cg2d_roundtrip():
+    high = (testdata.noise_frames(3, 20, 28) >> 8).astype(np.uint8)
+    res = np.asarray(jpredict.cg2d_encode(high))
+    # residual differs from input (prediction happened)
+    assert (res != high).any()
+    back = np.asarray(jpredict.cg2d_decode(res))
+    np.testing.assert_array_equal(back, high)
+
+
+def test_up_roundtrip():
+    high = (testdata.noise_frames(3, 20, 28) >> 8).astype(np.uint8)
+    res = np.asarray(jpredict.up_encode(high))
+    back = np.asarray(jpredict.up_decode(res))
+    np.testing.assert_array_equal(back, high)
+
+
+def test_delta_ops():
+    a = (testdata.noise_frames(2, 8, 8) >> 8).astype(np.uint8)
+    d = (testdata.noise_frames(2, 8, 8, seed=9) >> 8).astype(np.uint8)
+    res = np.asarray(jpredict.delta_encode(a, d))
+    np.testing.assert_array_equal(res, (a - d).astype(np.uint8))
+    np.testing.assert_array_equal(np.asarray(jpredict.delta_decode(res, d)), a)
+
+
+def test_preview_matches_oracle():
+    imgs = _batch(2, 32, 48)
+    high = (imgs >> 8).astype(np.uint8)
+    pv = np.asarray(jpreview.generate_preview(high))
+    for i in range(2):
+        np.testing.assert_array_equal(pv[i], frame_ops.generate_preview(high[i]))
+
+
+def test_delta_decision_matches_oracle():
+    cases = np.stack(
+        [
+            (testdata.plasma_frames(1, 24, 40)[0] >> 8),
+            (testdata.constant_frames(1, 24, 40)[0] >> 8),
+            (testdata.noise_frames(1, 24, 40)[0] >> 8),
+        ]
+    ).astype(np.uint8)
+    got = np.asarray(jheur.delta_decision(cases))
+    for i in range(3):
+        assert bool(got[i]) == heuristics.decide_delta(cases[i]), i
+
+
+def test_cg_histograms_and_decision_match_oracle():
+    highs = np.stack(
+        [
+            (testdata.plasma_frames(1, 24, 40)[0] >> 8),
+            (testdata.noise_frames(1, 24, 40)[0] >> 8),
+            (testdata.ramp_frames(1, 24, 40)[0] >> 8),
+        ]
+    ).astype(np.uint8)
+    counta, countb = (np.asarray(x) for x in jheur.cg_histograms(highs))
+    for i in range(3):
+        oracle_a = heuristics.sampled_histogram(highs[i], 40 + 1, 31)
+        np.testing.assert_array_equal(counta[i], oracle_a)
+        decision = heuristics.estimate_entropy(countb[i]) < heuristics.estimate_entropy(
+            counta[i]
+        )
+        assert decision == heuristics.decide_cg(highs[i]), i
+
+
+def test_histogram256():
+    planes = (testdata.noise_frames(2, 16, 16) >> 8).astype(np.uint8)
+    h = np.asarray(jheur.histogram256(planes))
+    for i in range(2):
+        np.testing.assert_array_equal(h[i], np.bincount(planes[i].ravel(), minlength=256))
