@@ -1,0 +1,374 @@
+"""FPVT batched codec: the TPU-native encode/decode pipeline.
+
+Encode path per batch of frames (one fused jitted model step + three rANS
+kernel launches):
+
+    [B,H,W] u16 --split--> high/low planes --box--> previews
+        --delta?--> --spatial?--> residual planes + per-frame flags
+        --histogram--> tables --rANS--> chunk streams
+
+Decisions (delta on/off; spatial predictor none/up/cg2d for main and preview)
+are made per frame on device from sampled-histogram entropies — unlike the
+compat path they don't need the reference's integer quirks, just a good
+choice (the FPVT format stores the decision in frame flags).
+
+Decode inverts: rANS -> inverse spatial (prefix-sum for 'up', anti-diagonal
+wavefront for 'cg2d') -> delta add -> plane combine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpv_tpu.entropy.plane_codec import (
+    PlaneStream,
+    decode_plane_batch,
+    encode_plane_batch,
+)
+from fpv_tpu.format import fpvt
+from fpv_tpu.format.fpvt import (
+    F_NO_LOW,
+    F_PV_SPATIAL_SHIFT,
+    F_SPATIAL_SHIFT,
+    F_USE_DELTA,
+    SPATIAL_CG2D,
+    SPATIAL_NONE,
+    SPATIAL_UP,
+    Header,
+)
+from fpv_tpu.ops.planes import combine_planes, split_planes, unextract
+from fpv_tpu.ops.predict import (
+    cg2d_decode,
+    cg2d_encode,
+    delta_decode,
+    up_decode,
+    up_encode,
+)
+from fpv_tpu.ops.preview import generate_preview
+
+_ENTROPY_STRIDE = 16  # sampling stride for on-device decision entropy
+
+
+def _sampled_entropy(plane: jax.Array) -> jax.Array:
+    """Approximate per-frame entropy (bits/byte) from stride-sampled hist."""
+    b = plane.shape[0]
+    flat = plane.reshape(b, -1)
+    samples = flat[:, ::_ENTROPY_STRIDE].astype(jnp.int32)
+    n = samples.shape[1]
+    ids = (jnp.arange(b, dtype=jnp.int32)[:, None] * 256 + samples).reshape(-1)
+    hist = jax.ops.segment_sum(
+        jnp.ones((b * n,), jnp.float32), ids, num_segments=b * 256
+    ).reshape(b, 256)
+    p = hist / n
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0), axis=1)
+
+
+def _batch_hist(plane: jax.Array) -> jax.Array:
+    """[256] int32 histogram over the whole batch (one shared rANS table)."""
+    flat = plane.reshape(-1).astype(jnp.int32)
+    return jax.ops.segment_sum(
+        jnp.ones(flat.shape, jnp.int32), flat, num_segments=256
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "big_endian", "use_delta_frame"))
+def encode_model_step(
+    imgs: jax.Array,
+    delta_high: jax.Array,
+    delta_low: jax.Array,
+    shift: int = 0,
+    big_endian: bool = False,
+    use_delta_frame: bool = True,
+):
+    """The fused per-batch modeling program (everything but entropy coding).
+
+    Returns residual planes, previews, per-frame decisions and batch
+    histograms — all device arrays.
+    """
+    high, low, nonzero_low = split_planes(imgs, shift, big_endian)
+    pv = generate_preview(high)
+
+    if use_delta_frame:
+        dh = high - delta_high[None]
+        dl = low - delta_low[None]
+        use_delta = _sampled_entropy(dh) < _sampled_entropy(high)
+        ud = use_delta[:, None, None]
+        high2 = jnp.where(ud, dh, high)
+        low2 = jnp.where(ud, dl, low)
+    else:
+        use_delta = jnp.zeros(imgs.shape[0], jnp.bool_)
+        high2, low2 = high, low
+
+    c_up = up_encode(high2)
+    c_cg = cg2d_encode(high2)
+    ent = jnp.stack(
+        [_sampled_entropy(high2), _sampled_entropy(c_up), _sampled_entropy(c_cg)]
+    )
+    spatial = jnp.argmin(ent, axis=0).astype(jnp.int32)  # [B] in {0,1,2}
+    s1 = (spatial == SPATIAL_UP)[:, None, None]
+    s2 = (spatial == SPATIAL_CG2D)[:, None, None]
+    high3 = jnp.where(s1, c_up, jnp.where(s2, c_cg, high2))
+
+    p_up = up_encode(pv)
+    p_cg = cg2d_encode(pv)
+    pent = jnp.stack(
+        [_sampled_entropy(pv), _sampled_entropy(p_up), _sampled_entropy(p_cg)]
+    )
+    pv_spatial = jnp.argmin(pent, axis=0).astype(jnp.int32)
+    pv3 = jnp.where(
+        (pv_spatial == SPATIAL_UP)[:, None, None],
+        p_up,
+        jnp.where((pv_spatial == SPATIAL_CG2D)[:, None, None], p_cg, pv),
+    )
+
+    return dict(
+        high=high3,
+        low=low2,
+        preview=pv3,
+        use_delta=use_delta,
+        spatial=spatial,
+        pv_spatial=pv_spatial,
+        nonzero_low=nonzero_low,
+        hist_high=_batch_hist(high3),
+        hist_low=_batch_hist(low2),
+        hist_preview=_batch_hist(pv3),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("any_up", "any_cg"))
+def _inverse_spatial(res: jax.Array, spatial: jax.Array, any_up: bool, any_cg: bool):
+    out = res
+    if any_up:
+        u = up_decode(res)
+        out = jnp.where((spatial == SPATIAL_UP)[:, None, None], u, out)
+    if any_cg:
+        c = cg2d_decode(res)
+        out = jnp.where((spatial == SPATIAL_CG2D)[:, None, None], c, out)
+    return out
+
+
+@jax.jit
+def _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low):
+    ud = use_delta[:, None, None]
+    h = jnp.where(ud, high + delta_high[None], high)
+    l = jnp.where(ud, low + delta_low[None], low)
+    return combine_planes(h, l)
+
+
+class FpvtWriter:
+    """Streaming FPVT file writer: init -> encode_batch* -> finish."""
+
+    def __init__(
+        self,
+        xsize: int,
+        ysize: int,
+        shift: int = 0,
+        big_endian: bool = False,
+        frames_per_batch: int = 16,
+        chunk_log2: int = 12,
+    ) -> None:
+        self.header = Header(
+            xsize=xsize,
+            ysize=ysize,
+            shift=shift,
+            big_endian=big_endian,
+            chunk_log2=chunk_log2,
+            frames_per_batch=frames_per_batch,
+        )
+        self._chunk_len = 1 << chunk_log2
+        self._delta_high: jax.Array | None = None
+        self._delta_low: jax.Array | None = None
+        self._batch_offsets: list[tuple[int, int]] = []
+        self._bytes_written = 0
+        self._total_frames = 0
+
+    def init(self, delta_frame: np.ndarray) -> bytes:
+        """Header + delta section bytes; keeps the delta planes on device."""
+        img = jnp.asarray(
+            np.asarray(delta_frame, dtype=np.uint16).reshape(
+                1, self.header.ysize, self.header.xsize
+            )
+        )
+        high, low, nonzero_low = split_planes(
+            img, self.header.shift, self.header.big_endian
+        )
+        self._delta_high = high[0]
+        self._delta_low = low[0]
+        has_low = bool(np.asarray(nonzero_low)[0])
+        hs = encode_plane_batch(
+            high.reshape(1, -1), np.asarray(_batch_hist(high)), self._chunk_len
+        )
+        ls = (
+            encode_plane_batch(
+                low.reshape(1, -1), np.asarray(_batch_hist(low)), self._chunk_len
+            )
+            if has_low
+            else None
+        )
+        dflags = 0 if has_low else F_NO_LOW
+        out = self.header.serialize() + fpvt.serialize_delta_section(dflags, hs, ls)
+        self._bytes_written = len(out)
+        return out
+
+    def encode_batch(
+        self, imgs: np.ndarray, timestamps: np.ndarray | None = None
+    ) -> bytes:
+        """Encode [B, H, W] uint16 frames -> one batch section."""
+        if self._delta_high is None:
+            raise RuntimeError("init() must be called first")
+        imgs = jnp.asarray(np.asarray(imgs, dtype=np.uint16))
+        b = imgs.shape[0]
+        m = encode_model_step(
+            imgs,
+            self._delta_high,
+            self._delta_low,
+            self.header.shift,
+            self.header.big_endian,
+        )
+        hs = encode_plane_batch(
+            m["high"].reshape(b, -1), np.asarray(m["hist_high"]), self._chunk_len
+        )
+        ls = encode_plane_batch(
+            m["low"].reshape(b, -1), np.asarray(m["hist_low"]), self._chunk_len
+        )
+        pvs = encode_plane_batch(
+            m["preview"].reshape(b, -1),
+            np.asarray(m["hist_preview"]),
+            self._chunk_len,
+        )
+        use_delta = np.asarray(m["use_delta"])
+        spatial = np.asarray(m["spatial"])
+        pv_spatial = np.asarray(m["pv_spatial"])
+        nonzero_low = np.asarray(m["nonzero_low"])
+        flags = (
+            use_delta.astype(np.uint8) * F_USE_DELTA
+            | (spatial.astype(np.uint8) << F_SPATIAL_SHIFT)
+            | (~nonzero_low).astype(np.uint8) * F_NO_LOW
+            | (pv_spatial.astype(np.uint8) << F_PV_SPATIAL_SHIFT)
+        )
+        if timestamps is None:
+            timestamps = np.full(b, -1, dtype=np.int64)
+        section = fpvt.serialize_batch_section(flags, timestamps, hs, ls, pvs)
+        self._batch_offsets.append((self._bytes_written, b))
+        self._bytes_written += len(section)
+        self._total_frames += b
+        return section
+
+    def finish(self) -> bytes:
+        return fpvt.serialize_footer(self._batch_offsets, self._total_frames)
+
+
+class FpvtReader:
+    """Random-access FPVT reader: batches decode as single device programs."""
+
+    def __init__(self, data: bytes) -> None:
+        self._data = bytes(data)
+        self.header = Header.parse(data)
+        # delta section follows the header
+        dflags, dh_stream, dl_stream = fpvt.parse_delta_section(data, fpvt.HEADER_SIZE)
+        h, w = self.header.ysize, self.header.xsize
+        self._delta_high = decode_plane_batch(dh_stream).reshape(h, w)
+        if dl_stream is not None:
+            self._delta_low = decode_plane_batch(dl_stream).reshape(h, w)
+        else:
+            self._delta_low = jnp.zeros((h, w), jnp.uint8)
+        self._batches = fpvt.parse_footer(data)
+        self._frame_to_batch: list[tuple[int, int]] = []
+        for bi, (_off, n) in enumerate(self._batches):
+            for j in range(n):
+                self._frame_to_batch.append((bi, j))
+        self._cache: tuple[int, np.ndarray] | None = None
+
+    @property
+    def numframes(self) -> int:
+        return len(self._frame_to_batch)
+
+    @property
+    def num_batches(self) -> int:
+        return len(self._batches)
+
+    def _decode_high(self, pb: fpvt.ParsedBatch, b: int):
+        h, w = self.header.ysize, self.header.xsize
+        res = decode_plane_batch(pb.high).reshape(b, h, w)
+        spatial = ((pb.frame_flags >> F_SPATIAL_SHIFT) & 3).astype(np.int32)
+        high = _inverse_spatial(
+            res,
+            jnp.asarray(spatial),
+            any_up=bool((spatial == SPATIAL_UP).any()),
+            any_cg=bool((spatial == SPATIAL_CG2D).any()),
+        )
+        return high
+
+    def decode_batch(self, index: int) -> np.ndarray:
+        """Decode batch ``index`` -> [B, H, W] uint16 (left-aligned values)."""
+        off, b = self._batches[index]
+        pb = fpvt.parse_batch_section(self._data, off)
+        h, w = self.header.ysize, self.header.xsize
+        high = self._decode_high(pb, b)
+        if pb.low is not None:
+            low = decode_plane_batch(pb.low).reshape(b, h, w)
+        else:
+            low = jnp.zeros((b, h, w), jnp.uint8)
+        use_delta = jnp.asarray((pb.frame_flags & F_USE_DELTA).astype(bool))
+        imgs = _apply_delta_and_combine(
+            high, low, use_delta, self._delta_high, self._delta_low
+        )
+        return np.asarray(imgs)
+
+    def decode_frame(self, index: int) -> np.ndarray:
+        """Decode one frame (decodes + caches its containing batch)."""
+        bi, j = self._frame_to_batch[index]
+        if self._cache is None or self._cache[0] != bi:
+            self._cache = (bi, self.decode_batch(bi))
+        return self._cache[1][j]
+
+    def decode_previews(self, index: int) -> np.ndarray:
+        """Decode batch ``index`` previews -> [B, H//4, W//4] uint8."""
+        off, b = self._batches[index]
+        pb = fpvt.parse_batch_section(self._data, off)
+        ph, pw = self.header.ysize // 4, self.header.xsize // 4
+        res = decode_plane_batch(pb.preview).reshape(b, ph, pw)
+        pv_spatial = ((pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3).astype(np.int32)
+        pv = _inverse_spatial(
+            res,
+            jnp.asarray(pv_spatial),
+            any_up=bool((pv_spatial == SPATIAL_UP).any()),
+            any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
+        )
+        return np.asarray(pv)
+
+    def timestamps(self, index: int) -> np.ndarray:
+        off, _b = self._batches[index]
+        return fpvt.parse_batch_section(self._data, off).timestamps
+
+
+def encode_file_fpvt(
+    frames: np.ndarray,
+    shift: int = 0,
+    big_endian: bool = False,
+    frames_per_batch: int = 16,
+    chunk_log2: int = 12,
+    delta_frame: np.ndarray | None = None,
+) -> bytes:
+    """One-shot FPVT encode of [N, H, W] uint16 frames."""
+    frames = np.asarray(frames, dtype=np.uint16)
+    n, h, w = frames.shape
+    if delta_frame is None:
+        delta_frame = frames[0]
+    wri = FpvtWriter(w, h, shift, big_endian, frames_per_batch, chunk_log2)
+    parts = [wri.init(delta_frame)]
+    for start in range(0, n, frames_per_batch):
+        parts.append(wri.encode_batch(frames[start : start + frames_per_batch]))
+    parts.append(wri.finish())
+    return b"".join(parts)
+
+
+def decode_file_fpvt(data: bytes) -> np.ndarray:
+    """One-shot FPVT decode -> [N, H, W] uint16 (left-aligned values)."""
+    r = FpvtReader(data)
+    return np.concatenate([r.decode_batch(i) for i in range(r.num_batches)])

@@ -1,0 +1,236 @@
+"""FPVT container serialization (see docs/FORMAT_FPVT.md).
+
+Host-side layer: pure byte packing/unpacking of headers, sections and plane
+streams.  The compute path (prediction + rANS) lives in fpv_tpu.api.fpvt_codec
+and fpv_tpu.ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from fpv_tpu.entropy.plane_codec import PlaneStream
+
+MAGIC = b"FPVT"
+VERSION = 1
+PROFILE_RANS12 = 1
+
+SECTION_BATCH = 0
+SECTION_DELTA = 1
+SECTION_INDEX = 2
+
+HEADER_SIZE = 32
+
+# frame flag bits
+F_USE_DELTA = 1
+F_SPATIAL_SHIFT = 1  # bits 1-2
+F_NO_LOW = 8
+F_PV_SPATIAL_SHIFT = 4  # bits 4-5
+SPATIAL_NONE = 0
+SPATIAL_UP = 1
+SPATIAL_CG2D = 2
+
+
+@dataclasses.dataclass
+class Header:
+    xsize: int
+    ysize: int
+    shift: int = 0
+    big_endian: bool = False
+    chunk_log2: int = 12
+    frames_per_batch: int = 16
+    profile: int = PROFILE_RANS12
+
+    def serialize(self) -> bytes:
+        flags = 1 if self.big_endian else 0
+        return struct.pack(
+            "<4sBBHIIBBHIQ",
+            MAGIC,
+            VERSION,
+            self.profile,
+            flags,
+            self.xsize,
+            self.ysize,
+            self.shift,
+            self.chunk_log2,
+            0,
+            self.frames_per_batch,
+            0,
+        )
+
+    @classmethod
+    def parse(cls, data: bytes) -> "Header":
+        (magic, version, profile, flags, xsize, ysize, shift, chunk_log2, _r,
+         fpb, _r2) = struct.unpack_from("<4sBBHIIBBHIQ", data, 0)
+        if magic != MAGIC:
+            raise ValueError("not an FPVT file")
+        if version != VERSION:
+            raise ValueError(f"unsupported FPVT version {version}")
+        return cls(
+            xsize=xsize,
+            ysize=ysize,
+            shift=shift,
+            big_endian=bool(flags & 1),
+            chunk_log2=chunk_log2,
+            frames_per_batch=fpb,
+            profile=profile,
+        )
+
+
+def _pad8(n: int) -> int:
+    return (-n) % 8
+
+
+def serialize_plane_stream(ps: PlaneStream) -> bytes:
+    body = (
+        struct.pack("<III", ps.plane_size, ps.chunk_len, ps.num_chunks)
+        + ps.freq.astype("<u2").tobytes()
+        + ps.states.astype("<u4").tobytes()
+        + ps.counts.astype("<u2").tobytes()
+        + ps.payload.astype("<u2").tobytes()
+    )
+    size = 4 + len(body)
+    pad = _pad8(size)
+    return struct.pack("<I", size + pad) + body + b"\0" * pad
+
+
+def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream, int]:
+    (size,) = struct.unpack_from("<I", data, pos)
+    end = pos + size
+    p = pos + 4
+    plane_size, chunk_len, num_chunks = struct.unpack_from("<III", data, p)
+    p += 12
+    freq = np.frombuffer(data, dtype="<u2", count=256, offset=p).copy()
+    p += 512
+    states = np.frombuffer(data, dtype="<u4", count=num_chunks, offset=p).copy()
+    p += 4 * num_chunks
+    counts = np.frombuffer(data, dtype="<u2", count=num_chunks, offset=p).copy()
+    p += 2 * num_chunks
+    total_words = int(counts.astype(np.int64).sum())
+    payload = np.frombuffer(data, dtype="<u2", count=total_words, offset=p).copy()
+    p += 2 * total_words
+    if p > end:
+        raise ValueError("plane stream overruns section")
+    ps = PlaneStream(
+        nframes=nframes,
+        plane_size=plane_size,
+        chunk_len=chunk_len,
+        freq=freq,
+        states=states,
+        counts=counts,
+        payload=payload,
+    )
+    return ps, end
+
+
+def serialize_section(section_type: int, body: bytes) -> bytes:
+    return struct.pack("<QB", 9 + len(body), section_type) + body
+
+
+def serialize_delta_section(
+    dflags: int, high: PlaneStream, low: PlaneStream | None
+) -> bytes:
+    body = bytes([dflags]) + serialize_plane_stream(high)
+    if low is not None:
+        body += serialize_plane_stream(low)
+    return serialize_section(SECTION_DELTA, body)
+
+
+def serialize_batch_section(
+    frame_flags: np.ndarray,
+    timestamps: np.ndarray,
+    high: PlaneStream,
+    low: PlaneStream | None,
+    preview: PlaneStream | None,
+) -> bytes:
+    nframes = len(frame_flags)
+    body = struct.pack("<IBBH", nframes, int(low is not None),
+                       int(preview is not None), 0)
+    body += np.asarray(frame_flags, dtype=np.uint8).tobytes()
+    body += np.asarray(timestamps, dtype="<i8").tobytes()
+    body += serialize_plane_stream(high)
+    if low is not None:
+        body += serialize_plane_stream(low)
+    if preview is not None:
+        body += serialize_plane_stream(preview)
+    return serialize_section(SECTION_BATCH, body)
+
+
+@dataclasses.dataclass
+class ParsedBatch:
+    frame_flags: np.ndarray
+    timestamps: np.ndarray
+    high: PlaneStream
+    low: PlaneStream | None
+    preview: PlaneStream | None
+
+
+def parse_delta_section(data: bytes, pos: int) -> tuple[int, PlaneStream, PlaneStream | None]:
+    size, stype = struct.unpack_from("<QB", data, pos)
+    if stype != SECTION_DELTA:
+        raise ValueError("expected delta section")
+    p = pos + 9
+    dflags = data[p]
+    p += 1
+    high, p = parse_plane_stream(data, p, 1)
+    low = None
+    if not dflags & F_NO_LOW:
+        low, p = parse_plane_stream(data, p, 1)
+    return dflags, high, low
+
+
+def parse_batch_section(data: bytes, pos: int) -> ParsedBatch:
+    size, stype = struct.unpack_from("<QB", data, pos)
+    if stype != SECTION_BATCH:
+        raise ValueError("expected batch section")
+    p = pos + 9
+    nframes, has_low, has_preview, _ = struct.unpack_from("<IBBH", data, p)
+    p += 8
+    flags = np.frombuffer(data, dtype=np.uint8, count=nframes, offset=p).copy()
+    p += nframes
+    ts = np.frombuffer(data, dtype="<i8", count=nframes, offset=p).copy()
+    p += 8 * nframes
+    high, p = parse_plane_stream(data, p, nframes)
+    low = preview = None
+    if has_low:
+        low, p = parse_plane_stream(data, p, nframes)
+    if has_preview:
+        preview, p = parse_plane_stream(data, p, nframes)
+    return ParsedBatch(frame_flags=flags, timestamps=ts, high=high, low=low,
+                       preview=preview)
+
+
+def serialize_footer(batch_offsets: list[tuple[int, int]], total_frames: int) -> bytes:
+    body = struct.pack("<Q", len(batch_offsets))
+    for off, n in batch_offsets:
+        body += struct.pack("<QI", off, n)
+    body += struct.pack("<Q4s", total_frames, MAGIC)
+    return serialize_section(SECTION_INDEX, body)
+
+
+def parse_footer(data: bytes) -> list[tuple[int, int]]:
+    """Locate the index footer from the end -> [(offset, nframes), ...]."""
+    if len(data) < 29 or data[-4:] != MAGIC:
+        raise ValueError("no FPVT footer")
+    # The footer section is 29 + 12*nbatches bytes and ends the file; find
+    # nbatches by matching the stored size/type/count fields.
+    for nb in range(0, (len(data) // 12) + 1):
+        start = len(data) - (29 + 12 * nb)
+        if start < 0:
+            break
+        size, stype = struct.unpack_from("<QB", data, start)
+        if stype == SECTION_INDEX and size == 29 + 12 * nb:
+            (nbatches,) = struct.unpack_from("<Q", data, start + 9)
+            if nbatches != nb:
+                continue
+            out = []
+            p = start + 17
+            for _ in range(nb):
+                off, n = struct.unpack_from("<QI", data, p)
+                out.append((off, n))
+                p += 12
+            return out
+    raise ValueError("corrupt FPVT footer")
