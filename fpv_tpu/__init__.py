@@ -11,6 +11,29 @@ chunked rANS entropy coding) runs batched on accelerator.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_jit_cache() -> None:
+    """Persistent XLA compilation cache (compiles are expensive; shapes are
+    stable per stream config, so cache hits are the common case).  Disable
+    with FPV_TPU_CACHE=0."""
+    cache = _os.environ.get(
+        "FPV_TPU_CACHE", _os.path.expanduser("~/.cache/fpv_tpu_jit")
+    )
+    if cache == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_jit_cache()
+
 from fpv_tpu.api.frame import ChunkFlags, FrameFlags, FramePlanes  # noqa: F401
 from fpv_tpu.api.encoder import Encoder, encode_file  # noqa: F401
 from fpv_tpu.api.decoder import (  # noqa: F401

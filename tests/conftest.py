@@ -6,12 +6,21 @@ Multi-chip sharding is tested without TPUs by emulating devices on CPU
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for tests even when a TPU platform (e.g. axon) is configured:
+# tests must be runnable anywhere and the virtual 8-device mesh needs CPU.
+# Note: the environment may import jax at interpreter startup (sitecustomize
+# registering a TPU plugin), so setting os.environ here can be too late —
+# use jax.config, which works until backends are initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import subprocess
