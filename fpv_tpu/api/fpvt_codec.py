@@ -51,26 +51,31 @@ from fpv_tpu.ops.predict import (
 )
 from fpv_tpu.ops.preview import generate_preview
 
-_ENTROPY_STRIDE = 16  # sampling stride for on-device decision entropy
+_DECISION_STRIDE = 16  # sampling stride for predictor decisions
+_HIST_STRIDE = 4  # sampling stride for rANS table histograms
 
 
-def _sampled_entropy(plane: jax.Array) -> jax.Array:
-    """Approximate per-frame entropy (bits/byte) from stride-sampled hist."""
+def _residual_cost(plane: jax.Array) -> jax.Array:
+    """Per-frame predictor-choice proxy: sum of |signed residual| on samples.
+
+    For near-Laplacian residuals, entropy is monotone in mean absolute
+    residual, so comparing these costs picks the same predictor an entropy
+    comparison would — with pure elementwise ops (no on-device scatters).
+    """
     b = plane.shape[0]
-    flat = plane.reshape(b, -1)
-    samples = flat[:, ::_ENTROPY_STRIDE].astype(jnp.int32)
-    n = samples.shape[1]
-    ids = (jnp.arange(b, dtype=jnp.int32)[:, None] * 256 + samples).reshape(-1)
-    hist = jax.ops.segment_sum(
-        jnp.ones((b * n,), jnp.float32), ids, num_segments=b * 256
-    ).reshape(b, 256)
-    p = hist / n
-    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.maximum(p, 1e-30)), 0.0), axis=1)
+    s = plane.reshape(b, -1)[:, ::_DECISION_STRIDE].astype(jnp.int32)
+    mag = jnp.minimum(s, 256 - s)  # wraparound distance of the mod-256 residual
+    return jnp.sum(mag, axis=1)
 
 
 def _batch_hist(plane: jax.Array) -> jax.Array:
-    """[256] int32 histogram over the whole batch (one shared rANS table)."""
-    flat = plane.reshape(-1).astype(jnp.int32)
+    """[256] int32 stride-sampled histogram over the whole batch.
+
+    Sampled (not exact) — tables built from it must use
+    ``normalize_freqs(..., ensure_all=True)`` so unsampled symbols stay
+    encodable.
+    """
+    flat = plane.reshape(-1)[::_HIST_STRIDE].astype(jnp.int32)
     return jax.ops.segment_sum(
         jnp.ones(flat.shape, jnp.int32), flat, num_segments=256
     )
@@ -96,7 +101,7 @@ def encode_model_step(
     if use_delta_frame:
         dh = high - delta_high[None]
         dl = low - delta_low[None]
-        use_delta = _sampled_entropy(dh) < _sampled_entropy(high)
+        use_delta = _residual_cost(dh) < _residual_cost(high)
         ud = use_delta[:, None, None]
         high2 = jnp.where(ud, dh, high)
         low2 = jnp.where(ud, dl, low)
@@ -107,7 +112,7 @@ def encode_model_step(
     c_up = up_encode(high2)
     c_cg = cg2d_encode(high2)
     ent = jnp.stack(
-        [_sampled_entropy(high2), _sampled_entropy(c_up), _sampled_entropy(c_cg)]
+        [_residual_cost(high2), _residual_cost(c_up), _residual_cost(c_cg)]
     )
     spatial = jnp.argmin(ent, axis=0).astype(jnp.int32)  # [B] in {0,1,2}
     s1 = (spatial == SPATIAL_UP)[:, None, None]
@@ -117,7 +122,7 @@ def encode_model_step(
     p_up = up_encode(pv)
     p_cg = cg2d_encode(pv)
     pent = jnp.stack(
-        [_sampled_entropy(pv), _sampled_entropy(p_up), _sampled_entropy(p_cg)]
+        [_residual_cost(pv), _residual_cost(p_up), _residual_cost(p_cg)]
     )
     pv_spatial = jnp.argmin(pent, axis=0).astype(jnp.int32)
     pv3 = jnp.where(
@@ -170,7 +175,7 @@ class FpvtWriter:
         shift: int = 0,
         big_endian: bool = False,
         frames_per_batch: int = 16,
-        chunk_log2: int = 12,
+        chunk_log2: int = 9,
     ) -> None:
         self.header = Header(
             xsize=xsize,
@@ -215,10 +220,12 @@ class FpvtWriter:
         self._bytes_written = len(out)
         return out
 
-    def encode_batch(
+    def encode_batch_bytes(
         self, imgs: np.ndarray, timestamps: np.ndarray | None = None
     ) -> bytes:
-        """Encode [B, H, W] uint16 frames -> one batch section."""
+        """Pure section encoding (no writer bookkeeping) — thread-safe, so
+        callers can pipeline several batches and assemble in order with
+        :meth:`add_batch`."""
         if self._delta_high is None:
             raise RuntimeError("init() must be called first")
         imgs = jnp.asarray(np.asarray(imgs, dtype=np.uint16))
@@ -253,11 +260,22 @@ class FpvtWriter:
         )
         if timestamps is None:
             timestamps = np.full(b, -1, dtype=np.int64)
-        section = fpvt.serialize_batch_section(flags, timestamps, hs, ls, pvs)
-        self._batch_offsets.append((self._bytes_written, b))
+        return fpvt.serialize_batch_section(flags, timestamps, hs, ls, pvs)
+
+    def add_batch(self, section: bytes, nframes: int) -> bytes:
+        """Record a section produced by :meth:`encode_batch_bytes` as the
+        next batch in file order; returns the section unchanged."""
+        self._batch_offsets.append((self._bytes_written, nframes))
         self._bytes_written += len(section)
-        self._total_frames += b
+        self._total_frames += nframes
         return section
+
+    def encode_batch(
+        self, imgs: np.ndarray, timestamps: np.ndarray | None = None
+    ) -> bytes:
+        """Encode [B, H, W] uint16 frames -> one batch section (and record it)."""
+        n = np.asarray(imgs).shape[0]
+        return self.add_batch(self.encode_batch_bytes(imgs, timestamps), n)
 
     def finish(self) -> bytes:
         return fpvt.serialize_footer(self._batch_offsets, self._total_frames)
@@ -352,7 +370,7 @@ def encode_file_fpvt(
     shift: int = 0,
     big_endian: bool = False,
     frames_per_batch: int = 16,
-    chunk_log2: int = 12,
+    chunk_log2: int = 9,
     delta_frame: np.ndarray | None = None,
 ) -> bytes:
     """One-shot FPVT encode of [N, H, W] uint16 frames."""
@@ -362,13 +380,28 @@ def encode_file_fpvt(
         delta_frame = frames[0]
     wri = FpvtWriter(w, h, shift, big_endian, frames_per_batch, chunk_log2)
     parts = [wri.init(delta_frame)]
-    for start in range(0, n, frames_per_batch):
-        parts.append(wri.encode_batch(frames[start : start + frames_per_batch]))
+    # two-deep pipeline: batch n+1's upload/dispatch overlaps batch n's
+    # host packaging / readbacks
+    from concurrent.futures import ThreadPoolExecutor
+
+    starts = list(range(0, n, frames_per_batch))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [
+            pool.submit(wri.encode_batch_bytes, frames[s : s + frames_per_batch])
+            for s in starts
+        ]
+        for s, f in zip(starts, futures):
+            nb = min(frames_per_batch, n - s)
+            parts.append(wri.add_batch(f.result(), nb))
     parts.append(wri.finish())
     return b"".join(parts)
 
 
 def decode_file_fpvt(data: bytes) -> np.ndarray:
     """One-shot FPVT decode -> [N, H, W] uint16 (left-aligned values)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     r = FpvtReader(data)
-    return np.concatenate([r.decode_batch(i) for i in range(r.num_batches)])
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        outs = list(pool.map(r.decode_batch, range(r.num_batches)))
+    return np.concatenate(outs)

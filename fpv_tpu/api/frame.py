@@ -123,7 +123,7 @@ def cg_encode_preview_np(preview: np.ndarray, xsize: int, ysize: int) -> np.ndar
     which we do not replicate — we use the actual preview extent.
     """
     ph, pw = ysize // 4, xsize // 4
-    return predictors.cg_encode_np(preview.reshape(ph, pw))
+    return predictors.cg_encode(preview.reshape(ph, pw))
 
 
 def predict(
@@ -151,9 +151,9 @@ def predict(
             flags |= FrameFlags.USE_DELTA
 
     if heuristics.decide_cg(high):
-        high = predictors.cg_encode_np(high)
+        high = predictors.cg_encode(high)
         if preview is not None and preview.size:
-            preview = predictors.cg_encode_np(preview)
+            preview = predictors.cg_encode(preview)
         flags |= FrameFlags.USE_CG
 
     return FramePlanes(
@@ -169,7 +169,7 @@ def unpredict(
     low = planes.low
     flags = int(planes.flags)
     if flags & FrameFlags.USE_CG:
-        high = predictors.cg_decode_np(high)
+        high = predictors.cg_decode(high)
     if flags & FrameFlags.USE_DELTA:
         if delta is None:
             raise ValueError("delta frame required to unpredict")

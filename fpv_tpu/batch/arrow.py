@@ -1,0 +1,238 @@
+"""Apache Arrow frontend: frames -> arrow.RecordBatch stream.
+
+Rebuild of the reference's optional ``arrow/arrow_encoder.{h,cc}``: the same
+split -> predict -> compress pipeline as the columnar subsystem, but each
+flushed batch is an ``arrow.RecordBatch`` with columns
+
+    timestamp (ns) | deltaPredicted | cgPredicted | preview |
+    highBytePlane | lowBytePlane          (binary, brotli plane streams)
+
+and schema metadata carrying xsize / ysize / shiftedLeft plus the compressed
+delta-frame planes (arrow/arrow_encoder.cc:81-94), so a RecordBatch stream is
+fully self-describing.  The reference's zero-copy MutableBinaryBuilder
+(arrow/arrow_encoder.h:59-108) is matched here by building binary columns
+from accumulated buffers without re-copying per append.
+
+Requires pyarrow; importing this module without it raises ImportError.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue
+from concurrent.futures import Future, ThreadPoolExecutor
+
+import numpy as np
+import pyarrow as pa
+
+from fpv_tpu.api import frame as frame_ops
+from fpv_tpu.api.frame import FrameFlags, FramePlanes
+from fpv_tpu.batch.columnar import _compress_predicted
+from fpv_tpu.entropy import brotli
+
+SCHEMA_FIELDS = [
+    pa.field("timestamp", pa.timestamp("ns"), nullable=False),
+    pa.field("deltaPredicted", pa.bool_(), nullable=False),
+    pa.field("cgPredicted", pa.bool_(), nullable=False),
+    pa.field("preview", pa.binary(), nullable=False),
+    pa.field("highBytePlane", pa.binary(), nullable=False),
+    pa.field("lowBytePlane", pa.binary(), nullable=False),
+]
+
+
+def make_schema(
+    xsize: int, ysize: int, shifted_left: int, delta: FramePlanes
+) -> pa.Schema:
+    """Self-describing schema with the compressed delta frame in metadata."""
+    predicted = frame_ops.predict(delta, None, make_preview=False)
+    high = brotli.compress(predicted.high.tobytes())
+    low = (
+        brotli.compress(predicted.low.tobytes())
+        if predicted.low is not None
+        else b""
+    )
+    cg = bool(predicted.flags & FrameFlags.USE_CG)
+    return pa.schema(
+        SCHEMA_FIELDS,
+        metadata={
+            b"xsize": str(xsize).encode(),
+            b"ysize": str(ysize).encode(),
+            b"shiftedLeft": str(shifted_left).encode(),
+            b"deltaFrameHighPlane": high,
+            b"deltaFrameLowPlane": low,
+            b"deltaFrameCGPredicted": b"true" if cg else b"false",
+        },
+    )
+
+
+class ArrowEncoder:
+    """push_frame -> futures; RecordBatches delivered to a consumer callback."""
+
+    def __init__(
+        self,
+        xsize: int,
+        ysize: int,
+        shift_to_left_align: int,
+        big_endian: bool,
+        record_batch_consumer,
+        frames_per_batch: int = 10,
+        num_workers: int = 2,
+    ) -> None:
+        self._xsize = xsize
+        self._ysize = ysize
+        self._shift = shift_to_left_align
+        self._big_endian = big_endian
+        self._consumer = record_batch_consumer
+        self._frames_per_batch = frames_per_batch
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        self._queue: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._closing = False
+        self._closing_future: Future = Future()
+        self._delta: FramePlanes | None = None
+        self._schema: pa.Schema | None = None
+        self._schema_ready = threading.Event()
+        self._rows: list = []
+        self._latest_ts = -1
+        self._thread = threading.Thread(target=self._encoder_task, daemon=True)
+        self._thread.start()
+
+    def push_frame(self, timestamp: int, img: np.ndarray, info=None) -> Future:
+        with self._lock:
+            if self._closing:
+                f: Future = Future()
+                f.set_exception(RuntimeError("encoder closing"))
+                return f
+        img = np.asarray(img, dtype=np.uint16).reshape(self._ysize, self._xsize)
+        if self._delta is None:
+            self._delta = frame_ops.split_planes(
+                img.copy(), self._shift, self._big_endian, timestamp
+            )
+            self._pool.submit(self._prepare_schema)
+            self._queue.put(self._pool.submit(self._predict, self._delta))
+            done: Future = Future()
+            done.set_result(info)
+            return done
+        img = img.copy()
+        fut_frame: Future = Future()
+        self._queue.put(fut_frame)
+        done = Future()
+
+        def work():
+            planes = frame_ops.split_planes(
+                img, self._shift, self._big_endian, timestamp
+            )
+            done.set_result(info)
+            try:
+                fut_frame.set_result(self._predict(planes))
+            except BaseException as e:  # pragma: no cover
+                fut_frame.set_exception(e)
+
+        self._pool.submit(work)
+        return done
+
+    def _predict(self, planes: FramePlanes) -> FramePlanes:
+        return frame_ops.predict(planes, self._delta, make_preview=True)
+
+    def _prepare_schema(self) -> None:
+        self._schema = make_schema(
+            self._xsize, self._ysize, self._shift, self._delta
+        )
+        self._schema_ready.set()
+
+    def close(self) -> Future:
+        with self._lock:
+            if not self._closing:
+                self._closing = True
+                self._queue.put(None)
+        return self._closing_future
+
+    def _flush(self) -> None:
+        self._schema_ready.wait()
+        if not self._rows:
+            self._consumer(None)
+            return
+        ts, dp, cg, pv, hp, lp = zip(*self._rows)
+        self._latest_ts = ts[-1]
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(ts, np.int64), pa.timestamp("ns")),
+                pa.array(dp, pa.bool_()),
+                pa.array(cg, pa.bool_()),
+                pa.array(list(pv), pa.binary()),
+                pa.array(list(hp), pa.binary()),
+                pa.array(list(lp), pa.binary()),
+            ],
+            schema=self._schema,
+        )
+        self._rows = []
+        self._consumer(batch)
+
+    def _encoder_task(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._flush()
+                self._closing_future.set_result(self._latest_ts)
+                return
+            planes = item.result() if isinstance(item, Future) else item
+            cf = _compress_predicted(planes)
+            self._rows.append(
+                (
+                    cf.timestamp,
+                    bool(cf.flags & FrameFlags.USE_DELTA),
+                    bool(cf.flags & FrameFlags.USE_CG),
+                    cf.preview,
+                    cf.high,
+                    cf.low,
+                )
+            )
+            if len(self._rows) >= self._frames_per_batch:
+                self._flush()
+
+    def join(self) -> None:
+        self.close().result()
+        self._thread.join(timeout=60)
+        self._pool.shutdown(wait=True)
+
+
+def decode_record_batch(batch: pa.RecordBatch, image_type=None):
+    """Decode every frame of a RecordBatch -> list of uint16 [H, W] images.
+
+    Counterpart the reference never shipped: reconstructs frames from a
+    self-describing RecordBatch using the schema metadata delta planes.
+    """
+    from fpv_tpu.models.predictors import cg_decode as cg_decode_np
+
+    md = batch.schema.metadata
+    xsize = int(md[b"xsize"])
+    ysize = int(md[b"ysize"])
+    dh_raw, _ = brotli.decompress_stream(md[b"deltaFrameHighPlane"])
+    dhigh = np.frombuffer(dh_raw, np.uint8).reshape(ysize, xsize)
+    if md[b"deltaFrameCGPredicted"] == b"true":
+        dhigh = cg_decode_np(dhigh)
+    if md[b"deltaFrameLowPlane"]:
+        dl_raw, _ = brotli.decompress_stream(md[b"deltaFrameLowPlane"])
+        dlow = np.frombuffer(dl_raw, np.uint8).reshape(ysize, xsize)
+    else:
+        dlow = np.zeros_like(dhigh)
+
+    out = []
+    for i in range(batch.num_rows):
+        high_raw, _ = brotli.decompress_stream(
+            batch.column("highBytePlane")[i].as_py()
+        )
+        high = np.frombuffer(high_raw, np.uint8).reshape(ysize, xsize)
+        if batch.column("cgPredicted")[i].as_py():
+            high = cg_decode_np(high)
+        low_bytes = batch.column("lowBytePlane")[i].as_py()
+        if low_bytes:
+            low_raw, _ = brotli.decompress_stream(low_bytes)
+            low = np.frombuffer(low_raw, np.uint8).reshape(ysize, xsize)
+        else:
+            low = np.zeros_like(high)
+        if batch.column("deltaPredicted")[i].as_py():
+            high = (high + dhigh).astype(np.uint8)
+            low = (low + dlow).astype(np.uint8)
+        out.append((high.astype(np.uint16) << 8) | low)
+    return out

@@ -1,27 +1,40 @@
-"""Per-plane-batch rANS stream codec: device kernels + host packaging.
+"""Per-plane-batch rANS stream codec: engine dispatch + host packaging.
 
 One ``PlaneStream`` holds the entropy-coded bytes of one byte plane across a
-whole batch of frames, sharing a single frequency table (amortizing table
-cost and letting the device decode the entire batch in one program).
+whole batch of frames, sharing a single frequency table.  The stream layout
+is the block-interleaved "step-major descending" format of
+fpv_tpu.ops.rans_layout.
 
-Layout strategy: each frame's plane (S bytes) is padded to ``cpf * K``
-symbols (cpf = ceil(S/K) chunks of K), so the chunk grid is a plain reshape —
-no gathers.  Chunks beyond a frame's real length are masked inactive inside
-the kernels via per-chunk lengths.
+Engines:
+* ``pallas`` — the TPU kernels (fpv_tpu.ops.rans_pallas), used when the
+  default backend is a TPU;
+* ``numpy`` — the vectorized host engine (fpv_tpu.ops.rans_numpy), used on
+  CPU and as the bit-exact oracle.
+
+Select explicitly with FPV_TPU_RANS_ENGINE=pallas|numpy.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fpv_tpu.entropy.tables import PROB_SCALE, RansTables, normalize_freqs
-from fpv_tpu.ops.rans import rans_decode_chunks, rans_encode_chunks
+from fpv_tpu.entropy.tables import normalize_freqs
+from fpv_tpu.ops import rans_numpy
+from fpv_tpu.ops.rans_layout import (
+    BLOCK_COLS,
+    BLOCK_LANES,
+    BLOCK_ROWS,
+    RANS_L,
+    chunk_lens,
+)
 
-DEFAULT_CHUNK_LEN = 4096
+DEFAULT_CHUNK_LEN = 512
 
 
 @dataclasses.dataclass
@@ -32,9 +45,9 @@ class PlaneStream:
     plane_size: int  # S = bytes per frame plane
     chunk_len: int  # K
     freq: np.ndarray  # [256] u16
-    states: np.ndarray  # [C] u32
-    counts: np.ndarray  # [C] u16 words per chunk
-    payload: np.ndarray  # [sum(counts)] u16
+    states: np.ndarray  # [C] u32 (real chunks only)
+    block_counts: np.ndarray  # [nblocks] u32
+    payload: np.ndarray  # [sum(block_counts)] u16
 
     @property
     def chunks_per_frame(self) -> int:
@@ -44,84 +57,236 @@ class PlaneStream:
     def num_chunks(self) -> int:
         return self.nframes * self.chunks_per_frame
 
+    @property
+    def num_blocks(self) -> int:
+        return -(-self.num_chunks // BLOCK_LANES)
+
     def nbytes(self) -> int:
-        return 512 + self.num_chunks * 6 + self.payload.size * 2
+        return (
+            528
+            + self.num_chunks * 4
+            + self.num_blocks * 4
+            + self.payload.size * 2
+        )
 
 
-def _chunk_lens(nframes: int, plane_size: int, chunk_len: int) -> np.ndarray:
-    cpf = -(-plane_size // chunk_len)
-    lens = np.full(cpf, chunk_len, dtype=np.int32)
-    lens[-1] = plane_size - (cpf - 1) * chunk_len
-    return np.tile(lens, nframes)
+def engine_name() -> str:
+    env = os.environ.get("FPV_TPU_RANS_ENGINE")
+    if env:
+        return env
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "numpy"
+
+
+# ---------------------------------------------------------------------------
+# device-side layout shuffles (jitted, static shapes)
+
+
+@functools.partial(jax.jit, static_argnames=("cpf", "chunk_len", "nblocks"))
+def _to_block_symbols(plane: jax.Array, cpf: int, chunk_len: int, nblocks: int):
+    """[B, S] u8 -> [nblocks, K, 8, 128] i32 block-step layout."""
+    b, s = plane.shape
+    pad = cpf * chunk_len - s
+    flat = jnp.pad(plane, ((0, 0), (0, pad))) if pad else plane
+    lanes = flat.reshape(b * cpf, chunk_len)
+    lane_pad = nblocks * BLOCK_LANES - b * cpf
+    if lane_pad:
+        lanes = jnp.pad(lanes, ((0, lane_pad), (0, 0)))
+    return (
+        lanes.astype(jnp.int32)
+        .reshape(nblocks, BLOCK_LANES, chunk_len)
+        .transpose(0, 2, 1)
+        .reshape(nblocks, chunk_len, BLOCK_ROWS, BLOCK_COLS)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nframes", "plane_size", "cpf", "chunk_len")
+)
+def _from_block_symbols(
+    syms: jax.Array, nframes: int, plane_size: int, cpf: int, chunk_len: int
+):
+    """[nblocks, K, 8, 128] i32 -> [B, S] u8."""
+    nblocks = syms.shape[0]
+    lanes = (
+        syms.reshape(nblocks, chunk_len, BLOCK_LANES)
+        .transpose(0, 2, 1)
+        .reshape(nblocks * BLOCK_LANES, chunk_len)
+    )
+    flat = lanes[: nframes * cpf].reshape(nframes, cpf * chunk_len)
+    return flat[:, :plane_size].astype(jnp.uint8)
+
+
+def _quantize_rows(max_count: int, chunk_len: int) -> int:
+    """Round a per-block row count up to limit distinct compile shapes."""
+    worst = chunk_len * BLOCK_LANES // BLOCK_COLS
+    step = max(worst // 8, 16)
+    rows = -(-max_count // BLOCK_COLS)
+    return min(-(-rows // step) * step, worst)
+
+
+def _quantize_cap(total_words: int, chunk_len: int, nblocks: int) -> int:
+    """Payload capacity bucket (multiple of worst/32) for static shapes."""
+    worst = chunk_len * BLOCK_LANES * nblocks
+    step = max(worst // 32, 4096)
+    return max(step, -(-total_words // step) * step)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_payload(words: jax.Array, cum: jax.Array, cap: int) -> jax.Array:
+    """Gather ragged per-block word regions into one tight u16 buffer.
+
+    words: [nblocks, rows, 128] u32 (one u16 word per element);
+    cum: [nblocks+1] i32 exclusive prefix of block word counts.
+    Output position i belongs to block b(i) = searchsorted(cum[1:], i) and
+    maps to flat word index i - cum[b] + b*rows*128.
+    """
+    nblocks, rows, _ = words.shape
+    i = jnp.arange(cap, dtype=jnp.int32)
+    blk = jnp.searchsorted(cum[1:], i, side="right").astype(jnp.int32)
+    blk = jnp.minimum(blk, nblocks - 1)
+    src = i - cum[blk] + blk * (rows * BLOCK_COLS)
+    flat = words.reshape(-1)
+    return flat[jnp.clip(src, 0, flat.size - 1)].astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _expand_payload(
+    payload: jax.Array, cum: jax.Array, counts: jax.Array, rows: int
+) -> jax.Array:
+    """Inverse of :func:`_compact_payload`: tight u16 -> padded u32 blocks."""
+    nblocks = counts.shape[0]
+    j = jnp.arange(rows * BLOCK_COLS, dtype=jnp.int32)[None, :]
+    idx = cum[:-1, None] + j
+    valid = j < counts[:, None]
+    w = payload[jnp.clip(idx, 0, payload.shape[0] - 1)].astype(jnp.uint32)
+    w = jnp.where(valid, w, 0)
+    return w.reshape(nblocks, rows, BLOCK_COLS)
+
+
+# ---------------------------------------------------------------------------
 
 
 def encode_plane_batch(
-    plane: jax.Array,
+    plane,
     hist: np.ndarray,
     chunk_len: int = DEFAULT_CHUNK_LEN,
+    engine: str | None = None,
 ) -> PlaneStream:
-    """Encode a [B, S] (or [B, H, W]) uint8 plane batch on device.
+    """Encode a [B, S] (or [B, H, W]) uint8 plane batch.
 
     ``hist`` is the 256-bin histogram of the whole batch (device-computed;
     passed in so callers can fuse histogramming with prediction).
     """
+    engine = engine or engine_name()
     b = plane.shape[0]
-    flat = plane.reshape(b, -1)
-    s = flat.shape[1]
+    if hasattr(plane, "reshape"):
+        plane = plane.reshape(b, -1)
+    s = plane.shape[1]
     cpf = -(-s // chunk_len)
-    pad = cpf * chunk_len - s
-    if pad:
-        flat = jnp.pad(flat, ((0, 0), (0, pad)))
-    symbols = flat.reshape(b * cpf, chunk_len)
-    lens = _chunk_lens(b, s, chunk_len)
+    lens = chunk_lens(b, s, chunk_len)
+    c = b * cpf
+    c_pad = len(lens)
+    nblocks = c_pad // BLOCK_LANES
+    freq = normalize_freqs(np.asarray(hist), ensure_all=True)
 
-    freq = normalize_freqs(hist)
-    tables = RansTables.from_freq(freq)
-    states, stream, counts = rans_encode_chunks(
-        symbols,
-        jnp.asarray(lens),
-        jnp.asarray(tables.freq.astype(np.uint32)),
-        jnp.asarray(tables.cum),
-        jnp.asarray(tables.mult_hi),
-        jnp.asarray(tables.mult_lo),
-        jnp.asarray(tables.shift),
-        num_chunks=b * cpf,
-        chunk_len=chunk_len,
+    if engine == "numpy":
+        plane_np = np.asarray(plane)
+        pad = cpf * chunk_len - s
+        flat = (
+            np.pad(plane_np, ((0, 0), (0, pad))) if pad else plane_np
+        ).reshape(c, chunk_len)
+        if c_pad > c:
+            flat = np.concatenate(
+                [flat, np.zeros((c_pad - c, chunk_len), np.uint8)]
+            )
+        states, counts, payload = rans_numpy.encode_blocks(flat, lens, freq)
+        return PlaneStream(
+            nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+            states=states[:c], block_counts=counts, payload=payload,
+        )
+
+    from fpv_tpu.ops import rans_pallas as rp
+
+    fc, mlo, msh, _symtab = rp.table_arrays(freq)
+    syms = _to_block_symbols(jnp.asarray(plane), cpf, chunk_len, nblocks)
+    lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
+    states_d, words_d, counts_d = rp.encode_pallas(
+        syms, lens_dev, jnp.asarray(fc), jnp.asarray(mlo), jnp.asarray(msh),
+        chunk_len, nblocks,
     )
-    counts_np = np.asarray(counts)
-    stream_np = np.asarray(stream)
-    mask = np.arange(chunk_len)[None, :] < counts_np[:, None]
-    payload = stream_np[mask]  # row-major -> concatenated per chunk, in order
+    counts = np.asarray(counts_d).reshape(-1)
+    total = int(counts.sum())
+    cap = _quantize_cap(total, chunk_len, nblocks)
+    cum = np.zeros(nblocks + 1, np.int32)
+    cum[1:] = np.cumsum(counts)
+    payload_d = _compact_payload(words_d, jnp.asarray(cum), cap)
+    payload = np.asarray(payload_d)[:total]
+    states = np.asarray(states_d).reshape(-1)[:c]
     return PlaneStream(
-        nframes=b,
-        plane_size=s,
-        chunk_len=chunk_len,
-        freq=freq,
-        states=np.asarray(states),
-        counts=counts_np.astype(np.uint16),
-        payload=payload,
+        nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+        states=states, block_counts=counts.astype(np.uint32), payload=payload,
     )
 
 
-def decode_plane_batch(stream: PlaneStream, check: bool = True) -> jax.Array:
-    """Decode a PlaneStream -> [B, S] uint8 device array."""
+
+
+def decode_plane_batch(
+    stream: PlaneStream, check: bool = True, engine: str | None = None
+):
+    """Decode a PlaneStream -> [B, S] uint8 (device array on pallas engine)."""
+    engine = engine or engine_name()
     b, s, k = stream.nframes, stream.plane_size, stream.chunk_len
     cpf = stream.chunks_per_frame
-    c = b * cpf
-    counts = stream.counts.astype(np.int32)
-    mask = np.arange(k)[None, :] < counts[:, None]
-    words = np.zeros((c, k), dtype=np.uint16)
-    words[mask] = stream.payload
-    lens = _chunk_lens(b, s, k)
-    tables = RansTables.from_freq(stream.freq)
-    syms, ok = rans_decode_chunks(
-        jnp.asarray(stream.states),
-        jnp.asarray(words),
-        jnp.asarray(lens),
-        jnp.asarray(tables.slot_packed),
-        num_chunks=c,
-        chunk_len=k,
+    c = stream.num_chunks
+    lens = chunk_lens(b, s, k)
+    c_pad = len(lens)
+    nblocks = c_pad // BLOCK_LANES
+    states_pad = np.full(c_pad, RANS_L, np.uint32)
+    states_pad[:c] = stream.states
+    counts = stream.block_counts.astype(np.int64)
+
+    if engine == "numpy":
+        syms, ok = rans_numpy.decode_blocks(
+            states_pad, stream.block_counts, stream.payload, lens,
+            stream.freq, k,
+        )
+        if check and not ok.all():
+            raise ValueError("rANS stream integrity check failed")
+        pad = cpf * k - s
+        flat = syms[:c].reshape(b, cpf * k)
+        return flat[:, :s]
+
+    from fpv_tpu.ops import rans_pallas as rp
+
+    fc, _mlo, _msh, symtab = rp.table_arrays(stream.freq)
+    rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, k)
+    rows_alloc = rows_q + 16  # window headroom
+    total = int(counts.sum())
+    cap = _quantize_cap(total, k, nblocks)
+    payload_np = np.zeros(cap, np.uint16)
+    payload_np[:total] = stream.payload
+    cum = np.zeros(nblocks + 1, np.int32)
+    cum[1:] = np.cumsum(counts)
+    words_d = _expand_payload(
+        jnp.asarray(payload_np),
+        jnp.asarray(cum),
+        jnp.asarray(counts.astype(np.int32)),
+        rows_alloc,
     )
-    if check and not bool(jnp.all(ok)):
+    syms, ok = rp.decode_pallas(
+        jnp.asarray(counts.reshape(nblocks, 1, 1).astype(np.int32)),
+        jnp.asarray(states_pad.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
+        jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
+        jnp.asarray(symtab),
+        jnp.asarray(fc),
+        words_d,
+        k,
+        nblocks,
+    )
+    if check and not bool(jnp.all(ok == 1)):
         raise ValueError("rANS stream integrity check failed")
-    return syms.reshape(b, cpf * k)[:, :s]
+    return _from_block_symbols(syms, b, s, cpf, k)

@@ -18,17 +18,24 @@ PROB_SCALE = 1 << PROB_BITS  # 4096
 RANS_L = 1 << 15  # state lower bound; state in [2^15, 2^31)
 
 
-def normalize_freqs(hist: np.ndarray, scale: int = PROB_SCALE) -> np.ndarray:
+def normalize_freqs(
+    hist: np.ndarray, scale: int = PROB_SCALE, ensure_all: bool = False
+) -> np.ndarray:
     """Histogram -> frequency table summing to ``scale``; present symbols >= 1.
 
     Deterministic largest-remainder apportionment with index tie-break, so
     encoder and tests reproduce identical tables for identical data.
+
+    ``ensure_all=True`` gives every symbol a nonzero frequency even when its
+    histogram count is zero — required when the histogram is *sampled* (the
+    encoder may meet symbols the sample missed).  Cost: ~0.09 bits/symbol
+    worst case, negligible for sparse alphabets.
     """
     hist = np.asarray(hist, dtype=np.int64)
     total = int(hist.sum())
     if total <= 0:
         raise ValueError("empty histogram")
-    present = hist > 0
+    present = (hist > 0) | ensure_all
     npresent = int(present.sum())
     if npresent > scale:
         raise ValueError("alphabet larger than probability scale")

@@ -103,7 +103,7 @@ def parse_image(
         raise ValueError("wrong decompressed plane size")
     high = np.frombuffer(high_bytes, dtype=np.uint8).reshape(ysize, xsize)
     if use_cg:
-        high = predictors.cg_decode_np(high)
+        high = predictors.cg_decode(high)
     return DecodedImage(flags=flags, high=high, low=low)
 
 

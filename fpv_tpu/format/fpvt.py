@@ -40,7 +40,7 @@ class Header:
     ysize: int
     shift: int = 0
     big_endian: bool = False
-    chunk_log2: int = 12
+    chunk_log2: int = 9
     frames_per_batch: int = 16
     profile: int = PROFILE_RANS12
 
@@ -89,7 +89,7 @@ def serialize_plane_stream(ps: PlaneStream) -> bytes:
         struct.pack("<III", ps.plane_size, ps.chunk_len, ps.num_chunks)
         + ps.freq.astype("<u2").tobytes()
         + ps.states.astype("<u4").tobytes()
-        + ps.counts.astype("<u2").tobytes()
+        + ps.block_counts.astype("<u4").tobytes()
         + ps.payload.astype("<u2").tobytes()
     )
     size = 4 + len(body)
@@ -107,9 +107,12 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
     p += 512
     states = np.frombuffer(data, dtype="<u4", count=num_chunks, offset=p).copy()
     p += 4 * num_chunks
-    counts = np.frombuffer(data, dtype="<u2", count=num_chunks, offset=p).copy()
-    p += 2 * num_chunks
-    total_words = int(counts.astype(np.int64).sum())
+    from fpv_tpu.ops.rans_layout import BLOCK_LANES
+
+    nblocks = -(-num_chunks // BLOCK_LANES)
+    block_counts = np.frombuffer(data, dtype="<u4", count=nblocks, offset=p).copy()
+    p += 4 * nblocks
+    total_words = int(block_counts.astype(np.int64).sum())
     payload = np.frombuffer(data, dtype="<u2", count=total_words, offset=p).copy()
     p += 2 * total_words
     if p > end:
@@ -120,7 +123,7 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
         chunk_len=chunk_len,
         freq=freq,
         states=states,
-        counts=counts,
+        block_counts=block_counts,
         payload=payload,
     )
     return ps, end

@@ -18,6 +18,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # native scan kernels (see native/fpv_native.cc); optional
+    import fpv_native as _native
+except ImportError:  # pragma: no cover
+    _native = None
+
 
 def clamped_gradient_np(n, w, nw):
     """Branchless clamped-gradient predictor on uint8 arrays.
@@ -93,3 +98,23 @@ def cg_decode_np(plane: np.ndarray) -> np.ndarray:
         nw = out[i - xs - 1]
         out[i] = (int(out[i]) + int(clamped_gradient_np(n, ww, nw))) & 0xFF
     return out.reshape(h, w)
+
+
+def cg_decode(plane: np.ndarray) -> np.ndarray:
+    """Fast inverse CG scan: native kernel when available, oracle otherwise."""
+    plane = np.ascontiguousarray(plane, dtype=np.uint8)
+    if _native is not None:
+        h, w = plane.shape
+        out = _native.cg_decode(plane.tobytes(), w)
+        return np.frombuffer(out, np.uint8).reshape(h, w)
+    return cg_decode_np(plane)
+
+
+def cg_encode(plane: np.ndarray) -> np.ndarray:
+    """Fast CG residual: native kernel when available, numpy otherwise."""
+    plane = np.ascontiguousarray(plane, dtype=np.uint8)
+    if _native is not None:
+        h, w = plane.shape
+        out = _native.cg_encode(plane.tobytes(), w)
+        return np.frombuffer(out, np.uint8).reshape(h, w)
+    return cg_encode_np(plane)

@@ -1,0 +1,365 @@
+"""Pallas TPU kernels for the block-interleaved rANS coder.
+
+One grid cell processes one lane block (1024 chunks as an [8, 128] tile)
+through all K symbol steps with a ``fori_loop``.  Everything lives in VMEM;
+per-symbol table lookups use the hardware's 128-lane dynamic gather
+(``take_along_axis`` axis=1, lowered to tpu.dynamic_gather), and the word
+stream advances with a scalar pointer — groups are written/read as dynamic
+row windows, so no per-lane stream cursors exist anywhere.
+
+Per-step building blocks (all [8, 128] vector ops):
+
+* ``_lookup256``: 256-entry u32 table -> 2 dynamic gathers + select;
+* ``_lookup_sym``: 4096-slot symbol table packed 4 u8/u32 into [8, 128] ->
+  8 row gathers + select tree + byte extract;
+* row-major group ranks via Hillis-Steele cumsums (static rolls);
+* group packing (encode): per-row binary-search compaction (7 gather
+  rounds), then one dynamic-roll row store per sublane row;
+* group expansion (decode): one 16-row dynamic window load + 9
+  relative-row select gathers.
+
+The stream layout matches fpv_tpu.ops.rans_numpy bit for bit (tested in
+interpret mode against it): per block, word groups in DESCENDING symbol
+order (encoder writes forward; decoder consumes backward from the block's
+word count).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fpv_tpu.ops.rans_layout import (
+    BLOCK_COLS,
+    BLOCK_LANES,
+    BLOCK_ROWS,
+    PROB_BITS,
+    PROB_SCALE,
+    RANS_L,
+    RENORM_SHIFT,
+)
+
+
+def _lanes() -> jax.Array:
+    return jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, BLOCK_COLS), 1)
+
+
+def _rows() -> jax.Array:
+    return jax.lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, BLOCK_COLS), 0)
+
+
+def _bcast_row(row: jax.Array) -> jax.Array:
+    """[1, 128] -> [8, 128] broadcast."""
+    return jnp.broadcast_to(row, (BLOCK_ROWS, BLOCK_COLS))
+
+
+def _lookup256(tab2: jax.Array, idx: jax.Array) -> jax.Array:
+    """256-entry u32 table given as [2, 128]; idx int32 [8,128] in [0,256)."""
+    col = idx & 127
+    g0 = jnp.take_along_axis(_bcast_row(tab2[0:1]), col, axis=1)
+    g1 = jnp.take_along_axis(_bcast_row(tab2[1:2]), col, axis=1)
+    return jnp.where(idx < 128, g0, g1)
+
+
+def _lookup_sym(sym_tab: jax.Array, slot: jax.Array) -> jax.Array:
+    """slot [8,128] in [0,4096) -> symbol, via 4096 u8s packed in [8,128] u32."""
+    word_idx = slot >> 2  # [0, 1024)
+    row = word_idx >> 7  # [0, 8)
+    col = word_idx & 127
+    out = jnp.zeros(slot.shape, jnp.uint32)
+    for r in range(BLOCK_ROWS):
+        g = jnp.take_along_axis(_bcast_row(sym_tab[r : r + 1]), col, axis=1)
+        out = jnp.where(row == r, g, out)
+    byte = (slot & 3).astype(jnp.uint32)
+    return ((out >> (byte * 8)) & 0xFF).astype(jnp.int32)
+
+
+def _row_cumsum(m: jax.Array) -> jax.Array:
+    """Within-row inclusive cumsum of an int32 [8,128] via static rolls."""
+    lane = _lanes()
+    c = m
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        c = c + jnp.where(lane >= s, pltpu.roll(c, s, 1), 0)
+    return c
+
+
+def _row_excl_prefix(row_tot: jax.Array) -> jax.Array:
+    """Exclusive cumsum across the 8 sublane rows of a row-constant [8,128]."""
+    rowid = _rows()
+    excl = jnp.zeros_like(row_tot)
+    run = row_tot
+    for s in (1, 2, 4):
+        rolled = pltpu.roll(run, s, 0)
+        add = jnp.where(rowid >= s, rolled, 0)
+        excl = excl + add
+        run = run + add
+    return excl
+
+
+def _pack_rows(values: jax.Array, incl: jax.Array) -> jax.Array:
+    """Compact masked lanes of each row to its front, preserving order.
+
+    ``incl`` is the within-row inclusive cumsum of the mask.  Output position
+    i takes the lane src = min{col : incl[col] >= i+1} (garbage beyond each
+    row's count).  7-round binary search with axis-1 dynamic gathers.
+    """
+    lane = _lanes()
+    target = lane + 1
+    lo = jnp.zeros(values.shape, jnp.int32)
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        probe = lo + step
+        pv = jnp.take_along_axis(incl, jnp.minimum(probe, 127), axis=1)
+        lo = jnp.where(pv < target, probe, lo)
+    first = jnp.take_along_axis(incl, jnp.zeros_like(lo), axis=1)
+    src = jnp.where(first >= target, 0, jnp.minimum(lo + 1, 127))
+    return jnp.take_along_axis(values, src, axis=1)
+
+
+def _mulhi32(a: jax.Array, b: jax.Array) -> jax.Array:
+    ah, al = a >> 16, a & 0xFFFF
+    bh, bl = b >> 16, b & 0xFFFF
+    lo = al * bl
+    mid1 = ah * bl
+    mid2 = al * bh
+    t = (lo >> 16) + (mid1 & 0xFFFF) + (mid2 & 0xFFFF)
+    return ah * bh + (mid1 >> 16) + (mid2 >> 16) + (t >> 16)
+
+
+def _encode_kernel(
+    syms_ref,  # [K, 8, 128] i32 (block dim squeezed)
+    lens_ref,  # [8, 128] i32
+    fc_ref,  # [2, 128] u32: (freq-1) | cum << 12
+    mlo_ref,  # [2, 128] u32 magic low words
+    msh_ref,  # [2, 128] u32: mhi | shift << 2
+    states_ref,  # out [8, 128] u32
+    words_ref,  # out [Wrows, 128] u32 (one u16 word per element)
+    count_ref,  # out [1, 1] i32 (SMEM)
+    *,
+    chunk_len: int,
+):
+    k = chunk_len
+    lens = lens_ref[:]
+    fc = fc_ref[:]
+    mlo = mlo_ref[:]
+    msh = msh_ref[:]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_COLS), 1)
+
+    def step(t, carry):
+        x, ptr = carry
+        j = k - 1 - t
+        sym = syms_ref[pl.ds(j, 1)][0]  # [8, 128] i32
+        e = _lookup256(fc, sym)
+        f = (e & 0xFFF) + 1
+        cum = e >> PROB_BITS
+        ml = _lookup256(mlo, sym)
+        ms = _lookup256(msh, sym)
+        mh = ms & 3
+        sh = ms >> 2
+        active = j < lens
+        emit = active & (x >= (f << RENORM_SHIFT))
+        word = x & 0xFFFF
+        x2 = jnp.where(emit, x >> 16, x)
+        q = (x2 * mh + _mulhi32(x2, ml)) >> sh
+        xn = (q << PROB_BITS) + (x2 - q * f) + cum
+        x = jnp.where(active, xn, x)
+
+        # pack this step's emitted words and append at ptr (row-major order)
+        incl = _row_cumsum(emit.astype(jnp.int32))
+        packed = _pack_rows(word, incl)
+        off = ptr
+        for r in range(BLOCK_ROWS):
+            cnt_r = jnp.sum(incl[r : r + 1, BLOCK_COLS - 1 :])
+            rot = pltpu.roll(packed[r : r + 1], off & 127, 1)
+            row0 = off >> 7
+            shift = off & 127
+            m0 = (lane1 >= shift) & (lane1 < shift + cnt_r)
+            cur0 = words_ref[pl.ds(row0, 1), :]
+            words_ref[pl.ds(row0, 1), :] = jnp.where(m0, rot, cur0)
+            m1 = lane1 < (shift + cnt_r - BLOCK_COLS)
+            cur1 = words_ref[pl.ds(row0 + 1, 1), :]
+            words_ref[pl.ds(row0 + 1, 1), :] = jnp.where(m1, rot, cur1)
+            off = off + cnt_r
+        return x, off
+
+    x0 = jnp.full((BLOCK_ROWS, BLOCK_COLS), RANS_L, dtype=jnp.uint32)
+    x, total = jax.lax.fori_loop(0, k, step, (x0, jnp.int32(0)))
+    states_ref[:] = x
+    count_ref[0, 0] = total
+
+
+def _decode_kernel(
+    count_ref,  # [1, 1] i32 (SMEM, scalar-prefetch style input)
+    states_ref,  # [8, 128] u32
+    lens_ref,  # [8, 128] i32
+    sym_ref,  # [8, 128] u32 packed symbol table
+    fc_ref,  # [2, 128] u32
+    words_ref,  # [Wrows, 128] u32
+    out_ref,  # out [K, 8, 128] i32
+    ok_ref,  # out [8, 128] i32
+    *,
+    chunk_len: int,
+):
+    k = chunk_len
+    lens = lens_ref[:]
+    sym_tab = sym_ref[:]
+    fc = fc_ref[:]
+
+    def step(j, carry):
+        x, ptr = carry
+        active = j < lens
+        slot = (x & (PROB_SCALE - 1)).astype(jnp.int32)
+        sym = _lookup_sym(sym_tab, slot)
+        e = _lookup256(fc, sym)
+        f = (e & 0xFFF) + 1
+        cum = e >> PROB_BITS
+        xn = f * (x >> PROB_BITS) + (slot.astype(jnp.uint32) - cum)
+        renorm = active & (xn < RANS_L)
+        incl = _row_cumsum(renorm.astype(jnp.int32))
+        row_tot = jnp.broadcast_to(
+            incl[:, BLOCK_COLS - 1 :], (BLOCK_ROWS, BLOCK_COLS)
+        )
+        excl_rows = _row_excl_prefix(row_tot)
+        rank = (incl - renorm.astype(jnp.int32)) + excl_rows
+        cnt = jnp.sum(renorm.astype(jnp.int32))
+        base = ptr - cnt
+        pos = base + rank
+        row0 = base >> 7
+        win = words_ref[pl.ds(row0, 16), :]
+        rel = (pos >> 7) - row0
+        col = pos & 127
+        w = jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32)
+        for r in range(9):
+            g = jnp.take_along_axis(_bcast_row(win[r : r + 1]), col, axis=1)
+            w = jnp.where(rel == r, g, w)
+        xn2 = jnp.where(renorm, (xn << 16) | (w & 0xFFFF), xn)
+        x = jnp.where(active, xn2, x)
+        out_ref[pl.ds(j, 1)] = sym[None]
+        return x, base
+
+    x0 = states_ref[:]
+    ptr0 = count_ref[0, 0]
+    x, ptr = jax.lax.fori_loop(0, k, step, (x0, ptr0))
+    ok_ref[:] = (((x == RANS_L) & (ptr == 0)) | (lens == 0)).astype(jnp.int32)
+
+
+def table_arrays(freq: np.ndarray):
+    """Host-side packed tables: (fc [2,128], mlo [2,128], msh [2,128],
+    sym_packed [8,128]) as numpy u32."""
+    from fpv_tpu.utils.magic import magic_tables
+
+    freq = np.asarray(freq, dtype=np.uint32)
+    cum = np.zeros(256, dtype=np.uint32)
+    cum[1:] = np.cumsum(freq)[:-1]
+    fc = ((np.maximum(freq, 1) - 1) & 0xFFF) | (cum << PROB_BITS)
+    m_hi, m_lo, post = magic_tables(np.maximum(freq, 1))
+    msh = (m_hi & 3) | (post << 2)
+    sym_of_slot = np.repeat(np.arange(256, dtype=np.uint32), freq.astype(np.int64))
+    packed = np.zeros(PROB_SCALE // 4, dtype=np.uint32)
+    for b in range(4):
+        packed |= sym_of_slot[b::4] << np.uint32(8 * b)
+    return (
+        fc.reshape(2, 128).astype(np.uint32),
+        m_lo.astype(np.uint32).reshape(2, 128),
+        msh.astype(np.uint32).reshape(2, 128),
+        packed.reshape(BLOCK_ROWS, BLOCK_COLS),
+    )
+
+
+def words_rows(chunk_len: int) -> int:
+    """Staging rows per block: worst case K*1024 words + headroom."""
+    return chunk_len * BLOCK_LANES // BLOCK_COLS + 16
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks", "interpret"))
+def encode_pallas(
+    syms: jax.Array,  # [nblocks, K, 8, 128] i32
+    lens: jax.Array,  # [nblocks, 8, 128] i32
+    fc: jax.Array,
+    mlo: jax.Array,
+    msh: jax.Array,
+    chunk_len: int,
+    nblocks: int,
+    interpret: bool = False,
+):
+    """Returns (states u32 [nblocks,8,128], words u32 [nblocks,Wrows,128],
+    counts i32 [nblocks,1,1])."""
+    k = chunk_len
+    wrows = words_rows(k)
+    kernel = functools.partial(_encode_kernel, chunk_len=k)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((None, k, BLOCK_ROWS, BLOCK_COLS),
+                         lambda m: (m, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, 1), lambda m: (m, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, BLOCK_ROWS, BLOCK_COLS), jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks, wrows, BLOCK_COLS), jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks, 1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(syms, lens, fc, mlo, msh)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks", "interpret"))
+def decode_pallas(
+    counts: jax.Array,  # [nblocks, 1, 1] i32
+    states: jax.Array,  # [nblocks, 8, 128] u32
+    lens: jax.Array,  # [nblocks, 8, 128] i32
+    sym_tab: jax.Array,  # [8, 128] u32
+    fc: jax.Array,  # [2, 128] u32
+    words: jax.Array,  # [nblocks, Wrows, 128] u32
+    chunk_len: int,
+    nblocks: int,
+    interpret: bool = False,
+):
+    """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128])."""
+    k = chunk_len
+    wrows = words.shape[1]
+    kernel = functools.partial(_decode_kernel, chunk_len=k)
+    return pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 1), lambda m: (m, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, k, BLOCK_ROWS, BLOCK_COLS),
+                         lambda m: (m, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblocks, k, BLOCK_ROWS, BLOCK_COLS), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, BLOCK_ROWS, BLOCK_COLS), jnp.int32),
+        ),
+        interpret=interpret,
+    )(counts, states, lens, sym_tab, fc, words)
