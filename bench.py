@@ -28,8 +28,8 @@ REFBIN = REPO / ".refbin" / "ref_benchmark"
 RECORDED_BASELINE_MPS = 43.98  # ref_benchmark, this box, 32x1024x1024 12-bit
 
 # benchmark configuration (mirrors the BASELINE.json corpus shape)
-FRAMES, H, W, BITS, SHIFT = 16, 1024, 1024, 12, 4
-BATCH = 8
+FRAMES, H, W, BITS, SHIFT = 32, 1024, 1024, 12, 4
+BATCH = 16
 
 
 def log(*args):
@@ -194,9 +194,12 @@ def main() -> None:
             counts = np.asarray(counts_d).reshape(-1)
             total = int(counts.sum())
             cap = pc._quantize_cap(total, chunk_len, nblocks)
+            rows_q = pc._quantize_rows(int(counts.max()), chunk_len)
             cum = np.zeros(nblocks + 1, np.int32)
             cum[1:] = np.cumsum(counts)
-            payloads.append(pc._compact_payload(words_d, jnp.asarray(cum), cap))
+            payloads.append(
+                pc._compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
+            )
             total_bytes += total * 2
         jax.block_until_ready(payloads)
         return total_bytes

@@ -52,7 +52,7 @@ from fpv_tpu.ops.predict import (
 from fpv_tpu.ops.preview import generate_preview
 
 _DECISION_STRIDE = 16  # sampling stride for predictor decisions
-_HIST_STRIDE = 4  # sampling stride for rANS table histograms
+_HIST_STRIDE = 16  # sampling stride for rANS table histograms
 
 
 def _residual_cost(plane: jax.Array) -> jax.Array:

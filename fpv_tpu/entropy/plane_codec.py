@@ -135,35 +135,42 @@ def _quantize_cap(total_words: int, chunk_len: int, nblocks: int) -> int:
     return max(step, -(-total_words // step) * step)
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _compact_payload(words: jax.Array, cum: jax.Array, cap: int) -> jax.Array:
-    """Gather ragged per-block word regions into one tight u16 buffer.
+@functools.partial(jax.jit, static_argnames=("cap", "rows_q"))
+def _compact_payload(
+    words: jax.Array, cum: jax.Array, cap: int, rows_q: int
+) -> jax.Array:
+    """Concatenate ragged per-block word regions into one tight u16 buffer.
 
-    words: [nblocks, rows, 128] u32 (one u16 word per element);
-    cum: [nblocks+1] i32 exclusive prefix of block word counts.
-    Output position i belongs to block b(i) = searchsorted(cum[1:], i) and
-    maps to flat word index i - cum[b] + b*rows*128.
+    Each block's words are already contiguous at its region start, so the
+    cross-block concat is nblocks contiguous copies: block m's fixed-size
+    rows_q*128 window is placed at offset cum[m]; block m+1's copy starts
+    exactly at cum[m] + count_m and overwrites m's padding garbage.
     """
     nblocks, rows, _ = words.shape
-    i = jnp.arange(cap, dtype=jnp.int32)
-    blk = jnp.searchsorted(cum[1:], i, side="right").astype(jnp.int32)
-    blk = jnp.minimum(blk, nblocks - 1)
-    src = i - cum[blk] + blk * (rows * BLOCK_COLS)
-    flat = words.reshape(-1)
-    return flat[jnp.clip(src, 0, flat.size - 1)].astype(jnp.uint16)
+    flat16 = words.astype(jnp.uint16).reshape(nblocks, rows * BLOCK_COLS)
+    win = rows_q * BLOCK_COLS
+    out = jnp.zeros(cap + win, jnp.uint16)
+    for m in range(nblocks):
+        out = jax.lax.dynamic_update_slice(out, flat16[m, :win], (cum[m],))
+    return out[:cap]
 
 
 @functools.partial(jax.jit, static_argnames=("rows",))
 def _expand_payload(
     payload: jax.Array, cum: jax.Array, counts: jax.Array, rows: int
 ) -> jax.Array:
-    """Inverse of :func:`_compact_payload`: tight u16 -> padded u32 blocks."""
+    """Inverse of :func:`_compact_payload`: tight u16 -> padded u32 blocks.
+
+    ``payload`` must carry rows*128 words of slack beyond the true total;
+    per-block garbage past each count is never addressed by the decoder
+    (word positions are always < count).
+    """
     nblocks = counts.shape[0]
-    j = jnp.arange(rows * BLOCK_COLS, dtype=jnp.int32)[None, :]
-    idx = cum[:-1, None] + j
-    valid = j < counts[:, None]
-    w = payload[jnp.clip(idx, 0, payload.shape[0] - 1)].astype(jnp.uint32)
-    w = jnp.where(valid, w, 0)
+    win = rows * BLOCK_COLS
+    blocks = [
+        jax.lax.dynamic_slice(payload, (cum[m],), (win,)) for m in range(nblocks)
+    ]
+    w = jnp.stack(blocks).astype(jnp.uint32)
     return w.reshape(nblocks, rows, BLOCK_COLS)
 
 
@@ -221,9 +228,10 @@ def encode_plane_batch(
     counts = np.asarray(counts_d).reshape(-1)
     total = int(counts.sum())
     cap = _quantize_cap(total, chunk_len, nblocks)
+    rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, chunk_len)
     cum = np.zeros(nblocks + 1, np.int32)
     cum[1:] = np.cumsum(counts)
-    payload_d = _compact_payload(words_d, jnp.asarray(cum), cap)
+    payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
     payload = np.asarray(payload_d)[:total]
     states = np.asarray(states_d).reshape(-1)[:c]
     return PlaneStream(
@@ -267,7 +275,7 @@ def decode_plane_batch(
     rows_alloc = rows_q + 16  # window headroom
     total = int(counts.sum())
     cap = _quantize_cap(total, k, nblocks)
-    payload_np = np.zeros(cap, np.uint16)
+    payload_np = np.zeros(cap + rows_alloc * BLOCK_COLS, np.uint16)
     payload_np[:total] = stream.payload
     cum = np.zeros(nblocks + 1, np.int32)
     cum[1:] = np.cumsum(counts)
