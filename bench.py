@@ -171,38 +171,18 @@ def main() -> None:
 
     def encode_device_batch():
         m = encode_model_step(imgs_dev, w0._delta_high, w0._delta_low, SHIFT, False)
-        total_bytes = 0
-        payloads = []
-        for plane, hist in (
-            (m["high"], m["hist_high"]),
-            (m["low"], m["hist_low"]),
-            (m["preview"], m["hist_preview"]),
-        ):
-            flat = plane.reshape(BATCH, -1)
-            s = flat.shape[1]
-            cpf = -(-s // chunk_len)
-            lens = chunk_lens(BATCH, s, chunk_len)
-            nblocks = len(lens) // BLOCK_LANES
-            freq = normalize_freqs(np.asarray(hist), ensure_all=True)
-            fc, mlo, msh, _ = rp.table_arrays(freq)
-            syms = pc._to_block_symbols(flat, cpf, chunk_len, nblocks)
-            lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
-            states_d, words_d, counts_d = rp.encode_pallas(
-                syms, lens_dev, jnp.asarray(fc), jnp.asarray(mlo),
-                jnp.asarray(msh), chunk_len, nblocks,
-            )
-            counts = np.asarray(counts_d).reshape(-1)
-            total = int(counts.sum())
-            cap = pc._quantize_cap(total, chunk_len, nblocks)
-            rows_q = pc._quantize_rows(int(counts.max()), chunk_len)
-            cum = np.zeros(nblocks + 1, np.int32)
-            cum[1:] = np.cumsum(counts)
-            payloads.append(
-                pc._compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
-            )
-            total_bytes += total * 2
-        jax.block_until_ready(payloads)
-        return total_bytes
+        streams = pc.encode_planes_batch(
+            [
+                (m["high"].reshape(BATCH, -1), np.asarray(m["hist_high"])),
+                (m["low"].reshape(BATCH, -1), np.asarray(m["hist_low"])),
+                (m["preview"].reshape(BATCH, -1), np.asarray(m["hist_preview"])),
+            ],
+            chunk_len,
+            materialize=False,
+        )
+        import jax as _jax
+        _jax.block_until_ready([st.payload for st in streams])
+        return sum(int(st.block_counts.sum()) * 2 for st in streams)
 
     encode_device_batch()  # warmup
     times = []

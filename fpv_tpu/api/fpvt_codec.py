@@ -237,15 +237,14 @@ class FpvtWriter:
             self.header.shift,
             self.header.big_endian,
         )
-        hs = encode_plane_batch(
-            m["high"].reshape(b, -1), np.asarray(m["hist_high"]), self._chunk_len
-        )
-        ls = encode_plane_batch(
-            m["low"].reshape(b, -1), np.asarray(m["hist_low"]), self._chunk_len
-        )
-        pvs = encode_plane_batch(
-            m["preview"].reshape(b, -1),
-            np.asarray(m["hist_preview"]),
+        from fpv_tpu.entropy.plane_codec import encode_planes_batch
+
+        hs, ls, pvs = encode_planes_batch(
+            [
+                (m["high"].reshape(b, -1), np.asarray(m["hist_high"])),
+                (m["low"].reshape(b, -1), np.asarray(m["hist_low"])),
+                (m["preview"].reshape(b, -1), np.asarray(m["hist_preview"])),
+            ],
             self._chunk_len,
         )
         use_delta = np.asarray(m["use_delta"])
@@ -363,6 +362,79 @@ class FpvtReader:
     def timestamps(self, index: int) -> np.ndarray:
         off, _b = self._batches[index]
         return fpvt.parse_batch_section(self._data, off).timestamps
+
+
+class FpvtStreamingReader:
+    """Incremental FPVT decoder: feed bytes, get frames per completed batch.
+
+    The FPVT analog of the FPV1 StreamingDecoder (fusion_power_video.cc:
+    866-956): consumes header + delta section once, then decodes every
+    complete batch section as it arrives; the footer (if ever seen) ends the
+    stream.  A truncated file without footer is fully streamable.
+    """
+
+    def __init__(self, callback) -> None:
+        """callback(frames u16 [B,H,W], timestamps i64 [B]) per batch."""
+        self._callback = callback
+        self._buffer = bytearray()
+        self._inner: FpvtReader | None = None
+        self._header: Header | None = None
+        self._pos = 0
+
+    def decode(self, data: bytes) -> None:
+        import struct
+
+        self._buffer += data
+        buf = self._buffer
+        if self._inner is None:
+            if len(buf) < fpvt.HEADER_SIZE + 9:
+                return
+            header = Header.parse(bytes(buf[: fpvt.HEADER_SIZE]))
+            (dsize,) = struct.unpack_from("<Q", buf, fpvt.HEADER_SIZE)
+            if len(buf) < fpvt.HEADER_SIZE + dsize:
+                return
+            self._header = header
+            self._inner = FpvtReader.__new__(FpvtReader)
+            self._inner._data = b""
+            self._inner.header = header
+            dflags, dh_stream, dl_stream = fpvt.parse_delta_section(
+                bytes(buf), fpvt.HEADER_SIZE
+            )
+            h, w = header.ysize, header.xsize
+            self._inner._delta_high = decode_plane_batch(dh_stream).reshape(h, w)
+            if dl_stream is not None:
+                self._inner._delta_low = decode_plane_batch(dl_stream).reshape(h, w)
+            else:
+                self._inner._delta_low = jnp.zeros((h, w), jnp.uint8)
+            self._pos = fpvt.HEADER_SIZE + dsize
+        import struct as _s
+
+        while len(buf) - self._pos >= 9:
+            size, stype = _s.unpack_from("<QB", buf, self._pos)
+            if stype == fpvt.SECTION_INDEX:
+                return  # footer: end of frames
+            if len(buf) - self._pos < size:
+                return  # incomplete section
+            section = bytes(buf[self._pos : self._pos + size])
+            pb = fpvt.parse_batch_section(section, 0)
+            b = len(pb.frame_flags)
+            h, w = self._header.ysize, self._header.xsize
+            high = self._inner._decode_high(pb, b)
+            if pb.low is not None:
+                low = decode_plane_batch(pb.low).reshape(b, h, w)
+            else:
+                low = jnp.zeros((b, h, w), jnp.uint8)
+            use_delta = jnp.asarray((pb.frame_flags & F_USE_DELTA).astype(bool))
+            imgs = _apply_delta_and_combine(
+                high, low, use_delta,
+                self._inner._delta_high, self._inner._delta_low,
+            )
+            self._callback(np.asarray(imgs), pb.timestamps)
+            self._pos += size
+        # compact consumed bytes
+        if self._pos > 1 << 22:
+            del self._buffer[: self._pos]
+            self._pos = 0
 
 
 def encode_file_fpvt(

@@ -177,6 +177,73 @@ def _expand_payload(
 # ---------------------------------------------------------------------------
 
 
+def encode_planes_batch(
+    planes_and_hists: list,
+    chunk_len: int = DEFAULT_CHUNK_LEN,
+    engine: str | None = None,
+    materialize: bool = True,
+) -> list:
+    """Encode several plane batches with one device sync point.
+
+    ``planes_and_hists`` is a list of (plane [B,S], hist [256]) pairs.  On
+    the pallas engine all rANS kernels are dispatched before any counts are
+    read back, so per-plane RPC latencies overlap; host packaging then runs
+    per plane.
+    """
+    engine = engine or engine_name()
+    if engine != "pallas":
+        return [
+            encode_plane_batch(p, h, chunk_len, engine)
+            for p, h in planes_and_hists
+        ]
+
+    from fpv_tpu.ops import rans_pallas as rp
+
+    dispatched = []
+    for plane, hist in planes_and_hists:
+        b = plane.shape[0]
+        plane = plane.reshape(b, -1)
+        s = plane.shape[1]
+        cpf = -(-s // chunk_len)
+        lens = chunk_lens(b, s, chunk_len)
+        nblocks = len(lens) // BLOCK_LANES
+        freq = normalize_freqs(np.asarray(hist), ensure_all=True)
+        fc, finv, _ = rp.table_arrays(freq)
+        syms = _to_block_symbols(jnp.asarray(plane), cpf, chunk_len, nblocks)
+        lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
+        states_d, words_d, counts_d = rp.encode_pallas(
+            syms, lens_dev, jnp.asarray(fc), jnp.asarray(finv),
+            chunk_len, nblocks,
+        )
+        dispatched.append(
+            (b, s, cpf, nblocks, freq, states_d, words_d, counts_d)
+        )
+
+    out = []
+    for b, s, cpf, nblocks, freq, states_d, words_d, counts_d in dispatched:
+        counts = np.asarray(counts_d).reshape(-1)
+        total = int(counts.sum())
+        cap = _quantize_cap(total, chunk_len, nblocks)
+        rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0,
+                                chunk_len)
+        cum = np.zeros(nblocks + 1, np.int32)
+        cum[1:] = np.cumsum(counts)
+        payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
+        if materialize:
+            payload = np.asarray(payload_d)[:total]
+        else:
+            payload = payload_d  # device handle; caller materializes
+        states = np.asarray(states_d).reshape(-1)[: b * cpf]
+        out.append(
+            PlaneStream(
+                nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+                states=states, block_counts=counts.astype(np.uint32),
+                payload=payload,
+            )
+        )
+    return out
+
+
 def encode_plane_batch(
     plane,
     hist: np.ndarray,
@@ -218,11 +285,11 @@ def encode_plane_batch(
 
     from fpv_tpu.ops import rans_pallas as rp
 
-    fc, mlo, msh, _symtab = rp.table_arrays(freq)
+    fc, finv, _symtab = rp.table_arrays(freq)
     syms = _to_block_symbols(jnp.asarray(plane), cpf, chunk_len, nblocks)
     lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
     states_d, words_d, counts_d = rp.encode_pallas(
-        syms, lens_dev, jnp.asarray(fc), jnp.asarray(mlo), jnp.asarray(msh),
+        syms, lens_dev, jnp.asarray(fc), jnp.asarray(finv),
         chunk_len, nblocks,
     )
     counts = np.asarray(counts_d).reshape(-1)
@@ -270,7 +337,7 @@ def decode_plane_batch(
 
     from fpv_tpu.ops import rans_pallas as rp
 
-    fc, _mlo, _msh, symtab = rp.table_arrays(stream.freq)
+    fc, _finv, symtab = rp.table_arrays(stream.freq)
     rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, k)
     rows_alloc = rows_q + 16  # window headroom
     total = int(counts.sum())

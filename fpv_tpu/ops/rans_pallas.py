@@ -66,6 +66,12 @@ def _lookup256(tab2: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.where(idx < 128, g0, g1)
 
 
+def _lookup256_f32(tab2_bits: jax.Array, idx: jax.Array) -> jax.Array:
+    """256-entry f32 table stored as u32 bit patterns -> f32 values."""
+    bits = _lookup256(tab2_bits, idx)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _lookup_sym(sym_tab: jax.Array, slot: jax.Array) -> jax.Array:
     """slot [8,128] in [0,4096) -> symbol, via 4096 u8s packed in [8,128] u32."""
     word_idx = slot >> 2  # [0, 1024)
@@ -130,12 +136,29 @@ def _mulhi32(a: jax.Array, b: jax.Array) -> jax.Array:
     return ah * bh + (mid1 >> 16) + (mid2 >> 16) + (t >> 16)
 
 
+def _div_by_freq(x: jax.Array, f: jax.Array, inv: jax.Array) -> jax.Array:
+    """Exact x // f via f32 reciprocal + fixup, for x < f << 19.
+
+    The renorm bound keeps quotients < 2^19, so a single-precision estimate
+    ``u32(f32(x) * inv)`` is off by at most 1 (relative error < 3*2^-24 *
+    2^19 < 0.1 plus conversion truncation); two branchless fixups make it
+    exact.  Much cheaper on the VPU than a 32-bit magic-multiplier mulhi.
+    """
+    # route casts through int32 (x < 2^31, q < 2^19; Mosaic has no u32<->f32)
+    xf = x.astype(jnp.int32).astype(jnp.float32)
+    q = (xf * inv).astype(jnp.int32).astype(jnp.uint32)
+    r = x - q * f  # mod-2^32; negative wraps high
+    q = jnp.where(r.astype(jnp.int32) < 0, q - 1, q)
+    r = x - q * f
+    q = jnp.where(r >= f, q + 1, q)
+    return q
+
+
 def _encode_kernel(
     syms_ref,  # [K, 8, 128] i32 (block dim squeezed)
     lens_ref,  # [8, 128] i32
     fc_ref,  # [2, 128] u32: (freq-1) | cum << 12
-    mlo_ref,  # [2, 128] u32 magic low words
-    msh_ref,  # [2, 128] u32: mhi | shift << 2
+    finv_ref,  # [2, 128] f32 per-symbol reciprocals
     states_ref,  # out [8, 128] u32
     words_ref,  # out [Wrows, 128] u32 (one u16 word per element)
     count_ref,  # out [1, 1] i32 (SMEM)
@@ -145,9 +168,10 @@ def _encode_kernel(
     k = chunk_len
     lens = lens_ref[:]
     fc = fc_ref[:]
-    mlo = mlo_ref[:]
-    msh = msh_ref[:]
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_COLS), 1)
+    finv = finv_ref[:]
+    win_rows = 2 * BLOCK_ROWS  # 16-row aligned RMW window
+    wrow_id = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 0)
+    wlane = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 1)
 
     def step(t, carry):
         x, ptr = carry
@@ -156,35 +180,38 @@ def _encode_kernel(
         e = _lookup256(fc, sym)
         f = (e & 0xFFF) + 1
         cum = e >> PROB_BITS
-        ml = _lookup256(mlo, sym)
-        ms = _lookup256(msh, sym)
-        mh = ms & 3
-        sh = ms >> 2
+        inv = _lookup256_f32(finv, sym)
         active = j < lens
         emit = active & (x >= (f << RENORM_SHIFT))
         word = x & 0xFFFF
         x2 = jnp.where(emit, x >> 16, x)
-        q = (x2 * mh + _mulhi32(x2, ml)) >> sh
+        q = _div_by_freq(x2, f, inv)
         xn = (q << PROB_BITS) + (x2 - q * f) + cum
         x = jnp.where(active, xn, x)
 
-        # pack this step's emitted words and append at ptr (row-major order)
+        # pack this step's emitted words and append at ptr (row-major order):
+        # one aligned 16-row read-modify-write window per step; row segments
+        # are placed into window registers with rolls + row selects.
         incl = _row_cumsum(emit.astype(jnp.int32))
         packed = _pack_rows(word, incl)
-        off = ptr
+        al = (ptr >> 7) & ~7  # 8-row-aligned window base row
+        al = pl.multiple_of(al, 8)
+        win = words_ref[pl.ds(al, win_rows), :]
+        off = ptr - al * BLOCK_COLS  # word offset inside the window [0, 1024)
         for r in range(BLOCK_ROWS):
             cnt_r = jnp.sum(incl[r : r + 1, BLOCK_COLS - 1 :])
-            rot = pltpu.roll(packed[r : r + 1], off & 127, 1)
-            row0 = off >> 7
             shift = off & 127
-            m0 = (lane1 >= shift) & (lane1 < shift + cnt_r)
-            cur0 = words_ref[pl.ds(row0, 1), :]
-            words_ref[pl.ds(row0, 1), :] = jnp.where(m0, rot, cur0)
-            m1 = lane1 < (shift + cnt_r - BLOCK_COLS)
-            cur1 = words_ref[pl.ds(row0 + 1, 1), :]
-            words_ref[pl.ds(row0 + 1, 1), :] = jnp.where(m1, rot, cur1)
+            rot = jnp.broadcast_to(
+                pltpu.roll(packed[r : r + 1], shift, 1),
+                (win_rows, BLOCK_COLS),
+            )
+            d0 = off >> 7
+            m0 = (wrow_id == d0) & (wlane >= shift) & (wlane < shift + cnt_r)
+            m1 = (wrow_id == d0 + 1) & (wlane < shift + cnt_r - BLOCK_COLS)
+            win = jnp.where(m0 | m1, rot, win)
             off = off + cnt_r
-        return x, off
+        words_ref[pl.ds(al, win_rows), :] = win
+        return x, al * BLOCK_COLS + off
 
     x0 = jnp.full((BLOCK_ROWS, BLOCK_COLS), RANS_L, dtype=jnp.uint32)
     x, total = jax.lax.fori_loop(0, k, step, (x0, jnp.int32(0)))
@@ -248,24 +275,24 @@ def _decode_kernel(
 
 
 def table_arrays(freq: np.ndarray):
-    """Host-side packed tables: (fc [2,128], mlo [2,128], msh [2,128],
-    sym_packed [8,128]) as numpy u32."""
-    from fpv_tpu.utils.magic import magic_tables
+    """Host-side packed tables: (fc [2,128] u32, finv_bits [2,128] u32,
+    sym_packed [8,128] u32).
 
+    ``finv_bits`` are the f32 bit patterns of 1/freq (round-to-nearest),
+    used by the encode kernel's exact reciprocal division.
+    """
     freq = np.asarray(freq, dtype=np.uint32)
     cum = np.zeros(256, dtype=np.uint32)
     cum[1:] = np.cumsum(freq)[:-1]
     fc = ((np.maximum(freq, 1) - 1) & 0xFFF) | (cum << PROB_BITS)
-    m_hi, m_lo, post = magic_tables(np.maximum(freq, 1))
-    msh = (m_hi & 3) | (post << 2)
+    finv = (1.0 / np.maximum(freq, 1).astype(np.float32)).astype(np.float32)
     sym_of_slot = np.repeat(np.arange(256, dtype=np.uint32), freq.astype(np.int64))
     packed = np.zeros(PROB_SCALE // 4, dtype=np.uint32)
     for b in range(4):
         packed |= sym_of_slot[b::4] << np.uint32(8 * b)
     return (
         fc.reshape(2, 128).astype(np.uint32),
-        m_lo.astype(np.uint32).reshape(2, 128),
-        msh.astype(np.uint32).reshape(2, 128),
+        finv.view(np.uint32).reshape(2, 128),
         packed.reshape(BLOCK_ROWS, BLOCK_COLS),
     )
 
@@ -280,8 +307,7 @@ def encode_pallas(
     syms: jax.Array,  # [nblocks, K, 8, 128] i32
     lens: jax.Array,  # [nblocks, 8, 128] i32
     fc: jax.Array,
-    mlo: jax.Array,
-    msh: jax.Array,
+    finv_bits: jax.Array,
     chunk_len: int,
     nblocks: int,
     interpret: bool = False,
@@ -301,7 +327,6 @@ def encode_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
@@ -317,7 +342,7 @@ def encode_pallas(
             jax.ShapeDtypeStruct((nblocks, 1, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(syms, lens, fc, mlo, msh)
+    )(syms, lens, fc, finv_bits)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks", "interpret"))

@@ -108,3 +108,39 @@ def test_fpvt_prefix_decodable_without_footer():
     pos += size
     pb = fpvt.parse_batch_section(prefix, pos)
     assert len(pb.frame_flags) == 3
+
+
+def test_fpvt_streaming_reader():
+    """Chunked feed through the FPVT streaming reader, including truncation."""
+    from fpv_tpu.api.fpvt_codec import FpvtStreamingReader
+
+    frames = testdata.plasma_frames(6, 32, 32)
+    data = encode_file_fpvt(frames, frames_per_batch=3, chunk_log2=8)
+    got_frames, got_ts = [], []
+
+    def cb(imgs, ts):
+        got_frames.append(imgs)
+        got_ts.append(ts)
+
+    r = FpvtStreamingReader(cb)
+    for pos in range(0, len(data), 113):
+        r.decode(data[pos : pos + 113])
+    out = np.concatenate(got_frames)
+    np.testing.assert_array_equal(out, frames)
+
+    # truncated: cut inside the second batch -> only first batch delivered
+    import struct
+
+    pos = 32
+    sections = []
+    while pos + 9 <= len(data):
+        size, stype = struct.unpack_from("<QB", data, pos)
+        sections.append((pos, size, stype))
+        pos += size
+    batch_secs = [s for s in sections if s[2] == 0]
+    cut = batch_secs[1][0] + 20
+    got_frames.clear()
+    r2 = FpvtStreamingReader(cb)
+    r2.decode(data[:cut])
+    assert len(got_frames) == 1
+    np.testing.assert_array_equal(got_frames[0], frames[:3])

@@ -121,7 +121,7 @@ def test_pallas_kernels_match_numpy_engine():
 
     states, counts, payload = rn.encode_blocks(symbols, lens, freq)
 
-    fc, mlo, msh, symtab = rp.table_arrays(freq)
+    fc, finv, symtab = rp.table_arrays(freq)
     syms_dev = jnp.asarray(
         symbols.astype(np.int32)
         .reshape(nblocks, BLOCK_LANES, K)
@@ -130,7 +130,7 @@ def test_pallas_kernels_match_numpy_engine():
     )
     lens_dev = jnp.asarray(lens.reshape(nblocks, 8, 128))
     st, words, cnts = rp.encode_pallas(
-        syms_dev, lens_dev, jnp.asarray(fc), jnp.asarray(mlo), jnp.asarray(msh),
+        syms_dev, lens_dev, jnp.asarray(fc), jnp.asarray(finv),
         K, nblocks, interpret=True,
     )
     cn = np.asarray(cnts).reshape(-1)
