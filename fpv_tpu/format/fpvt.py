@@ -63,12 +63,21 @@ class Header:
 
     @classmethod
     def parse(cls, data: bytes) -> "Header":
+        if len(data) < HEADER_SIZE:
+            raise ValueError("data too small for FPVT header")
         (magic, version, profile, flags, xsize, ysize, shift, chunk_log2, _r,
          fpb, _r2) = struct.unpack_from("<4sBBHIIBBHIQ", data, 0)
         if magic != MAGIC:
             raise ValueError("not an FPVT file")
         if version != VERSION:
             raise ValueError(f"unsupported FPVT version {version}")
+        # OOM guards, mirroring the reference (fusion_power_video.cc:891-895)
+        if not (0 < xsize <= 65536 and 0 < ysize <= 65536):
+            raise ValueError("invalid image dimensions")
+        if xsize * ysize > 1_000_000_000:
+            raise ValueError("image too large")
+        if shift > 16 or not (4 <= chunk_log2 <= 16):
+            raise ValueError("invalid header parameters")
         return cls(
             xsize=xsize,
             ysize=ysize,

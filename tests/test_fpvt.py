@@ -144,3 +144,20 @@ def test_fpvt_streaming_reader():
     r2.decode(data[:cut])
     assert len(got_frames) == 1
     np.testing.assert_array_equal(got_frames[0], frames[:3])
+
+
+def test_fpvt_malformed_inputs_rejected():
+    import struct as _s
+
+    with pytest.raises(ValueError):
+        FpvtReader(b"NOPE" + b"\0" * 60)
+    with pytest.raises(ValueError):
+        fpvt.Header.parse(b"FPVT" + b"\0" * 10)  # too small
+    # oversized dims
+    bad = _s.pack("<4sBBHIIBBHIQ", b"FPVT", 1, 1, 0, 70000, 70000, 0, 9, 0, 16, 0)
+    with pytest.raises(ValueError):
+        fpvt.Header.parse(bad)
+    # valid header but garbage body
+    good = fpvt.Header(xsize=32, ysize=32).serialize()
+    with pytest.raises(Exception):
+        FpvtReader(good + b"\0" * 64)
