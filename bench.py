@@ -169,20 +169,21 @@ def main() -> None:
     jax.block_until_ready(imgs_dev)
     chunk_len = 1 << w0.header.chunk_log2
 
+    from fpv_tpu.api.fpvt_codec import fused_encode_batch, _small_layout
+
+    lay = _small_layout(BATCH, H, W, chunk_len)
+
     def encode_device_batch():
-        m = encode_model_step(imgs_dev, w0._delta_high, w0._delta_low, SHIFT, False)
-        streams = pc.encode_planes_batch(
-            [
-                (m["high"].reshape(BATCH, -1), np.asarray(m["hist_high"])),
-                (m["low"].reshape(BATCH, -1), np.asarray(m["hist_low"])),
-                (m["preview"].reshape(BATCH, -1), np.asarray(m["hist_preview"])),
-            ],
-            chunk_len,
-            materialize=False,
+        small, ph, pl2, pp = fused_encode_batch(
+            imgs_dev, w0._delta_high, w0._delta_low, SHIFT, False, chunk_len
         )
-        import jax as _jax
-        _jax.block_until_ready([st.payload for st in streams])
-        return sum(int(st.block_counts.sum()) * 2 for st in streams)
+        small_np = np.asarray(small)  # the single per-batch host sync
+        jax.block_until_ready((ph, pl2, pp))
+        total = 0
+        for name in ("high", "low", "preview"):
+            lo, hi = lay[f"counts_{name}"]
+            total += int(small_np[lo:hi].sum()) * 2
+        return total
 
     encode_device_batch()  # warmup
     times = []

@@ -55,6 +55,14 @@ _DECISION_STRIDE = 16  # sampling stride for predictor decisions
 _HIST_STRIDE = 16  # sampling stride for rANS table histograms
 
 
+def _sample_rows(plane: jax.Array, stride: int) -> jax.Array:
+    """Row-strided sample of a [B, H, W] plane — contiguous reads (TPU-cheap),
+    spatially representative enough for decisions and table histograms."""
+    if plane.ndim == 2:
+        return plane[:, ::stride]
+    return plane[:, ::stride, :]
+
+
 def _residual_cost(plane: jax.Array) -> jax.Array:
     """Per-frame predictor-choice proxy: sum of |signed residual| on samples.
 
@@ -63,19 +71,19 @@ def _residual_cost(plane: jax.Array) -> jax.Array:
     comparison would — with pure elementwise ops (no on-device scatters).
     """
     b = plane.shape[0]
-    s = plane.reshape(b, -1)[:, ::_DECISION_STRIDE].astype(jnp.int32)
+    s = _sample_rows(plane, _DECISION_STRIDE).reshape(b, -1).astype(jnp.int32)
     mag = jnp.minimum(s, 256 - s)  # wraparound distance of the mod-256 residual
     return jnp.sum(mag, axis=1)
 
 
 def _batch_hist(plane: jax.Array) -> jax.Array:
-    """[256] int32 stride-sampled histogram over the whole batch.
+    """[256] int32 row-sampled histogram over the whole batch.
 
     Sampled (not exact) — tables built from it must use
     ``normalize_freqs(..., ensure_all=True)`` so unsampled symbols stay
     encodable.
     """
-    flat = plane.reshape(-1)[::_HIST_STRIDE].astype(jnp.int32)
+    flat = _sample_rows(plane, _HIST_STRIDE).reshape(-1).astype(jnp.int32)
     return jax.ops.segment_sum(
         jnp.ones(flat.shape, jnp.int32), flat, num_segments=256
     )
@@ -165,6 +173,193 @@ def _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low):
     return combine_planes(h, l)
 
 
+# ---------------------------------------------------------------------------
+# fused single-program batch paths (pallas engine): one jit = one device
+# round trip per batch.  Table normalization, all three plane preps, rANS
+# kernel launches and payload compaction happen inside the program, so host
+# RPC latency is paid once, not per phase.
+
+
+def _plane_geometry(b: int, s: int, chunk_len: int):
+    from fpv_tpu.ops.rans_layout import BLOCK_LANES, chunk_lens
+
+    cpf = -(-s // chunk_len)
+    lens = chunk_lens(b, s, chunk_len)
+    nblocks = len(lens) // BLOCK_LANES
+    return cpf, lens, nblocks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shift", "big_endian", "chunk_len", "use_delta_frame"),
+)
+def fused_encode_batch(
+    imgs: jax.Array,
+    delta_high: jax.Array,
+    delta_low: jax.Array,
+    shift: int,
+    big_endian: bool,
+    chunk_len: int,
+    use_delta_frame: bool = True,
+):
+    """Whole-batch FPVT encode as ONE device program.
+
+    Returns (small u32 [L], payload_high u16, payload_low u16, payload_pv
+    u16).  ``small`` packs, in order: use_delta, spatial, pv_spatial,
+    nonzero_low (B each), then per plane (high, low, preview): freq[256],
+    block counts, chunk states.  Payload buffers are worst-case-sized;
+    their true lengths are the per-plane count sums.
+    """
+    from fpv_tpu.entropy.plane_codec import _to_block_symbols
+    from fpv_tpu.entropy.tables_device import (
+        encode_tables_device,
+        normalize_freqs_device,
+    )
+    from fpv_tpu.ops import rans_pallas as rp
+    from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_ROWS
+
+    m = encode_model_step(
+        imgs, delta_high, delta_low, shift, big_endian, use_delta_frame
+    )
+    b = imgs.shape[0]
+    small = [
+        m["use_delta"].astype(jnp.uint32),
+        m["spatial"].astype(jnp.uint32),
+        m["pv_spatial"].astype(jnp.uint32),
+        m["nonzero_low"].astype(jnp.uint32),
+    ]
+    payloads = []
+    for name in ("high", "low", "preview"):
+        plane = m[name].reshape(b, -1)
+        s = plane.shape[1]
+        cpf, lens, nblocks = _plane_geometry(b, s, chunk_len)
+        freq = normalize_freqs_device(m[f"hist_{name}"])
+        fc, finv = encode_tables_device(freq)
+        syms = _to_block_symbols(plane, cpf, chunk_len, nblocks)
+        lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
+        states, words, counts = rp.encode_pallas(
+            syms, lens_dev, fc, finv, chunk_len, nblocks
+        )
+        counts_flat = counts.reshape(-1).astype(jnp.uint32)
+        cum = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_flat).astype(jnp.int32)]
+        )
+        wrows = words.shape[1]
+        win = wrows * BLOCK_COLS
+        flat16 = words.astype(jnp.uint16).reshape(nblocks, win)
+        out = jnp.zeros(nblocks * win + win, jnp.uint16)
+        for mb in range(nblocks):
+            out = jax.lax.dynamic_update_slice(out, flat16[mb], (cum[mb],))
+        payloads.append(out[: nblocks * win])
+        small.append(freq)
+        small.append(counts_flat)
+        small.append(states.reshape(-1)[: b * cpf])
+    return (jnp.concatenate(small), *payloads)
+
+
+def _small_layout(b: int, h: int, w: int, chunk_len: int):
+    """Offsets into fused_encode_batch's ``small`` vector."""
+    sizes = [b, b, b, b]
+    names = ["use_delta", "spatial", "pv_spatial", "nonzero_low"]
+    for name, s in (("high", h * w), ("low", h * w), ("preview", (h // 4) * (w // 4))):
+        cpf, _lens, nblocks = _plane_geometry(b, s, chunk_len)
+        sizes += [256, nblocks, b * cpf]
+        names += [f"freq_{name}", f"counts_{name}", f"states_{name}"]
+    offs = np.cumsum([0] + sizes)
+    return {n: (int(offs[i]), int(offs[i + 1])) for i, n in enumerate(names)}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
+                     "pv_any_up", "pv_any_cg", "decode_preview"),
+)
+def fused_decode_batch(
+    payload: jax.Array,  # u16, all planes concatenated (+clamp-safe)
+    plane_offs: jax.Array,  # i32 [3] start of each plane's payload
+    counts: jax.Array,  # u32 concatenated per plane
+    states: jax.Array,  # u32 concatenated per plane
+    flags: jax.Array,  # u32 [B] frame flags
+    sym_tabs: jax.Array,  # u32 [3, 8, 128]
+    fcs: jax.Array,  # u32 [3, 2, 128]
+    delta_high: jax.Array,
+    delta_low: jax.Array,
+    chunk_len: int,
+    b: int,
+    h: int,
+    w: int,
+    any_up: bool,
+    any_cg: bool,
+    pv_any_up: bool,
+    pv_any_cg: bool,
+    decode_preview: bool = False,
+):
+    """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok)."""
+    from fpv_tpu.ops import rans_pallas as rp
+    from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_LANES, BLOCK_ROWS, RANS_L
+    from fpv_tpu.entropy.plane_codec import _from_block_symbols
+
+    geoms = []
+    for s in (h * w, h * w, (h // 4) * (w // 4)):
+        geoms.append((s, *_plane_geometry(b, s, chunk_len)))
+
+    planes = []
+    oks = []
+    coff = 0
+    soff = 0
+    for pi, (s, cpf, lens, nblocks) in enumerate(geoms):
+        if pi == 2 and not decode_preview:
+            planes.append(None)
+            continue
+        c = b * cpf
+        c_pad = nblocks * BLOCK_LANES
+        cnt = counts[coff : coff + nblocks].astype(jnp.int32)
+        st = states[soff : soff + c]
+        st_pad = jnp.concatenate(
+            [st, jnp.full(c_pad - c, RANS_L, jnp.uint32)]
+        ) if c_pad > c else st
+        coff += nblocks
+        soff += c
+        cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
+        wrows = rp.words_rows(chunk_len)
+        win = wrows * BLOCK_COLS
+        base = plane_offs[pi]
+        blocks = [
+            jax.lax.dynamic_slice(payload, (base + cum[mb],), (win,))
+            for mb in range(nblocks)
+        ]
+        words = jnp.stack(blocks).astype(jnp.uint32).reshape(
+            nblocks, wrows, BLOCK_COLS
+        )
+        lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
+        syms, ok = rp.decode_pallas(
+            cnt.reshape(nblocks, 1, 1),
+            st_pad.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS),
+            lens_dev,
+            sym_tabs[pi],
+            fcs[pi],
+            words,
+            chunk_len,
+            nblocks,
+        )
+        planes.append(_from_block_symbols(syms, b, s, cpf, chunk_len))
+        oks.append(jnp.all(ok == 1))
+
+    high = planes[0].reshape(b, h, w)
+    low = planes[1].reshape(b, h, w)
+    spatial = ((flags >> F_SPATIAL_SHIFT) & 3).astype(jnp.int32)
+    high = _inverse_spatial(high, spatial, any_up, any_cg)
+    use_delta = (flags & F_USE_DELTA) != 0
+    imgs = _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low)
+    ok_all = jnp.all(jnp.stack(oks))
+    if decode_preview:
+        pv = planes[2].reshape(b, h // 4, w // 4)
+        pv_spatial = ((flags >> F_PV_SPATIAL_SHIFT) & 3).astype(jnp.int32)
+        pv = _inverse_spatial(pv, pv_spatial, pv_any_up, pv_any_cg)
+        return imgs, ok_all, pv
+    return imgs, ok_all
+
+
 class FpvtWriter:
     """Streaming FPVT file writer: init -> encode_batch* -> finish."""
 
@@ -228,38 +423,98 @@ class FpvtWriter:
         :meth:`add_batch`."""
         if self._delta_high is None:
             raise RuntimeError("init() must be called first")
+        from fpv_tpu.entropy.plane_codec import engine_name
+
         imgs = jnp.asarray(np.asarray(imgs, dtype=np.uint16))
         b = imgs.shape[0]
-        m = encode_model_step(
+        if engine_name() == "pallas":
+            flags, streams = self._encode_batch_fused(imgs, b)
+            hs, ls, pvs = streams
+        else:
+            m = encode_model_step(
+                imgs,
+                self._delta_high,
+                self._delta_low,
+                self.header.shift,
+                self.header.big_endian,
+            )
+            from fpv_tpu.entropy.plane_codec import encode_planes_batch
+
+            hs, ls, pvs = encode_planes_batch(
+                [
+                    (m["high"].reshape(b, -1), np.asarray(m["hist_high"])),
+                    (m["low"].reshape(b, -1), np.asarray(m["hist_low"])),
+                    (m["preview"].reshape(b, -1), np.asarray(m["hist_preview"])),
+                ],
+                self._chunk_len,
+            )
+            flags = self._pack_flags(
+                np.asarray(m["use_delta"]),
+                np.asarray(m["spatial"]),
+                np.asarray(m["pv_spatial"]),
+                np.asarray(m["nonzero_low"]),
+            )
+        if timestamps is None:
+            timestamps = np.full(b, -1, dtype=np.int64)
+        return fpvt.serialize_batch_section(flags, timestamps, hs, ls, pvs)
+
+    @staticmethod
+    def _pack_flags(use_delta, spatial, pv_spatial, nonzero_low) -> np.ndarray:
+        return (
+            use_delta.astype(np.uint8) * F_USE_DELTA
+            | (spatial.astype(np.uint8) << F_SPATIAL_SHIFT)
+            | (~nonzero_low.astype(bool)).astype(np.uint8) * F_NO_LOW
+            | (pv_spatial.astype(np.uint8) << F_PV_SPATIAL_SHIFT)
+        )
+
+    def _encode_batch_fused(self, imgs: jax.Array, b: int):
+        """One-jit encode; single small sync + bucketed payload pulls."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from fpv_tpu.entropy.plane_codec import PlaneStream, _quantize_cap
+
+        h, w = self.header.ysize, self.header.xsize
+        small_d, pay_h, pay_l, pay_p = fused_encode_batch(
             imgs,
             self._delta_high,
             self._delta_low,
             self.header.shift,
             self.header.big_endian,
-        )
-        from fpv_tpu.entropy.plane_codec import encode_planes_batch
-
-        hs, ls, pvs = encode_planes_batch(
-            [
-                (m["high"].reshape(b, -1), np.asarray(m["hist_high"])),
-                (m["low"].reshape(b, -1), np.asarray(m["hist_low"])),
-                (m["preview"].reshape(b, -1), np.asarray(m["hist_preview"])),
-            ],
             self._chunk_len,
         )
-        use_delta = np.asarray(m["use_delta"])
-        spatial = np.asarray(m["spatial"])
-        pv_spatial = np.asarray(m["pv_spatial"])
-        nonzero_low = np.asarray(m["nonzero_low"])
-        flags = (
-            use_delta.astype(np.uint8) * F_USE_DELTA
-            | (spatial.astype(np.uint8) << F_SPATIAL_SHIFT)
-            | (~nonzero_low).astype(np.uint8) * F_NO_LOW
-            | (pv_spatial.astype(np.uint8) << F_PV_SPATIAL_SHIFT)
+        small = np.asarray(small_d)
+        lay = _small_layout(b, h, w, self._chunk_len)
+
+        def seg(name):
+            lo, hi = lay[name]
+            return small[lo:hi]
+
+        flags = self._pack_flags(
+            seg("use_delta"), seg("spatial"), seg("pv_spatial"),
+            seg("nonzero_low"),
         )
-        if timestamps is None:
-            timestamps = np.full(b, -1, dtype=np.int64)
-        return fpvt.serialize_batch_section(flags, timestamps, hs, ls, pvs)
+
+        def package(name, pay_dev, s):
+            freq = seg(f"freq_{name}").astype(np.uint16)
+            counts = seg(f"counts_{name}").astype(np.uint32)
+            states = seg(f"states_{name}").astype(np.uint32)
+            total = int(counts.sum())
+            nblocks = len(counts)
+            cap = _quantize_cap(total, self._chunk_len, nblocks)
+            payload = np.asarray(pay_dev[: min(cap, pay_dev.shape[0])])[:total]
+            return PlaneStream(
+                nframes=b, plane_size=s, chunk_len=self._chunk_len, freq=freq,
+                states=states, block_counts=counts, payload=payload,
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(package, "high", pay_h, h * w),
+                pool.submit(package, "low", pay_l, h * w),
+                pool.submit(package, "preview", pay_p, (h // 4) * (w // 4)),
+            ]
+            hs, ls, pvs = (f.result() for f in futs)
+        return flags, (hs, ls, pvs)
 
     def add_batch(self, section: bytes, nframes: int) -> bytes:
         """Record a section produced by :meth:`encode_batch_bytes` as the
@@ -323,8 +578,12 @@ class FpvtReader:
 
     def decode_batch(self, index: int) -> np.ndarray:
         """Decode batch ``index`` -> [B, H, W] uint16 (left-aligned values)."""
+        from fpv_tpu.entropy.plane_codec import engine_name
+
         off, b = self._batches[index]
         pb = fpvt.parse_batch_section(self._data, off)
+        if engine_name() == "pallas" and pb.low is not None:
+            return self._decode_batch_fused(pb, b)
         h, w = self.header.ysize, self.header.xsize
         high = self._decode_high(pb, b)
         if pb.low is not None:
@@ -336,6 +595,59 @@ class FpvtReader:
             high, low, use_delta, self._delta_high, self._delta_low
         )
         return np.asarray(imgs)
+
+    def _decode_batch_fused(self, pb: fpvt.ParsedBatch, b: int) -> np.ndarray:
+        """One-jit decode: single upload + dispatch + frame pull."""
+        from fpv_tpu.entropy.plane_codec import _quantize_cap
+        from fpv_tpu.ops import rans_pallas as rp
+        from fpv_tpu.ops.rans_layout import BLOCK_COLS
+
+        h, w = self.header.ysize, self.header.xsize
+        k = 1 << self.header.chunk_log2
+        streams = [pb.high, pb.low, pb.preview]
+        win = rp.words_rows(k) * BLOCK_COLS
+        plane_offs = np.zeros(3, np.int32)
+        parts = []
+        pos = 0
+        for i, st in enumerate(streams):
+            plane_offs[i] = pos
+            parts.append(st.payload)
+            pos += st.payload.size
+        # slack so in-program window slices never clamp (clamping would shift
+        # the last blocks' word reads)
+        cap = _quantize_cap(pos + win, k, sum(s.num_blocks for s in streams))
+        payload = np.zeros(cap + win, np.uint16)
+        payload[:pos] = np.concatenate(parts) if parts else payload[:0]
+        counts = np.concatenate([s.block_counts for s in streams]).astype(np.uint32)
+        states = np.concatenate([s.states for s in streams]).astype(np.uint32)
+        tabs = [rp.table_arrays(s.freq) for s in streams]
+        fcs = np.stack([t[0] for t in tabs])
+        sym_tabs = np.stack([t[2] for t in tabs])
+        flags = pb.frame_flags.astype(np.uint32)
+        spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
+        imgs, ok = fused_decode_batch(
+            jnp.asarray(payload),
+            jnp.asarray(plane_offs),
+            jnp.asarray(counts),
+            jnp.asarray(states),
+            jnp.asarray(flags),
+            jnp.asarray(sym_tabs),
+            jnp.asarray(fcs),
+            self._delta_high,
+            self._delta_low,
+            chunk_len=k,
+            b=b,
+            h=h,
+            w=w,
+            any_up=bool((spatial == SPATIAL_UP).any()),
+            any_cg=bool((spatial == SPATIAL_CG2D).any()),
+            pv_any_up=False,
+            pv_any_cg=False,
+        )
+        imgs_np = np.asarray(imgs)
+        if not bool(np.asarray(ok)):
+            raise ValueError("rANS stream integrity check failed")
+        return imgs_np
 
     def decode_frame(self, index: int) -> np.ndarray:
         """Decode one frame (decodes + caches its containing batch)."""

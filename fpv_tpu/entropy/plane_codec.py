@@ -219,9 +219,17 @@ def encode_planes_batch(
             (b, s, cpf, nblocks, freq, states_d, words_d, counts_d)
         )
 
+    # one fused counts readback for all planes (single device sync)
+    all_counts = np.asarray(
+        jnp.concatenate([d[7].reshape(-1) for d in dispatched])
+    )
+    offs = np.cumsum([0] + [d[3] for d in dispatched])
+
     out = []
-    for b, s, cpf, nblocks, freq, states_d, words_d, counts_d in dispatched:
-        counts = np.asarray(counts_d).reshape(-1)
+    for i, (b, s, cpf, nblocks, freq, states_d, words_d, counts_d) in enumerate(
+        dispatched
+    ):
+        counts = all_counts[offs[i] : offs[i + 1]]
         total = int(counts.sum())
         cap = _quantize_cap(total, chunk_len, nblocks)
         rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0,

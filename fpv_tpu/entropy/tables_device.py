@@ -1,0 +1,58 @@
+"""On-device rANS table construction (for fully-fused encode programs).
+
+The fused encode jit cannot round-trip histograms to the host, so frequency
+normalization runs on device.  The resulting table is written into the
+container verbatim, so host/device normalizers never need to agree — any
+valid table (sum == 4096, all symbols >= 1) decodes correctly.
+
+Scheme: ``freq = 1 + largest_remainder(hist, PROB_SCALE - 256)`` — every
+symbol gets a floor of 1 (guaranteeing sampled-histogram encodability) and
+the remaining 3840 units are apportioned proportionally with deterministic
+largest-remainder rounding (ties by symbol index).  f32 rounding slack is
+absorbed by allowing up to two +1 rounds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fpv_tpu.entropy.tables import PROB_BITS, PROB_SCALE
+
+
+def normalize_freqs_device(hist: jax.Array) -> jax.Array:
+    """[256] int histogram -> [256] u32 freq table (sum PROB_SCALE, min 1)."""
+    h = hist.astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(h), 1.0)
+    scale = jnp.float32(PROB_SCALE - 256)
+    ideal = h * (scale / total)
+    # bias down so f32 rounding can't push floor above the exact value
+    base = jnp.floor(ideal * (1.0 - 1e-6)).astype(jnp.int32)
+    base = jnp.maximum(base, 0)
+    rem = ideal - base.astype(jnp.float32)
+    d = (PROB_SCALE - 256) - jnp.sum(base)
+    # rank symbols by remainder, ties by index (lower index first)
+    key = rem * 512.0 - jnp.arange(256, dtype=jnp.float32) / 256.0
+    order = jnp.argsort(-key)
+    rank = jnp.zeros(256, jnp.int32).at[order].set(
+        jnp.arange(256, dtype=jnp.int32)
+    )
+    extra = (rank < d).astype(jnp.int32) + (rank < d - 256).astype(jnp.int32)
+    freq = 1 + base + extra
+    # exact-sum safety net: absorb any residual rounding slack into the
+    # largest bin (always big enough to take a few +/-1 units)
+    resid = PROB_SCALE - jnp.sum(freq)
+    amax = jnp.argmax(freq)
+    freq = freq.at[amax].add(resid)
+    return freq.astype(jnp.uint32)
+
+
+def encode_tables_device(freq: jax.Array):
+    """freq u32 [256] -> (fc [2,128] u32, finv_bits [2,128] u32) on device."""
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32), jnp.cumsum(freq)[:-1].astype(jnp.uint32)]
+    )
+    fc = ((freq - 1) & 0xFFF) | (cum << PROB_BITS)
+    finv = 1.0 / freq.astype(jnp.float32)
+    finv_bits = jax.lax.bitcast_convert_type(finv, jnp.uint32)
+    return fc.reshape(2, 128), finv_bits.reshape(2, 128)
