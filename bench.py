@@ -28,8 +28,8 @@ REFBIN = REPO / ".refbin" / "ref_benchmark"
 RECORDED_BASELINE_MPS = 43.98  # ref_benchmark, this box, 32x1024x1024 12-bit
 
 # benchmark configuration (mirrors the BASELINE.json corpus shape)
-FRAMES, H, W, BITS, SHIFT = 32, 1024, 1024, 12, 4
-BATCH = 16
+FRAMES, H, W, BITS, SHIFT = 64, 1024, 1024, 12, 4
+BATCH = 32
 
 
 def log(*args):
@@ -193,10 +193,61 @@ def main() -> None:
         times.append(time.time() - t0)
     dev_enc = BATCH * H * W / 1e6 / min(times)
 
+    # ---- device-resident decode: compressed stream pre-staged in HBM-side
+    # buffers, frames left in HBM.
+    from fpv_tpu.api.fpvt_codec import FpvtReader, fused_decode_batch
+    from fpv_tpu.format import fpvt as _fpvt
+    from fpv_tpu.format.fpvt import F_SPATIAL_SHIFT, SPATIAL_UP, SPATIAL_CG2D
+    from fpv_tpu.ops import rans_pallas as _rp
+    from fpv_tpu.ops.rans_layout import BLOCK_COLS as _BC
+
+    rdr = FpvtReader(data)
+    off0, b0 = rdr._batches[0]
+    pb = _fpvt.parse_batch_section(data, off0)
+    streams = [pb.high, pb.low, pb.preview]
+    win = _rp.words_rows(chunk_len) * _BC
+    parts, plane_offs, pos = [], np.zeros(3, np.int32), 0
+    for i, st in enumerate(streams):
+        plane_offs[i] = pos
+        parts.append(st.payload)
+        pos += st.payload.size
+    payload = np.zeros(pos + win, np.uint16)
+    payload[:pos] = np.concatenate(parts)
+    counts = np.concatenate([st.block_counts for st in streams]).astype(np.uint32)
+    states = np.concatenate([st.states for st in streams]).astype(np.uint32)
+    tabs = [_rp.table_arrays(st.freq) for st in streams]
+    fcs = jnp.asarray(np.stack([t[0] for t in tabs]))
+    sym_tabs = jnp.asarray(np.stack([t[2] for t in tabs]))
+    spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
+    dec_args = (
+        jnp.asarray(payload), jnp.asarray(plane_offs), jnp.asarray(counts),
+        jnp.asarray(states), jnp.asarray(pb.frame_flags.astype(np.uint32)),
+        sym_tabs, fcs, rdr._delta_high, rdr._delta_low,
+    )
+    jax.block_until_ready(dec_args)
+    dec_kw = dict(chunk_len=chunk_len, b=b0, h=H, w=W,
+                  any_up=bool((spatial == SPATIAL_UP).any()),
+                  any_cg=bool((spatial == SPATIAL_CG2D).any()),
+                  pv_any_up=False, pv_any_cg=False)
+
+    def decode_device_batch():
+        imgs, ok = fused_decode_batch(*dec_args, **dec_kw)
+        return bool(np.asarray(ok))
+
+    assert decode_device_batch()
+    times = []
+    for _ in range(4):
+        t0 = time.time()
+        decode_device_batch()
+        times.append(time.time() - t0)
+    dev_dec = b0 * H * W / 1e6 / min(times)
+    log(f"device-resident decode: {dev_dec:.1f} Mpix/s"
+        f" ({min(times)*1000:.0f} ms / {b0} frames)")
+
     log(f"e2e encode: {e2e_enc:.1f} Mpix/s, e2e decode: {e2e_dec:.1f} Mpix/s"
         " (tunnel link-bound)")
     log(f"device-resident encode: {dev_enc:.1f} Mpix/s"
-        f" ({min(times)*1000:.0f} ms / {BATCH} frames)")
+        f" ({BATCH*H*W/1e6/dev_enc*1000:.0f} ms / {BATCH} frames)")
     log(f"vs reference encode: device {dev_enc/ref_mps:.2f}x, "
         f"e2e {e2e_enc/ref_mps:.2f}x")
 
@@ -207,6 +258,7 @@ def main() -> None:
         "vs_baseline": round(dev_enc / ref_mps, 3),
         "e2e_encode_mpix_s": round(e2e_enc, 2),
         "e2e_decode_mpix_s": round(e2e_dec, 2),
+        "device_decode_mpix_s": round(dev_dec, 2),
         "bits_per_pixel": round(8 * len(data) / npix, 3),
         "lossless_roundtrip": True,
         "baseline_mpix_s": round(ref_mps, 2),
