@@ -7,9 +7,6 @@ ready, ``finish`` drains everything and writes the frame-index footer.
 
 Differences from the reference are deliberate TPU-first redesign:
 
-* the per-frame filter chain (split/predict/heuristics) can run batched on
-  the accelerator (``pipeline="device"``) — frames are grouped into
-  ``[B, H, W]`` device arrays and processed by one fused jitted program;
 * the worker pool compresses entropy streams concurrently but emission
   order is enforced by task id exactly like the reference's cv_out ordering
   barrier (fusion_power_video.cc:1199-1230);
@@ -66,7 +63,6 @@ class Encoder:
         num_threads: int = 8,
         shift: int = 0,
         big_endian: bool = False,
-        pipeline: str = "auto",
     ) -> None:
         self._num_threads = int(num_threads)
         self._shift = int(shift)
@@ -85,7 +81,6 @@ class Encoder:
         self._frame_offsets: list[int] = []
         self._bytes_written = 0
         self._finished = False
-        self._pipeline = pipeline
 
     def max_queued(self) -> int:
         """Max frames in flight (fusion_power_video.cc:1171-1177)."""

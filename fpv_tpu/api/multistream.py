@@ -1,0 +1,116 @@
+"""Multi-stream serving: many independent camera streams on one accelerator.
+
+The reference binds one encoder instance to one stream and scales by adding
+CPU threads (fusion_power_video.h:175-255).  On a TPU the scaling axis is
+the batch dimension: this hub multiplexes any number of independent streams
+(same frame geometry) onto one chip — each stream keeps its own delta frame,
+flags and FPVT output file, while device programs are shared across streams
+(identical shapes hit the same compiled executable).
+
+Frames are queued per stream; full batches are encoded (pipelined on a
+worker thread, two deep) and delivered to the sink in per-stream order:
+
+    hub = MultiStreamEncoder(1024, 1024, shift=4, sink=write_fn)
+    hub.add_stream("cam0", first_frame0)
+    hub.push_frame("cam0", ts, frame)
+    ...
+    hub.close()          # flushes partial batches + footers
+
+``sink(stream_id, data: bytes)`` receives ordered byte chunks forming each
+stream's valid FPVT file.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from fpv_tpu.api.fpvt_codec import FpvtWriter
+
+
+class MultiStreamEncoder:
+    def __init__(
+        self,
+        xsize: int,
+        ysize: int,
+        shift: int = 0,
+        big_endian: bool = False,
+        frames_per_batch: int = 16,
+        chunk_log2: int = 9,
+        sink=None,
+    ) -> None:
+        self._geom = (xsize, ysize, shift, big_endian, frames_per_batch,
+                      chunk_log2)
+        self._fpb = frames_per_batch
+        self._sink = sink or (lambda sid, data: None)
+        self._writers: dict[str, FpvtWriter] = {}
+        self._pending: dict[str, list] = {}
+        self._queue: queue.Queue = queue.Queue(maxsize=4)  # backpressure
+        self._lock = threading.Lock()
+        self._error: BaseException | None = None
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def add_stream(self, stream_id: str, delta_frame: np.ndarray) -> None:
+        """Register a stream; its first/delta frame defines the prediction
+        base (it is NOT emitted as a frame — push it again if it should be)."""
+        if stream_id in self._writers:
+            raise ValueError(f"stream {stream_id!r} already exists")
+        x, y, shift, be, fpb, cl = self._geom
+        w = FpvtWriter(x, y, shift, be, fpb, cl)
+        header = w.init(delta_frame)
+        with self._lock:
+            self._writers[stream_id] = w
+            self._pending[stream_id] = []
+        self._sink(stream_id, header)
+
+    def push_frame(self, stream_id: str, timestamp: int, frame: np.ndarray) -> None:
+        self._check_error()
+        with self._lock:
+            pend = self._pending[stream_id]
+            pend.append((int(timestamp), np.asarray(frame, np.uint16)))
+            ready = len(pend) >= self._fpb
+            if ready:
+                batch, self._pending[stream_id] = pend, []
+        if ready:
+            self._queue.put((stream_id, batch))  # blocks when 4 batches deep
+
+    def _flush_stream(self, stream_id: str) -> None:
+        with self._lock:
+            batch, self._pending[stream_id] = self._pending[stream_id], []
+        if batch:
+            self._queue.put((stream_id, batch))
+
+    def close(self) -> None:
+        """Flush all partial batches, emit footers, stop the worker."""
+        self._check_error()
+        for sid in list(self._writers):
+            self._flush_stream(sid)
+        self._queue.put(None)
+        self._worker.join(timeout=600)
+        self._check_error()
+        for sid, w in self._writers.items():
+            self._sink(sid, w.finish())
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            sid, batch = item
+            try:
+                w = self._writers[sid]
+                ts = np.array([t for t, _ in batch], np.int64)
+                imgs = np.stack([f for _, f in batch])
+                section = w.encode_batch_bytes(imgs, ts)
+                w.add_batch(section, len(batch))
+                self._sink(sid, section)
+            except BaseException as e:  # pragma: no cover
+                self._error = e
+                return
+
+    def _check_error(self) -> None:
+        if self._error is not None:
+            raise RuntimeError("encoder worker failed") from self._error

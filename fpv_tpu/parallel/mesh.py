@@ -15,6 +15,7 @@ reductions cross shards.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,27 @@ def multichip_dryrun(n_devices: int, h: int = 32, w: int = 32) -> None:
     roundtrip. Designed to run on CPU with
     ``--xla_force_host_platform_device_count=N``.
     """
+    if len(jax.devices()) < n_devices and os.environ.get("FPV_TPU_DRYRUN") != "1":
+        # Not enough devices on the current platform (e.g. a single real TPU
+        # chip, or a backend pre-initialized by site hooks): re-exec in a
+        # clean subprocess with a virtual CPU mesh.
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max(n_devices, 8)}"
+        ).strip()
+        env["FPV_TPU_DRYRUN"] = "1"
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from fpv_tpu.parallel.mesh import multichip_dryrun;"
+            f"multichip_dryrun({n_devices}, {h}, {w})"
+        )
+        subprocess.run([sys.executable, "-c", code], env=env, check=True)
+        return
     mesh = make_mesh(n_devices)
     step = sharded_roundtrip_step(mesh)
     b = max(2 * n_devices, n_devices)  # at least 2 frames per device

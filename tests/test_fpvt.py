@@ -161,3 +161,28 @@ def test_fpvt_malformed_inputs_rejected():
     good = fpvt.Header(xsize=32, ysize=32).serialize()
     with pytest.raises(Exception):
         FpvtReader(good + b"\0" * 64)
+
+
+def test_multistream_encoder():
+    from fpv_tpu.api.multistream import MultiStreamEncoder
+    from fpv_tpu.api.fpvt_codec import decode_file_fpvt
+
+    streams = {
+        "a": testdata.plasma_frames(7, 32, 32, seed=1),
+        "b": testdata.ramp_frames(5, 32, 32),
+        "c": testdata.noise_frames(4, 32, 32),
+    }
+    out: dict[str, list] = {k: [] for k in streams}
+    hub = MultiStreamEncoder(32, 32, frames_per_batch=3, chunk_log2=8,
+                             sink=lambda sid, d: out[sid].append(d))
+    for sid, fr in streams.items():
+        hub.add_stream(sid, fr[0])
+    # interleave pushes across streams
+    for i in range(7):
+        for sid, fr in streams.items():
+            if i < len(fr):
+                hub.push_frame(sid, 1000 + i, fr[i])
+    hub.close()
+    for sid, fr in streams.items():
+        data = b"".join(out[sid])
+        np.testing.assert_array_equal(decode_file_fpvt(data), fr)
