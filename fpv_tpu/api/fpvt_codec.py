@@ -234,11 +234,11 @@ def fused_encode_batch(
         s = plane.shape[1]
         cpf, lens, nblocks = _plane_geometry(b, s, chunk_len)
         freq = normalize_freqs_device(m[f"hist_{name}"])
-        fc, finv = encode_tables_device(freq)
+        fc, _finv = encode_tables_device(freq)
         syms = _to_block_symbols(plane, cpf, chunk_len, nblocks)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         states, words, counts = rp.encode_pallas(
-            syms, lens_dev, fc, finv, chunk_len, nblocks
+            syms, lens_dev, fc, chunk_len, nblocks
         )
         counts_flat = counts.reshape(-1).astype(jnp.uint32)
         cum = jnp.concatenate(

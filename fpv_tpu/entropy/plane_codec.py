@@ -212,8 +212,8 @@ def encode_planes_batch(
         syms = _to_block_symbols(jnp.asarray(plane), cpf, chunk_len, nblocks)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         states_d, words_d, counts_d = rp.encode_pallas(
-            syms, lens_dev, jnp.asarray(fc), jnp.asarray(finv),
-            chunk_len, nblocks,
+            syms, lens_dev, jnp.asarray(fc),
+            chunk_len=chunk_len, nblocks=nblocks,
         )
         dispatched.append(
             (b, s, cpf, nblocks, freq, states_d, words_d, counts_d)
@@ -297,8 +297,8 @@ def encode_plane_batch(
     syms = _to_block_symbols(jnp.asarray(plane), cpf, chunk_len, nblocks)
     lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
     states_d, words_d, counts_d = rp.encode_pallas(
-        syms, lens_dev, jnp.asarray(fc), jnp.asarray(finv),
-        chunk_len, nblocks,
+        syms, lens_dev, jnp.asarray(fc),
+        chunk_len=chunk_len, nblocks=nblocks,
     )
     counts = np.asarray(counts_d).reshape(-1)
     total = int(counts.sum())
@@ -367,8 +367,8 @@ def decode_plane_batch(
         jnp.asarray(symtab),
         jnp.asarray(fc),
         words_d,
-        k,
-        nblocks,
+        chunk_len=k,
+        nblocks=nblocks,
     )
     if check and not bool(jnp.all(ok == 1)):
         raise ValueError("rANS stream integrity check failed")

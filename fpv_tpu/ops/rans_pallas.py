@@ -154,36 +154,39 @@ def _div_by_freq(x: jax.Array, f: jax.Array, inv: jax.Array) -> jax.Array:
     return q
 
 
+NSUB = 2  # independent sub-blocks per grid cell (ILP: two dependency chains)
+
+
 def _encode_kernel(
-    syms_ref,  # [K, 8, 128] i32 (block dim squeezed)
-    lens_ref,  # [8, 128] i32
+    syms_ref,  # [NSUB, K, 8, 128] i32 (grid dim squeezed)
+    lens_ref,  # [NSUB, 8, 128] i32
     fc_ref,  # [2, 128] u32: (freq-1) | cum << 12
-    finv_ref,  # [2, 128] f32 per-symbol reciprocals
-    states_ref,  # out [8, 128] u32
-    words_ref,  # out [Wrows, 128] u32 (one u16 word per element)
-    count_ref,  # out [1, 1] i32 (SMEM)
+    states_ref,  # out [NSUB, 8, 128] u32
+    words_ref,  # out [NSUB, Wrows, 128] u16
+    count_ref,  # out [NSUB, 1] i32 (SMEM)
     *,
     chunk_len: int,
 ):
     k = chunk_len
-    lens = lens_ref[:]
+    lens = [lens_ref[u] for u in range(NSUB)]
     fc = fc_ref[:]
-    finv = finv_ref[:]
-    win_rows = 2 * BLOCK_ROWS  # 16-row aligned RMW window
+    win_rows = 4 * BLOCK_ROWS  # 32-row window, u16-tile (16,128) aligned
     wrow_id = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 0)
     wlane = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 1)
 
-    def step(t, carry):
-        x, ptr = carry
+    def one(u, t, x, ptr):
+        """One symbol step for sub-block u; returns (x', ptr')."""
         j = k - 1 - t
-        sym = syms_ref[pl.ds(j, 1)][0]  # [8, 128] i32
+        sym = syms_ref[u, pl.ds(j, 1)][0]
         e = _lookup256(fc, sym)
         f = (e & 0xFFF) + 1
         cum = e >> PROB_BITS
-        inv = _lookup256_f32(finv, sym)
-        active = j < lens
+        # IEEE division is correctly rounded, so this equals the host-side
+        # f32 reciprocal table entry bit for bit
+        inv = 1.0 / f.astype(jnp.int32).astype(jnp.float32)
+        active = j < lens[u]
         emit = active & (x >= (f << RENORM_SHIFT))
-        word = x & 0xFFFF
+        word = x & 0xFFFF  # packed as u32 (16-bit gathers unsupported)
         x2 = jnp.where(emit, x >> 16, x)
         q = _div_by_freq(x2, f, inv)
         xn = (q << PROB_BITS) + (x2 - q * f) + cum
@@ -194,15 +197,15 @@ def _encode_kernel(
         # are placed into window registers with rolls + row selects.
         incl = _row_cumsum(emit.astype(jnp.int32))
         packed = _pack_rows(word, incl)
-        al = (ptr >> 7) & ~7  # 8-row-aligned window base row
-        al = pl.multiple_of(al, 8)
-        win = words_ref[pl.ds(al, win_rows), :]
-        off = ptr - al * BLOCK_COLS  # word offset inside the window [0, 1024)
+        al = (ptr >> 7) & ~15  # 16-row-aligned window base (u16 tiling)
+        al = pl.multiple_of(al, 16)
+        win = words_ref[u, pl.ds(al, win_rows), :]
+        off = ptr - al * BLOCK_COLS  # word offset inside the window [0, 2048)
         for r in range(BLOCK_ROWS):
             cnt_r = jnp.sum(incl[r : r + 1, BLOCK_COLS - 1 :])
             shift = off & 127
             rot = jnp.broadcast_to(
-                pltpu.roll(packed[r : r + 1], shift, 1),
+                pltpu.roll(packed[r : r + 1], shift, 1).astype(jnp.uint16),
                 (win_rows, BLOCK_COLS),
             )
             d0 = off >> 7
@@ -210,13 +213,23 @@ def _encode_kernel(
             m1 = (wrow_id == d0 + 1) & (wlane < shift + cnt_r - BLOCK_COLS)
             win = jnp.where(m0 | m1, rot, win)
             off = off + cnt_r
-        words_ref[pl.ds(al, win_rows), :] = win
+        words_ref[u, pl.ds(al, win_rows), :] = win
         return x, al * BLOCK_COLS + off
 
-    x0 = jnp.full((BLOCK_ROWS, BLOCK_COLS), RANS_L, dtype=jnp.uint32)
-    x, total = jax.lax.fori_loop(0, k, step, (x0, jnp.int32(0)))
-    states_ref[:] = x
-    count_ref[0, 0] = total
+    def step(t, carry):
+        xs, ptrs = carry
+        out = [one(u, t, xs[u], ptrs[u]) for u in range(NSUB)]
+        return tuple(o[0] for o in out), tuple(o[1] for o in out)
+
+    x0 = tuple(
+        jnp.full((BLOCK_ROWS, BLOCK_COLS), RANS_L, dtype=jnp.uint32)
+        for _ in range(NSUB)
+    )
+    p0 = tuple(jnp.int32(0) for _ in range(NSUB))
+    xs, ptrs = jax.lax.fori_loop(0, k, step, (x0, p0))
+    for u in range(NSUB):
+        states_ref[u] = xs[u]
+        count_ref[u, 0] = ptrs[u]
 
 
 def _decode_kernel(
@@ -298,8 +311,8 @@ def table_arrays(freq: np.ndarray):
 
 
 def words_rows(chunk_len: int) -> int:
-    """Staging rows per block: worst case K*1024 words + headroom."""
-    return chunk_len * BLOCK_LANES // BLOCK_COLS + 16
+    """Staging rows per block: worst case K*1024 words + window headroom."""
+    return chunk_len * BLOCK_LANES // BLOCK_COLS + 48
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks", "interpret"))
@@ -307,42 +320,61 @@ def encode_pallas(
     syms: jax.Array,  # [nblocks, K, 8, 128] i32
     lens: jax.Array,  # [nblocks, 8, 128] i32
     fc: jax.Array,
-    finv_bits: jax.Array,
     chunk_len: int,
     nblocks: int,
     interpret: bool = False,
 ):
-    """Returns (states u32 [nblocks,8,128], words u32 [nblocks,Wrows,128],
+    """Returns (states u32 [nblocks,8,128], words u16 [nblocks,Wrows,128],
     counts i32 [nblocks,1,1])."""
     k = chunk_len
     wrows = words_rows(k)
     kernel = functools.partial(_encode_kernel, chunk_len=k)
-    return pl.pallas_call(
+    # pad the block count to a NSUB multiple; pad sub-blocks are inactive
+    # (all-zero lens) and emit nothing
+    npad = (-nblocks) % NSUB
+    if npad:
+        syms = jnp.concatenate(
+            [syms, jnp.zeros((npad, k, BLOCK_ROWS, BLOCK_COLS), syms.dtype)]
+        )
+        lens = jnp.concatenate(
+            [lens, jnp.zeros((npad, BLOCK_ROWS, BLOCK_COLS), lens.dtype)]
+        )
+    ncells = (nblocks + npad) // NSUB
+    states, words, counts = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(ncells,),
         in_specs=[
-            pl.BlockSpec((None, k, BLOCK_ROWS, BLOCK_COLS),
+            pl.BlockSpec((NSUB, k, BLOCK_ROWS, BLOCK_COLS),
                          lambda m: (m, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((NSUB, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, 1), lambda m: (m, 0, 0),
+            pl.BlockSpec((None, NSUB, 1), lambda m: (m, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nblocks, BLOCK_ROWS, BLOCK_COLS), jnp.uint32),
-            jax.ShapeDtypeStruct((nblocks, wrows, BLOCK_COLS), jnp.uint32),
-            jax.ShapeDtypeStruct((nblocks, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (ncells * NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.uint32
+            ),
+            jax.ShapeDtypeStruct((ncells * NSUB, wrows, BLOCK_COLS), jnp.uint16),
+            jax.ShapeDtypeStruct((ncells, NSUB, 1), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(syms, lens, fc, finv_bits)
+    )(syms, lens, fc)
+    return (
+        states[:nblocks],
+        words[:nblocks],
+        counts.reshape(ncells * NSUB, 1, 1)[:nblocks],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks", "interpret"))

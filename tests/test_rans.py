@@ -130,7 +130,7 @@ def test_pallas_kernels_match_numpy_engine():
     )
     lens_dev = jnp.asarray(lens.reshape(nblocks, 8, 128))
     st, words, cnts = rp.encode_pallas(
-        syms_dev, lens_dev, jnp.asarray(fc), jnp.asarray(finv),
+        syms_dev, lens_dev, jnp.asarray(fc),
         K, nblocks, interpret=True,
     )
     cn = np.asarray(cnts).reshape(-1)
