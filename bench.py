@@ -205,7 +205,9 @@ def main() -> None:
     off0, b0 = rdr._batches[0]
     pb = _fpvt.parse_batch_section(data, off0)
     streams = [pb.high, pb.low, pb.preview]
-    win = _rp.words_rows(chunk_len) * _BC
+    from fpv_tpu.entropy.plane_codec import _quantize_rows as _qr
+    _rows_alloc = _qr(max(int(st.block_counts.max()) for st in streams), chunk_len) + 16
+    win = _rows_alloc * _BC
     parts, plane_offs, pos = [], np.zeros(3, np.int32), 0
     for i, st in enumerate(streams):
         plane_offs[i] = pos
@@ -228,7 +230,7 @@ def main() -> None:
     dec_kw = dict(chunk_len=chunk_len, b=b0, h=H, w=W,
                   any_up=bool((spatial == SPATIAL_UP).any()),
                   any_cg=bool((spatial == SPATIAL_CG2D).any()),
-                  pv_any_up=False, pv_any_cg=False)
+                  pv_any_up=False, pv_any_cg=False, rows_alloc=_rows_alloc)
 
     def decode_device_batch():
         imgs, ok = fused_decode_batch(*dec_args, **dec_kw)

@@ -272,7 +272,7 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int):
 @functools.partial(
     jax.jit,
     static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
-                     "pv_any_up", "pv_any_cg", "decode_preview"),
+                     "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc"),
 )
 def fused_decode_batch(
     payload: jax.Array,  # u16, all planes concatenated (+clamp-safe)
@@ -293,6 +293,7 @@ def fused_decode_batch(
     pv_any_up: bool,
     pv_any_cg: bool,
     decode_preview: bool = False,
+    rows_alloc: int | None = None,
 ):
     """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok)."""
     from fpv_tpu.ops import rans_pallas as rp
@@ -321,7 +322,7 @@ def fused_decode_batch(
         coff += nblocks
         soff += c
         cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
-        wrows = rp.words_rows(chunk_len)
+        wrows = rows_alloc or rp.words_rows(chunk_len)
         win = wrows * BLOCK_COLS
         base = plane_offs[pi]
         blocks = [
@@ -602,10 +603,14 @@ class FpvtReader:
         from fpv_tpu.ops import rans_pallas as rp
         from fpv_tpu.ops.rans_layout import BLOCK_COLS
 
+        from fpv_tpu.entropy.plane_codec import _quantize_rows
+
         h, w = self.header.ysize, self.header.xsize
         k = 1 << self.header.chunk_log2
         streams = [pb.high, pb.low, pb.preview]
-        win = rp.words_rows(k) * BLOCK_COLS
+        max_cnt = max(int(st.block_counts.max()) for st in streams)
+        rows_alloc = _quantize_rows(max_cnt, k) + 16
+        win = rows_alloc * BLOCK_COLS
         plane_offs = np.zeros(3, np.int32)
         parts = []
         pos = 0
@@ -643,6 +648,7 @@ class FpvtReader:
             any_cg=bool((spatial == SPATIAL_CG2D).any()),
             pv_any_up=False,
             pv_any_cg=False,
+            rows_alloc=rows_alloc,
         )
         imgs_np = np.asarray(imgs)
         if not bool(np.asarray(ok)):

@@ -233,25 +233,24 @@ def _encode_kernel(
 
 
 def _decode_kernel(
-    count_ref,  # [1, 1] i32 (SMEM, scalar-prefetch style input)
-    states_ref,  # [8, 128] u32
-    lens_ref,  # [8, 128] i32
+    count_ref,  # [NSUB, 1] i32 (SMEM)
+    states_ref,  # [NSUB, 8, 128] u32
+    lens_ref,  # [NSUB, 8, 128] i32
     sym_ref,  # [8, 128] u32 packed symbol table
     fc_ref,  # [2, 128] u32
-    words_ref,  # [Wrows, 128] u32
-    out_ref,  # out [K, 8, 128] i32
-    ok_ref,  # out [8, 128] i32
+    words_ref,  # [NSUB, Wrows, 128] u32
+    out_ref,  # out [NSUB, K//4, 8, 128] u32 (4 symbols packed per word)
+    ok_ref,  # out [NSUB, 8, 128] i32
     *,
     chunk_len: int,
 ):
     k = chunk_len
-    lens = lens_ref[:]
+    lens = [lens_ref[u] for u in range(NSUB)]
     sym_tab = sym_ref[:]
     fc = fc_ref[:]
 
-    def step(j, carry):
-        x, ptr = carry
-        active = j < lens
+    def one(u, j, x, ptr):
+        active = j < lens[u]
         slot = (x & (PROB_SCALE - 1)).astype(jnp.int32)
         sym = _lookup_sym(sym_tab, slot)
         e = _lookup256(fc, sym)
@@ -269,7 +268,7 @@ def _decode_kernel(
         base = ptr - cnt
         pos = base + rank
         row0 = base >> 7
-        win = words_ref[pl.ds(row0, 16), :]
+        win = words_ref[u, pl.ds(row0, 16), :]
         rel = (pos >> 7) - row0
         col = pos & 127
         w = jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32)
@@ -278,13 +277,34 @@ def _decode_kernel(
             w = jnp.where(rel == r, g, w)
         xn2 = jnp.where(renorm, (xn << 16) | (w & 0xFFFF), xn)
         x = jnp.where(active, xn2, x)
-        out_ref[pl.ds(j, 1)] = sym[None]
-        return x, base
+        return x, base, sym
 
-    x0 = states_ref[:]
-    ptr0 = count_ref[0, 0]
-    x, ptr = jax.lax.fori_loop(0, k, step, (x0, ptr0))
-    ok_ref[:] = (((x == RANS_L) & (ptr == 0)) | (lens == 0)).astype(jnp.int32)
+    def step(j, carry):
+        xs, ptrs, accs = carry
+        sub = j & 3
+        new_xs, new_ptrs, new_accs = [], [], []
+        for u in range(NSUB):
+            x, base, sym = one(u, j, xs[u], ptrs[u])
+            acc = jnp.where(sub == 0, 0, accs[u])
+            acc = acc | (sym.astype(jnp.uint32) << (8 * sub.astype(jnp.uint32)))
+            @pl.when(sub == 3)
+            def _(u=u, acc=acc):
+                out_ref[u, pl.ds(j >> 2, 1)] = acc[None]
+            new_xs.append(x)
+            new_ptrs.append(base)
+            new_accs.append(acc)
+        return tuple(new_xs), tuple(new_ptrs), tuple(new_accs)
+
+    x0 = tuple(states_ref[u] for u in range(NSUB))
+    p0 = tuple(count_ref[u, 0] for u in range(NSUB))
+    a0 = tuple(
+        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(NSUB)
+    )
+    xs, ptrs, _ = jax.lax.fori_loop(0, k, step, (x0, p0, a0))
+    for u in range(NSUB):
+        ok_ref[u] = (
+            ((xs[u] == RANS_L) & (ptrs[u] == 0)) | (lens[u] == 0)
+        ).astype(jnp.int32)
 
 
 def table_arrays(freq: np.ndarray):
@@ -393,30 +413,58 @@ def decode_pallas(
     k = chunk_len
     wrows = words.shape[1]
     kernel = functools.partial(_decode_kernel, chunk_len=k)
-    return pl.pallas_call(
+    npad = (-nblocks) % NSUB
+    if npad:
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((npad, 1, 1), counts.dtype)]
+        )
+        states = jnp.concatenate(
+            [states,
+             jnp.full((npad, BLOCK_ROWS, BLOCK_COLS), RANS_L, states.dtype)]
+        )
+        lens = jnp.concatenate(
+            [lens, jnp.zeros((npad, BLOCK_ROWS, BLOCK_COLS), lens.dtype)]
+        )
+        words = jnp.concatenate(
+            [words, jnp.zeros((npad, wrows, BLOCK_COLS), words.dtype)]
+        )
+    ncells = (nblocks + npad) // NSUB
+    syms, ok = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(ncells,),
         in_specs=[
-            pl.BlockSpec((None, 1, 1), lambda m: (m, 0, 0),
+            pl.BlockSpec((None, NSUB, 1), lambda m: (m, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((NSUB, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, k, BLOCK_ROWS, BLOCK_COLS),
+            pl.BlockSpec((NSUB, k, BLOCK_ROWS, BLOCK_COLS),
                          lambda m: (m, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nblocks, k, BLOCK_ROWS, BLOCK_COLS), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, BLOCK_ROWS, BLOCK_COLS), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (ncells * NSUB, k // 4, BLOCK_ROWS, BLOCK_COLS), jnp.uint32
+            ),
+            jax.ShapeDtypeStruct(
+                (ncells * NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.int32
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(counts, states, lens, sym_tab, fc, words)
+    )(counts.reshape(ncells, NSUB, 1), states, lens, sym_tab, fc, words)
+    # unpack 4 symbols per u32: byte b of packed word w is symbol j = 4w + b
+    packed = syms[:nblocks]
+    parts = [((packed >> (8 * b)) & 0xFF).astype(jnp.int32) for b in range(4)]
+    un = jnp.stack(parts, axis=2).reshape(nblocks, k, BLOCK_ROWS, BLOCK_COLS)
+    return un, ok[:nblocks]
