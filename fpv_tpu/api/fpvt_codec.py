@@ -372,7 +372,9 @@ class FpvtWriter:
         big_endian: bool = False,
         frames_per_batch: int = 16,
         chunk_log2: int = 9,
+        device=None,
     ) -> None:
+        self._device = device  # optional jax.Device pinning this stream
         self.header = Header(
             xsize=xsize,
             ysize=ysize,
@@ -388,9 +390,14 @@ class FpvtWriter:
         self._bytes_written = 0
         self._total_frames = 0
 
+    def _put(self, arr: np.ndarray) -> jax.Array:
+        if self._device is not None:
+            return jax.device_put(arr, self._device)
+        return jnp.asarray(arr)
+
     def init(self, delta_frame: np.ndarray) -> bytes:
         """Header + delta section bytes; keeps the delta planes on device."""
-        img = jnp.asarray(
+        img = self._put(
             np.asarray(delta_frame, dtype=np.uint16).reshape(
                 1, self.header.ysize, self.header.xsize
             )
@@ -426,7 +433,7 @@ class FpvtWriter:
             raise RuntimeError("init() must be called first")
         from fpv_tpu.entropy.plane_codec import engine_name
 
-        imgs = jnp.asarray(np.asarray(imgs, dtype=np.uint16))
+        imgs = self._put(np.asarray(imgs, dtype=np.uint16))
         b = imgs.shape[0]
         if engine_name() == "pallas":
             flags, streams = self._encode_batch_fused(imgs, b)

@@ -40,7 +40,13 @@ class MultiStreamEncoder:
         frames_per_batch: int = 16,
         chunk_log2: int = 9,
         sink=None,
+        devices=None,
     ) -> None:
+        """``devices``: optional list of jax.Devices; streams are assigned
+        round-robin, so independent streams encode on different chips
+        concurrently (same-geometry streams share compiled executables)."""
+        self._devices = list(devices) if devices else [None]
+        self._next_device = 0
         self._geom = (xsize, ysize, shift, big_endian, frames_per_batch,
                       chunk_log2)
         self._fpb = frames_per_batch
@@ -59,7 +65,9 @@ class MultiStreamEncoder:
         if stream_id in self._writers:
             raise ValueError(f"stream {stream_id!r} already exists")
         x, y, shift, be, fpb, cl = self._geom
-        w = FpvtWriter(x, y, shift, be, fpb, cl)
+        dev = self._devices[self._next_device % len(self._devices)]
+        self._next_device += 1
+        w = FpvtWriter(x, y, shift, be, fpb, cl, device=dev)
         header = w.init(delta_frame)
         with self._lock:
             self._writers[stream_id] = w

@@ -186,3 +186,29 @@ def test_multistream_encoder():
     for sid, fr in streams.items():
         data = b"".join(out[sid])
         np.testing.assert_array_equal(decode_file_fpvt(data), fr)
+
+
+def test_multistream_multi_device_assignment():
+    """Streams round-robin across devices; results stay correct."""
+    import jax
+
+    from fpv_tpu.api.fpvt_codec import decode_file_fpvt
+    from fpv_tpu.api.multistream import MultiStreamEncoder
+
+    devs = jax.devices()[:4]
+    streams = {f"cam{i}": testdata.plasma_frames(4, 32, 32, seed=i) for i in range(4)}
+    out: dict[str, list] = {k: [] for k in streams}
+    hub = MultiStreamEncoder(32, 32, frames_per_batch=2, chunk_log2=8,
+                             sink=lambda sid, d: out[sid].append(d),
+                             devices=devs)
+    for sid, fr in streams.items():
+        hub.add_stream(sid, fr[0])
+    # delta planes should land on distinct devices
+    assigned = {w._delta_high.devices().pop() for w in hub._writers.values()}
+    assert len(assigned) == len(devs)
+    for i in range(4):
+        for sid, fr in streams.items():
+            hub.push_frame(sid, i, fr[i])
+    hub.close()
+    for sid, fr in streams.items():
+        np.testing.assert_array_equal(decode_file_fpvt(b"".join(out[sid])), fr)
