@@ -117,14 +117,33 @@ def encode_model_step(
         use_delta = jnp.zeros(imgs.shape[0], jnp.bool_)
         high2, low2 = high, low
 
-    c_up = up_encode(high2)
-    c_cg = cg2d_encode(high2)
-    ent = jnp.stack(
-        [_residual_cost(high2), _residual_cost(c_up), _residual_cost(c_cg)]
-    )
+    # spatial decision from sampled row PAIRS (true neighbor statistics at a
+    # fraction of the cost), then compute only the predictors some frame
+    # actually chose (lax.cond skips the unused full-plane transforms)
+    from fpv_tpu.ops.predict import clamped_gradient
+
+    prev_rows = high2[:, 0 :: _DECISION_STRIDE, :]
+    cur_rows = high2[:, 1 :: _DECISION_STRIDE, :]
+    nr = prev_rows[:, : cur_rows.shape[1], :]
+    up_s = cur_rows - nr
+    w_s = jnp.roll(cur_rows, 1, axis=2)
+    nw_s = jnp.roll(nr, 1, axis=2)
+    cg_s = cur_rows - clamped_gradient(nr, w_s, nw_s)
+
+    def _cost(x):
+        xi = x.astype(jnp.int32).reshape(x.shape[0], -1)
+        return jnp.sum(jnp.minimum(xi, 256 - xi), axis=1)
+
+    ent = jnp.stack([_cost(cur_rows), _cost(up_s), _cost(cg_s)])
     spatial = jnp.argmin(ent, axis=0).astype(jnp.int32)  # [B] in {0,1,2}
     s1 = (spatial == SPATIAL_UP)[:, None, None]
     s2 = (spatial == SPATIAL_CG2D)[:, None, None]
+    c_up = jax.lax.cond(
+        jnp.any(spatial == SPATIAL_UP), up_encode, lambda x: x, high2
+    )
+    c_cg = jax.lax.cond(
+        jnp.any(spatial == SPATIAL_CG2D), cg2d_encode, lambda x: x, high2
+    )
     high3 = jnp.where(s1, c_up, jnp.where(s2, c_cg, high2))
 
     p_up = up_encode(pv)
@@ -183,10 +202,9 @@ def _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low):
 def _plane_geometry(b: int, s: int, chunk_len: int):
     from fpv_tpu.ops.rans_layout import BLOCK_LANES, chunk_lens
 
-    cpf = -(-s // chunk_len)
     lens = chunk_lens(b, s, chunk_len)
     nblocks = len(lens) // BLOCK_LANES
-    return cpf, lens, nblocks
+    return lens, nblocks
 
 
 @functools.partial(
@@ -232,10 +250,10 @@ def fused_encode_batch(
     for name in ("high", "low", "preview"):
         plane = m[name].reshape(b, -1)
         s = plane.shape[1]
-        cpf, lens, nblocks = _plane_geometry(b, s, chunk_len)
+        lens, nblocks = _plane_geometry(b, s, chunk_len)
         freq = normalize_freqs_device(m[f"hist_{name}"])
         fc, _finv = encode_tables_device(freq)
-        syms = _to_block_symbols(plane, cpf, chunk_len, nblocks)
+        syms = _to_block_symbols(plane, chunk_len, nblocks)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         states, words, counts = rp.encode_pallas(
             syms, lens_dev, fc, chunk_len, nblocks
@@ -253,7 +271,7 @@ def fused_encode_batch(
         payloads.append(out[: nblocks * win])
         small.append(freq)
         small.append(counts_flat)
-        small.append(states.reshape(-1)[: b * cpf])
+        small.append(states.reshape(-1))
     return (jnp.concatenate(small), *payloads)
 
 
@@ -262,8 +280,10 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int):
     sizes = [b, b, b, b]
     names = ["use_delta", "spatial", "pv_spatial", "nonzero_low"]
     for name, s in (("high", h * w), ("low", h * w), ("preview", (h // 4) * (w // 4))):
-        cpf, _lens, nblocks = _plane_geometry(b, s, chunk_len)
-        sizes += [256, nblocks, b * cpf]
+        _lens, nblocks = _plane_geometry(b, s, chunk_len)
+        from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
+
+        sizes += [256, nblocks, nblocks * _BL]
         names += [f"freq_{name}", f"counts_{name}", f"states_{name}"]
     offs = np.cumsum([0] + sizes)
     return {n: (int(offs[i]), int(offs[i + 1])) for i, n in enumerate(names)}
@@ -302,23 +322,19 @@ def fused_decode_batch(
 
     geoms = []
     for s in (h * w, h * w, (h // 4) * (w // 4)):
-        geoms.append((s, *_plane_geometry(b, s, chunk_len)))
+        geoms.append((s, *_plane_geometry(b, s, chunk_len)))  # (s, lens, nblocks)
 
     planes = []
     oks = []
     coff = 0
     soff = 0
-    for pi, (s, cpf, lens, nblocks) in enumerate(geoms):
+    for pi, (s, lens, nblocks) in enumerate(geoms):
         if pi == 2 and not decode_preview:
             planes.append(None)
             continue
-        c = b * cpf
-        c_pad = nblocks * BLOCK_LANES
+        c = nblocks * BLOCK_LANES
         cnt = counts[coff : coff + nblocks].astype(jnp.int32)
-        st = states[soff : soff + c]
-        st_pad = jnp.concatenate(
-            [st, jnp.full(c_pad - c, RANS_L, jnp.uint32)]
-        ) if c_pad > c else st
+        st_pad = states[soff : soff + c]
         coff += nblocks
         soff += c
         cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
@@ -343,7 +359,7 @@ def fused_decode_batch(
             chunk_len,
             nblocks,
         )
-        planes.append(_from_block_symbols(syms, b, s, cpf, chunk_len))
+        planes.append(_from_block_symbols(syms, b, s, chunk_len))
         oks.append(jnp.all(ok == 1))
 
     high = planes[0].reshape(b, h, w)

@@ -50,16 +50,14 @@ class PlaneStream:
     payload: np.ndarray  # [sum(block_counts)] u16
 
     @property
-    def chunks_per_frame(self) -> int:
-        return -(-self.plane_size // self.chunk_len)
+    def num_blocks(self) -> int:
+        from fpv_tpu.ops.rans_layout import num_blocks
+
+        return num_blocks(self.nframes, self.plane_size, self.chunk_len)
 
     @property
     def num_chunks(self) -> int:
-        return self.nframes * self.chunks_per_frame
-
-    @property
-    def num_blocks(self) -> int:
-        return -(-self.num_chunks // BLOCK_LANES)
+        return self.num_blocks * BLOCK_LANES
 
     def nbytes(self) -> int:
         return (
@@ -85,39 +83,56 @@ def engine_name() -> str:
 # device-side layout shuffles (jitted, static shapes)
 
 
-@functools.partial(jax.jit, static_argnames=("cpf", "chunk_len", "nblocks"))
-def _to_block_symbols(plane: jax.Array, cpf: int, chunk_len: int, nblocks: int):
-    """[B, S] u8 -> [nblocks, K, 8, 128] i32 block-step layout."""
-    b, s = plane.shape
-    pad = cpf * chunk_len - s
-    flat = jnp.pad(plane, ((0, 0), (0, pad))) if pad else plane
-    lanes = flat.reshape(b * cpf, chunk_len)
-    lane_pad = nblocks * BLOCK_LANES - b * cpf
-    if lane_pad:
-        lanes = jnp.pad(lanes, ((0, lane_pad), (0, 0)))
-    return (
-        lanes.astype(jnp.int32)
-        .reshape(nblocks, BLOCK_LANES, chunk_len)
-        .transpose(0, 2, 1)
-        .reshape(nblocks, chunk_len, BLOCK_ROWS, BLOCK_COLS)
-    )
+@functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks"))
+def _to_block_symbols(plane: jax.Array, chunk_len: int, nblocks: int):
+    """[B, S] u8 -> [nblocks, K, 8, 128] i32 — a pure reshape.
+
+    With the interleaved lane layout (fpv_tpu.ops.rans_layout.chunk_lens),
+    the step-major array IS the flat symbol stream: no transposes on device.
+    """
+    flat = plane.reshape(-1)
+    pad = nblocks * chunk_len * BLOCK_LANES - flat.shape[0]
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(
+        nblocks, chunk_len, BLOCK_ROWS, BLOCK_COLS
+    ).astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nframes", "plane_size", "cpf", "chunk_len")
+    jax.jit, static_argnames=("nframes", "plane_size", "chunk_len")
 )
 def _from_block_symbols(
-    syms: jax.Array, nframes: int, plane_size: int, cpf: int, chunk_len: int
+    syms: jax.Array, nframes: int, plane_size: int, chunk_len: int
 ):
-    """[nblocks, K, 8, 128] i32 -> [B, S] u8."""
-    nblocks = syms.shape[0]
-    lanes = (
-        syms.reshape(nblocks, chunk_len, BLOCK_LANES)
+    """[nblocks, K, 8, 128] i32 -> [B, S] u8 (pure reshape)."""
+    flat = syms.reshape(-1)[: nframes * plane_size]
+    return flat.reshape(nframes, plane_size).astype(jnp.uint8)
+
+
+def _interleave_np(plane_np: np.ndarray, chunk_len: int, nblocks: int):
+    """Host-side [B, S] u8 -> [C, K] per-lane symbols for the numpy engine."""
+    flat = plane_np.reshape(-1)
+    pad = nblocks * chunk_len * BLOCK_LANES - flat.size
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+    return (
+        flat.reshape(nblocks, chunk_len, BLOCK_LANES)
         .transpose(0, 2, 1)
         .reshape(nblocks * BLOCK_LANES, chunk_len)
     )
-    flat = lanes[: nframes * cpf].reshape(nframes, cpf * chunk_len)
-    return flat[:, :plane_size].astype(jnp.uint8)
+
+
+def _deinterleave_np(symbols: np.ndarray, n: int, chunk_len: int):
+    """Inverse of :func:`_interleave_np`: [C, K] -> flat [n]."""
+    c, k = symbols.shape
+    nblocks = c // BLOCK_LANES
+    flat = (
+        symbols.reshape(nblocks, BLOCK_LANES, k)
+        .transpose(0, 2, 1)
+        .reshape(-1)
+    )
+    return flat[:n]
 
 
 def _quantize_rows(max_count: int, chunk_len: int) -> int:
@@ -149,9 +164,16 @@ def _compact_payload(
     nblocks, rows, _ = words.shape
     flat16 = words.astype(jnp.uint16).reshape(nblocks, rows * BLOCK_COLS)
     win = rows_q * BLOCK_COLS
-    out = jnp.zeros(cap + win, jnp.uint16)
-    for m in range(nblocks):
-        out = jax.lax.dynamic_update_slice(out, flat16[m, :win], (cum[m],))
+
+    # fori_loop keeps the buffer carry in place (an unrolled
+    # dynamic_update_slice chain materializes full-buffer copies)
+    def body(m, out):
+        chunk = jax.lax.dynamic_slice(flat16, (m, 0), (1, win))[0]
+        return jax.lax.dynamic_update_slice(out, chunk, (cum[m],))
+
+    out = jax.lax.fori_loop(
+        0, nblocks, body, jnp.zeros(cap + win, jnp.uint16)
+    )
     return out[:cap]
 
 
@@ -204,29 +226,28 @@ def encode_planes_batch(
         b = plane.shape[0]
         plane = plane.reshape(b, -1)
         s = plane.shape[1]
-        cpf = -(-s // chunk_len)
         lens = chunk_lens(b, s, chunk_len)
         nblocks = len(lens) // BLOCK_LANES
         freq = normalize_freqs(np.asarray(hist), ensure_all=True)
         fc, finv, _ = rp.table_arrays(freq)
-        syms = _to_block_symbols(jnp.asarray(plane), cpf, chunk_len, nblocks)
+        syms = _to_block_symbols(jnp.asarray(plane), chunk_len, nblocks)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         states_d, words_d, counts_d = rp.encode_pallas(
             syms, lens_dev, jnp.asarray(fc),
             chunk_len=chunk_len, nblocks=nblocks,
         )
         dispatched.append(
-            (b, s, cpf, nblocks, freq, states_d, words_d, counts_d)
+            (b, s, nblocks, freq, states_d, words_d, counts_d)
         )
 
     # one fused counts readback for all planes (single device sync)
     all_counts = np.asarray(
-        jnp.concatenate([d[7].reshape(-1) for d in dispatched])
+        jnp.concatenate([d[6].reshape(-1) for d in dispatched])
     )
-    offs = np.cumsum([0] + [d[3] for d in dispatched])
+    offs = np.cumsum([0] + [d[2] for d in dispatched])
 
     out = []
-    for i, (b, s, cpf, nblocks, freq, states_d, words_d, counts_d) in enumerate(
+    for i, (b, s, nblocks, freq, states_d, words_d, counts_d) in enumerate(
         dispatched
     ):
         counts = all_counts[offs[i] : offs[i + 1]]
@@ -241,7 +262,7 @@ def encode_planes_batch(
             payload = np.asarray(payload_d)[:total]
         else:
             payload = payload_d  # device handle; caller materializes
-        states = np.asarray(states_d).reshape(-1)[: b * cpf]
+        states = np.asarray(states_d).reshape(-1)
         out.append(
             PlaneStream(
                 nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
@@ -268,33 +289,22 @@ def encode_plane_batch(
     if hasattr(plane, "reshape"):
         plane = plane.reshape(b, -1)
     s = plane.shape[1]
-    cpf = -(-s // chunk_len)
     lens = chunk_lens(b, s, chunk_len)
-    c = b * cpf
-    c_pad = len(lens)
-    nblocks = c_pad // BLOCK_LANES
+    nblocks = len(lens) // BLOCK_LANES
     freq = normalize_freqs(np.asarray(hist), ensure_all=True)
 
     if engine == "numpy":
-        plane_np = np.asarray(plane)
-        pad = cpf * chunk_len - s
-        flat = (
-            np.pad(plane_np, ((0, 0), (0, pad))) if pad else plane_np
-        ).reshape(c, chunk_len)
-        if c_pad > c:
-            flat = np.concatenate(
-                [flat, np.zeros((c_pad - c, chunk_len), np.uint8)]
-            )
+        flat = _interleave_np(np.asarray(plane), chunk_len, nblocks)
         states, counts, payload = rans_numpy.encode_blocks(flat, lens, freq)
         return PlaneStream(
             nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
-            states=states[:c], block_counts=counts, payload=payload,
+            states=states, block_counts=counts, payload=payload,
         )
 
     from fpv_tpu.ops import rans_pallas as rp
 
     fc, finv, _symtab = rp.table_arrays(freq)
-    syms = _to_block_symbols(jnp.asarray(plane), cpf, chunk_len, nblocks)
+    syms = _to_block_symbols(jnp.asarray(plane), chunk_len, nblocks)
     lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
     states_d, words_d, counts_d = rp.encode_pallas(
         syms, lens_dev, jnp.asarray(fc),
@@ -308,7 +318,7 @@ def encode_plane_batch(
     cum[1:] = np.cumsum(counts)
     payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
     payload = np.asarray(payload_d)[:total]
-    states = np.asarray(states_d).reshape(-1)[:c]
+    states = np.asarray(states_d).reshape(-1)
     return PlaneStream(
         nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
         states=states, block_counts=counts.astype(np.uint32), payload=payload,
@@ -323,25 +333,19 @@ def decode_plane_batch(
     """Decode a PlaneStream -> [B, S] uint8 (device array on pallas engine)."""
     engine = engine or engine_name()
     b, s, k = stream.nframes, stream.plane_size, stream.chunk_len
-    cpf = stream.chunks_per_frame
-    c = stream.num_chunks
     lens = chunk_lens(b, s, k)
-    c_pad = len(lens)
-    nblocks = c_pad // BLOCK_LANES
-    states_pad = np.full(c_pad, RANS_L, np.uint32)
-    states_pad[:c] = stream.states
+    nblocks = len(lens) // BLOCK_LANES
+    states = stream.states.astype(np.uint32)
     counts = stream.block_counts.astype(np.int64)
 
     if engine == "numpy":
         syms, ok = rans_numpy.decode_blocks(
-            states_pad, stream.block_counts, stream.payload, lens,
+            states, stream.block_counts, stream.payload, lens,
             stream.freq, k,
         )
         if check and not ok.all():
             raise ValueError("rANS stream integrity check failed")
-        pad = cpf * k - s
-        flat = syms[:c].reshape(b, cpf * k)
-        return flat[:, :s]
+        return _deinterleave_np(syms, b * s, k).reshape(b, s)
 
     from fpv_tpu.ops import rans_pallas as rp
 
@@ -362,7 +366,7 @@ def decode_plane_batch(
     )
     syms, ok = rp.decode_pallas(
         jnp.asarray(counts.reshape(nblocks, 1, 1).astype(np.int32)),
-        jnp.asarray(states_pad.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
+        jnp.asarray(states.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
         jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
         jnp.asarray(symtab),
         jnp.asarray(fc),
@@ -372,4 +376,4 @@ def decode_plane_batch(
     )
     if check and not bool(jnp.all(ok == 1)):
         raise ValueError("rANS stream integrity check failed")
-    return _from_block_symbols(syms, b, s, cpf, k)
+    return _from_block_symbols(syms, b, s, k)

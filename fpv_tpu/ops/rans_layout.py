@@ -35,21 +35,34 @@ BLOCK_LANES = BLOCK_ROWS * BLOCK_COLS  # 1024
 
 
 def chunk_lens(nframes: int, plane_size: int, chunk_len: int) -> np.ndarray:
-    """Per-chunk symbol counts, padded to a BLOCK_LANES multiple (len 0)."""
-    cpf = -(-plane_size // chunk_len)
-    lens = np.full(cpf, chunk_len, dtype=np.int32)
-    lens[-1] = plane_size - (cpf - 1) * chunk_len
-    lens = np.tile(lens, nframes)
-    pad = (-len(lens)) % BLOCK_LANES
-    if pad:
-        lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-    return lens
+    """Per-chunk (lane) symbol counts for the interleaved layout.
+
+    The plane batch is one flat symbol stream of N = nframes*plane_size
+    bytes.  Block m covers the contiguous region [m*K*1024, (m+1)*K*1024);
+    within a block, lane l codes symbols {base + j*1024 + l}.  This makes the
+    [K, 1024] step-major array a pure reshape of the flat stream (no device
+    transposes) while keeping blocks contiguous for random access.  Lane
+    lengths within the last block differ by at most one.
+    """
+    n = nframes * plane_size
+    span = chunk_len * BLOCK_LANES
+    nb = max(1, -(-n // span))
+    lanes = np.arange(BLOCK_LANES, dtype=np.int64)
+    out = np.empty((nb, BLOCK_LANES), dtype=np.int32)
+    for m in range(nb):
+        r = min(max(n - m * span, 0), span)
+        out[m] = np.minimum((r - lanes + BLOCK_LANES - 1) // BLOCK_LANES,
+                            chunk_len).clip(0)
+    return out.reshape(-1).astype(np.int32)
 
 
 def num_chunks(nframes: int, plane_size: int, chunk_len: int) -> int:
-    return nframes * (-(-plane_size // chunk_len))
+    n = nframes * plane_size
+    span = chunk_len * BLOCK_LANES
+    return max(1, -(-n // span)) * BLOCK_LANES
 
 
 def num_blocks(nframes: int, plane_size: int, chunk_len: int) -> int:
-    c = num_chunks(nframes, plane_size, chunk_len)
-    return -(-c // BLOCK_LANES)
+    n = nframes * plane_size
+    span = chunk_len * BLOCK_LANES
+    return max(1, -(-n // span))

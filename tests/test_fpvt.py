@@ -56,7 +56,7 @@ def test_fpvt_previews():
 
 
 def test_fpvt_compression_beats_raw():
-    frames = testdata.plasma_frames(8, 64, 64, bits=12)
+    frames = testdata.plasma_frames(8, 256, 256, bits=12)
     data = encode_file_fpvt(frames, shift=4, frames_per_batch=8)
     assert len(data) < frames.nbytes * 0.7
 

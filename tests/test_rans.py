@@ -68,17 +68,23 @@ def test_numpy_engine_roundtrip(gen):
 
 
 def test_rans_ratio_reasonable_vs_entropy():
-    """Coded size should be within ~6% of the order-0 entropy bound."""
-    planes = (testdata.plasma_frames(4, 64, 64) >> 8).astype(np.uint8)
+    """Coded size should be within a few % of the order-0 entropy bound.
+
+    Uses a plane large enough to amortize the per-block lane states (the
+    1024-way interleave costs 4 KB of states per 512K-symbol block; tiny
+    planes pay proportionally more — a documented tradeoff for the
+    transpose-free device layout).
+    """
+    planes = (testdata.plasma_frames(16, 256, 256) >> 8).astype(np.uint8)
     hist = np.bincount(planes.reshape(-1), minlength=256).astype(np.float64)
     p = hist[hist > 0] / hist.sum()
     h_bits = -(p * np.log2(p)).sum() * planes.size
     stream = encode_plane_batch(
-        planes.reshape(4, -1), hist.astype(np.int64), chunk_len=512,
+        planes.reshape(16, -1), hist.astype(np.int64), chunk_len=512,
         engine="numpy",
     )
     coded_bits = stream.payload.size * 16 + stream.num_chunks * 32
-    assert coded_bits < h_bits * 1.06 + 64 * 8
+    assert coded_bits < h_bits * 1.08 + 64 * 8
 
 
 def test_corrupt_stream_detected():
@@ -108,25 +114,21 @@ def test_pallas_kernels_match_numpy_engine():
     B, S, K = 3, 700, 64
     data = rng.normal(100, 25, size=(B, S)).astype(np.uint8)
     lens = chunk_lens(B, S, K)
-    cpf = -(-S // K)
-    c = B * cpf
     c_pad = len(lens)
     nblocks = c_pad // BLOCK_LANES
-    symbols = np.zeros((c_pad, K), np.uint8)
-    for b in range(B):
-        padded = np.zeros(cpf * K, np.uint8)
-        padded[:S] = data[b]
-        symbols[b * cpf : (b + 1) * cpf] = padded.reshape(cpf, K)
+    from fpv_tpu.entropy.plane_codec import _interleave_np
+
+    symbols = _interleave_np(data, K, nblocks)
     freq = normalize_freqs(np.bincount(data.reshape(-1), minlength=256))
 
     states, counts, payload = rn.encode_blocks(symbols, lens, freq)
 
     fc, finv, symtab = rp.table_arrays(freq)
     syms_dev = jnp.asarray(
-        symbols.astype(np.int32)
-        .reshape(nblocks, BLOCK_LANES, K)
+        symbols.reshape(nblocks, BLOCK_LANES, K)
         .transpose(0, 2, 1)
         .reshape(nblocks, K, 8, 128)
+        .astype(np.int32)
     )
     lens_dev = jnp.asarray(lens.reshape(nblocks, 8, 128))
     st, words, cnts = rp.encode_pallas(
