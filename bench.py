@@ -29,7 +29,7 @@ RECORDED_BASELINE_MPS = 43.98  # ref_benchmark, this box, 32x1024x1024 12-bit
 
 # benchmark configuration (mirrors the BASELINE.json corpus shape)
 FRAMES, H, W, BITS, SHIFT = 64, 1024, 1024, 12, 4
-BATCH = 32
+BATCH = 64
 
 
 def log(*args):

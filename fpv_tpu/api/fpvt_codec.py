@@ -81,12 +81,19 @@ def _batch_hist(plane: jax.Array) -> jax.Array:
 
     Sampled (not exact) — tables built from it must use
     ``normalize_freqs(..., ensure_all=True)`` so unsampled symbols stay
-    encodable.
+    encodable.  Computed as a compare-and-reduce (fuses on the VPU); TPU
+    scatter-adds run at ~100 Melem/s and would dominate the model step.
     """
     flat = _sample_rows(plane, _HIST_STRIDE).reshape(-1).astype(jnp.int32)
-    return jax.ops.segment_sum(
-        jnp.ones(flat.shape, jnp.int32), flat, num_segments=256
-    )
+    n = flat.shape[0]
+    width = 512
+    pad = (-n) % width
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full(pad, -1, jnp.int32)])
+    x = flat.reshape(-1, width)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    eq = x[:, :, None] == bins[None, None, :]
+    return jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "big_endian", "use_delta_frame"))
