@@ -30,10 +30,36 @@ import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 REFBIN = REPO / ".refbin"
+REFERENCE_SRC = pathlib.Path("/root/reference")
+
+
+def _build_reference() -> bool:
+    """Compile the reference binaries (one-time) for interop tests."""
+    if not REFERENCE_SRC.exists():
+        return False
+    REFBIN.mkdir(exist_ok=True)
+    for tool in ("encode", "decode", "benchmark"):
+        out = REFBIN / f"ref_{tool}"
+        if out.exists():
+            continue
+        cmd = (
+            f"g++ -O3 -std=c++14 -I{REPO}/native/brotli_shim "
+            f"{REFERENCE_SRC}/fusion_power_video.cc {REFERENCE_SRC}/{tool}.cc "
+            "-l:libbrotlienc.so.1 -l:libbrotlidec.so.1 -l:libbrotlicommon.so.1 "
+            f"-lpthread -o {out}"
+        )
+        try:
+            subprocess.run(cmd, shell=True, check=True, capture_output=True,
+                           timeout=300)
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
+            return False
+    return True
 
 
 def have_reference() -> bool:
-    return (REFBIN / "ref_encode").exists()
+    if (REFBIN / "ref_encode").exists():
+        return True
+    return _build_reference()
 
 
 def ref_encode(raw: bytes, xsize: int, ysize: int, big_endian: int, shift: int,
