@@ -174,11 +174,9 @@ def _encode_kernel(
     wrow_id = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 0)
     wlane = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 1)
 
-    def one(u, t, x, ptr):
-        """One symbol step for sub-block u; returns (x', ptr')."""
+    def one(u, t, x, ptr, e):
+        """One symbol step for sub-block u (e = prefetched table row)."""
         j = k - 1 - t
-        sym = syms_ref[u, pl.ds(j, 1)][0]
-        e = _lookup256(fc, sym)
         f = (e & 0xFFF) + 1
         cum = e >> PROB_BITS
         # IEEE division is correctly rounded, so this equals the host-side
@@ -216,17 +214,31 @@ def _encode_kernel(
         words_ref[u, pl.ds(al, win_rows), :] = win
         return x, al * BLOCK_COLS + off
 
+    def _prefetch(u, t):
+        """Table row for sub-block u at step t (clamped at the end)."""
+        j = jnp.maximum(k - 1 - t, 0)
+        sym = syms_ref[u, pl.ds(j, 1)][0]
+        return _lookup256(fc, sym)
+
     def step(t, carry):
-        xs, ptrs = carry
-        out = [one(u, t, xs[u], ptrs[u]) for u in range(NSUB)]
-        return tuple(o[0] for o in out), tuple(o[1] for o in out)
+        xs, ptrs, es = carry
+        # issue next step's independent lookups first so they overlap the
+        # state-update dependency chains (software pipelining)
+        es_next = tuple(_prefetch(u, t + 1) for u in range(NSUB))
+        out = [one(u, t, xs[u], ptrs[u], es[u]) for u in range(NSUB)]
+        return (
+            tuple(o[0] for o in out),
+            tuple(o[1] for o in out),
+            es_next,
+        )
 
     x0 = tuple(
         jnp.full((BLOCK_ROWS, BLOCK_COLS), RANS_L, dtype=jnp.uint32)
         for _ in range(NSUB)
     )
     p0 = tuple(jnp.int32(0) for _ in range(NSUB))
-    xs, ptrs = jax.lax.fori_loop(0, k, step, (x0, p0))
+    e0 = tuple(_prefetch(u, 0) for u in range(NSUB))
+    xs, ptrs, _ = jax.lax.fori_loop(0, k, step, (x0, p0, e0))
     for u in range(NSUB):
         states_ref[u] = xs[u]
         count_ref[u, 0] = ptrs[u]
