@@ -7,11 +7,7 @@ transfer per batch and keeps the device kernels table-driven.
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
-
-from fpv_tpu.utils.magic import magic_tables
 
 PROB_BITS = 12
 PROB_SCALE = 1 << PROB_BITS  # 4096
@@ -59,37 +55,3 @@ def normalize_freqs(
                 freq[j] -= 1
     assert freq.sum() == scale
     return freq.astype(np.uint16)
-
-
-@dataclasses.dataclass
-class RansTables:
-    """Everything the device kernels need, derived from a freq table."""
-
-    freq: np.ndarray  # [256] u16, sums to PROB_SCALE
-    cum: np.ndarray  # [256] u32 exclusive prefix sum
-    mult_hi: np.ndarray  # [256] u32 magic multiplier high words (<= 2)
-    mult_lo: np.ndarray  # [256] u32 magic multiplier low words
-    shift: np.ndarray  # [256] u32 post-mulhi shifts
-    slot_packed: np.ndarray  # [PROB_SCALE] u32: (sym<<24)|(slot_off<<12)|(freq-1)
-
-    @classmethod
-    def from_freq(cls, freq: np.ndarray) -> "RansTables":
-        freq = np.asarray(freq, dtype=np.uint16)
-        cum = np.zeros(256, dtype=np.uint32)
-        cum[1:] = np.cumsum(freq.astype(np.uint32))[:-1]
-        mult_hi, mult_lo, shift = magic_tables(freq)
-        # slot -> (sym, slot - cum[sym], freq[sym]-1) packed in one u32;
-        # symbol i occupies slots [cum[i], cum[i]+freq[i])
-        sym_of_slot = np.repeat(np.arange(256, dtype=np.uint32), freq.astype(np.int64))
-        slots = np.arange(PROB_SCALE, dtype=np.uint32)
-        off = slots - cum[sym_of_slot]
-        f1 = freq.astype(np.uint32)[sym_of_slot] - 1
-        packed = (sym_of_slot << 24) | (off << 12) | f1
-        return cls(
-            freq=freq,
-            cum=cum,
-            mult_hi=mult_hi,
-            mult_lo=mult_lo,
-            shift=shift,
-            slot_packed=packed,
-        )

@@ -66,12 +66,6 @@ def _lookup256(tab2: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.where(idx < 128, g0, g1)
 
 
-def _lookup256_f32(tab2_bits: jax.Array, idx: jax.Array) -> jax.Array:
-    """256-entry f32 table stored as u32 bit patterns -> f32 values."""
-    bits = _lookup256(tab2_bits, idx)
-    return jax.lax.bitcast_convert_type(bits, jnp.float32)
-
-
 def _lookup_sym(sym_tab: jax.Array, slot: jax.Array) -> jax.Array:
     """slot [8,128] in [0,4096) -> symbol, via 4096 u8s packed in [8,128] u32."""
     word_idx = slot >> 2  # [0, 1024)
@@ -124,16 +118,6 @@ def _pack_rows(values: jax.Array, incl: jax.Array) -> jax.Array:
     first = jnp.take_along_axis(incl, jnp.zeros_like(lo), axis=1)
     src = jnp.where(first >= target, 0, jnp.minimum(lo + 1, 127))
     return jnp.take_along_axis(values, src, axis=1)
-
-
-def _mulhi32(a: jax.Array, b: jax.Array) -> jax.Array:
-    ah, al = a >> 16, a & 0xFFFF
-    bh, bl = b >> 16, b & 0xFFFF
-    lo = al * bl
-    mid1 = ah * bl
-    mid2 = al * bh
-    t = (lo >> 16) + (mid1 & 0xFFFF) + (mid2 & 0xFFFF)
-    return ah * bh + (mid1 >> 16) + (mid2 >> 16) + (t >> 16)
 
 
 def _div_by_freq(x: jax.Array, f: jax.Array, inv: jax.Array) -> jax.Array:
