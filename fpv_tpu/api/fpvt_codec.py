@@ -269,13 +269,13 @@ def fused_encode_batch(
         cum = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_flat).astype(jnp.int32)]
         )
+        from fpv_tpu.entropy.plane_codec import _compact_payload
+
         wrows = words.shape[1]
         win = wrows * BLOCK_COLS
-        flat16 = words.astype(jnp.uint16).reshape(nblocks, win)
-        out = jnp.zeros(nblocks * win + win, jnp.uint16)
-        for mb in range(nblocks):
-            out = jax.lax.dynamic_update_slice(out, flat16[mb], (cum[mb],))
-        payloads.append(out[: nblocks * win])
+        # fori-loop compaction keeps the buffer carry in place (an unrolled
+        # dynamic_update_slice chain materializes full-buffer copies)
+        payloads.append(_compact_payload(words, cum, nblocks * win, wrows))
         small.append(freq)
         small.append(counts_flat)
         small.append(states.reshape(-1))
@@ -458,9 +458,13 @@ class FpvtWriter:
 
         imgs = self._put(np.asarray(imgs, dtype=np.uint16))
         b = imgs.shape[0]
+        # previews of H<4 or W<4 frames have zero pixels: skip the stream
+        has_pv = (self.header.ysize // 4) * (self.header.xsize // 4) > 0
         if engine_name() == "pallas":
             flags, streams = self._encode_batch_fused(imgs, b)
             hs, ls, pvs = streams
+            if not has_pv:
+                pvs = None
         else:
             m = encode_model_step(
                 imgs,
@@ -471,14 +475,17 @@ class FpvtWriter:
             )
             from fpv_tpu.entropy.plane_codec import encode_planes_batch
 
-            hs, ls, pvs = encode_planes_batch(
-                [
-                    (m["high"].reshape(b, -1), np.asarray(m["hist_high"])),
-                    (m["low"].reshape(b, -1), np.asarray(m["hist_low"])),
-                    (m["preview"].reshape(b, -1), np.asarray(m["hist_preview"])),
-                ],
-                self._chunk_len,
-            )
+            jobs = [
+                (m["high"].reshape(b, -1), np.asarray(m["hist_high"])),
+                (m["low"].reshape(b, -1), np.asarray(m["hist_low"])),
+            ]
+            if has_pv:
+                jobs.append(
+                    (m["preview"].reshape(b, -1), np.asarray(m["hist_preview"]))
+                )
+            out = encode_planes_batch(jobs, self._chunk_len)
+            hs, ls = out[0], out[1]
+            pvs = out[2] if has_pv else None
             flags = self._pack_flags(
                 np.asarray(m["use_delta"]),
                 np.asarray(m["spatial"]),
@@ -613,7 +620,11 @@ class FpvtReader:
 
         off, b = self._batches[index]
         pb = fpvt.parse_batch_section(self._data, off)
-        if engine_name() == "pallas" and pb.low is not None:
+        if (
+            engine_name() == "pallas"
+            and pb.low is not None
+            and pb.preview is not None
+        ):
             return self._decode_batch_fused(pb, b)
         h, w = self.header.ysize, self.header.xsize
         high = self._decode_high(pb, b)
@@ -697,6 +708,10 @@ class FpvtReader:
         off, b = self._batches[index]
         pb = fpvt.parse_batch_section(self._data, off)
         ph, pw = self.header.ysize // 4, self.header.xsize // 4
+        if pb.preview is None:
+            if ph * pw == 0:
+                return np.zeros((b, ph, pw), np.uint8)
+            raise ValueError("batch has no preview stream")
         res = decode_plane_batch(pb.preview).reshape(b, ph, pw)
         pv_spatial = ((pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3).astype(np.int32)
         pv = _inverse_spatial(

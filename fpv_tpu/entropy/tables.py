@@ -30,6 +30,10 @@ def normalize_freqs(
     hist = np.asarray(hist, dtype=np.int64)
     total = int(hist.sum())
     if total <= 0:
+        if ensure_all:
+            # zero-pixel plane (e.g. previews of H<4 or W<4 frames): any
+            # valid table works since nothing is coded; use uniform
+            return np.full(256, scale // 256, dtype=np.uint16)
         raise ValueError("empty histogram")
     present = (hist > 0) | ensure_all
     npresent = int(present.sum())

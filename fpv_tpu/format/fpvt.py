@@ -93,6 +93,13 @@ def _pad8(n: int) -> int:
     return (-n) % 8
 
 
+def _need(data, pos: int, n: int) -> None:
+    """Bounds guard: malformed input raises ValueError, never struct.error
+    or IndexError (reference guard style: fusion_power_video.cc:292-294)."""
+    if pos < 0 or n < 0 or pos + n > len(data):
+        raise ValueError("truncated FPVT data")
+
+
 def serialize_plane_stream(ps: PlaneStream) -> bytes:
     body = (
         struct.pack("<III", ps.plane_size, ps.chunk_len, ps.num_chunks)
@@ -107,21 +114,41 @@ def serialize_plane_stream(ps: PlaneStream) -> bytes:
 
 
 def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream, int]:
+    _need(data, pos, 16)
     (size,) = struct.unpack_from("<I", data, pos)
     end = pos + size
+    _need(data, pos, size)
     p = pos + 4
     plane_size, chunk_len, num_chunks = struct.unpack_from("<III", data, p)
     p += 12
+    from fpv_tpu.ops.rans_layout import BLOCK_LANES, num_blocks as _num_blocks
+
+    if not (16 <= chunk_len <= 65536) or chunk_len & (chunk_len - 1):
+        raise ValueError("invalid plane-stream chunk length")
+    if plane_size > 1 << 32 or nframes * plane_size > 16_000_000_000:
+        raise ValueError("plane stream too large")
+    expect_chunks = _num_blocks(nframes, plane_size, chunk_len) * BLOCK_LANES
+    if num_chunks != expect_chunks:
+        raise ValueError("plane-stream chunk count mismatch")
+    _need(data, p, 512)
     freq = np.frombuffer(data, dtype="<u2", count=256, offset=p).copy()
     p += 512
+    from fpv_tpu.entropy.tables import PROB_SCALE
+
+    if int(freq.astype(np.int64).sum()) != PROB_SCALE:
+        raise ValueError("invalid frequency table")
+    _need(data, p, 4 * num_chunks)
     states = np.frombuffer(data, dtype="<u4", count=num_chunks, offset=p).copy()
     p += 4 * num_chunks
-    from fpv_tpu.ops.rans_layout import BLOCK_LANES
-
     nblocks = -(-num_chunks // BLOCK_LANES)
+    _need(data, p, 4 * nblocks)
     block_counts = np.frombuffer(data, dtype="<u4", count=nblocks, offset=p).copy()
     p += 4 * nblocks
     total_words = int(block_counts.astype(np.int64).sum())
+    # each chunk emits at most chunk_len words
+    if nblocks and block_counts.max() > chunk_len * BLOCK_LANES:
+        raise ValueError("plane-stream block count out of range")
+    _need(data, p, 2 * total_words)
     payload = np.frombuffer(data, dtype="<u2", count=total_words, offset=p).copy()
     p += 2 * total_words
     if p > end:
@@ -181,9 +208,11 @@ class ParsedBatch:
 
 
 def parse_delta_section(data: bytes, pos: int) -> tuple[int, PlaneStream, PlaneStream | None]:
+    _need(data, pos, 10)
     size, stype = struct.unpack_from("<QB", data, pos)
     if stype != SECTION_DELTA:
         raise ValueError("expected delta section")
+    _need(data, pos, size)
     p = pos + 9
     dflags = data[p]
     p += 1
@@ -195,12 +224,17 @@ def parse_delta_section(data: bytes, pos: int) -> tuple[int, PlaneStream, PlaneS
 
 
 def parse_batch_section(data: bytes, pos: int) -> ParsedBatch:
+    _need(data, pos, 17)
     size, stype = struct.unpack_from("<QB", data, pos)
     if stype != SECTION_BATCH:
         raise ValueError("expected batch section")
+    _need(data, pos, size)
     p = pos + 9
     nframes, has_low, has_preview, _ = struct.unpack_from("<IBBH", data, p)
     p += 8
+    if not (0 < nframes <= 1 << 20):
+        raise ValueError("invalid batch frame count")
+    _need(data, p, 9 * nframes)
     flags = np.frombuffer(data, dtype=np.uint8, count=nframes, offset=p).copy()
     p += nframes
     ts = np.frombuffer(data, dtype="<i8", count=nframes, offset=p).copy()
@@ -216,33 +250,42 @@ def parse_batch_section(data: bytes, pos: int) -> ParsedBatch:
 
 
 def serialize_footer(batch_offsets: list[tuple[int, int]], total_frames: int) -> bytes:
+    """Index footer, O(1) locatable: the last 8 bytes are the footer's own
+    size (u32) followed by the magic (reference's footer is likewise sized
+    from EOF, fusion_power_video.cc:993-1012)."""
     body = struct.pack("<Q", len(batch_offsets))
     for off, n in batch_offsets:
         body += struct.pack("<QI", off, n)
-    body += struct.pack("<Q4s", total_frames, MAGIC)
+    body += struct.pack("<Q", total_frames)
+    size = 9 + len(body) + 8  # + trailing (footer_size u32, magic)
+    body += struct.pack("<I4s", size, MAGIC)
     return serialize_section(SECTION_INDEX, body)
+
+
+def footer_size(nbatches: int) -> int:
+    return 33 + 12 * nbatches
 
 
 def parse_footer(data: bytes) -> list[tuple[int, int]]:
     """Locate the index footer from the end -> [(offset, nframes), ...]."""
-    if len(data) < 29 or data[-4:] != MAGIC:
+    if len(data) < footer_size(0) or data[-4:] != MAGIC:
         raise ValueError("no FPVT footer")
-    # The footer section is 29 + 12*nbatches bytes and ends the file; find
-    # nbatches by matching the stored size/type/count fields.
-    for nb in range(0, (len(data) // 12) + 1):
-        start = len(data) - (29 + 12 * nb)
-        if start < 0:
-            break
-        size, stype = struct.unpack_from("<QB", data, start)
-        if stype == SECTION_INDEX and size == 29 + 12 * nb:
-            (nbatches,) = struct.unpack_from("<Q", data, start + 9)
-            if nbatches != nb:
-                continue
-            out = []
-            p = start + 17
-            for _ in range(nb):
-                off, n = struct.unpack_from("<QI", data, p)
-                out.append((off, n))
-                p += 12
-            return out
-    raise ValueError("corrupt FPVT footer")
+    (fsize,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - fsize
+    if start < 0 or fsize < footer_size(0):
+        raise ValueError("corrupt FPVT footer")
+    size, stype = struct.unpack_from("<QB", data, start)
+    if stype != SECTION_INDEX or size != fsize:
+        raise ValueError("corrupt FPVT footer")
+    (nbatches,) = struct.unpack_from("<Q", data, start + 9)
+    if fsize != footer_size(nbatches):
+        raise ValueError("corrupt FPVT footer")
+    out = []
+    p = start + 17
+    for _ in range(nbatches):
+        off, n = struct.unpack_from("<QI", data, p)
+        if off >= start or n == 0:
+            raise ValueError("corrupt FPVT footer entry")
+        out.append((off, n))
+        p += 12
+    return out

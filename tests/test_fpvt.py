@@ -163,6 +163,64 @@ def test_fpvt_malformed_inputs_rejected():
         FpvtReader(good + b"\0" * 64)
 
 
+def test_fpvt_tiny_dims_roundtrip():
+    """H<4 / W<4 frames have zero-pixel previews: the preview stream is
+    skipped and both engines roundtrip (advisor finding: the numpy engine
+    used to crash on the empty preview histogram)."""
+    frames = testdata.noise_frames(2, 3, 3)
+    data = encode_file_fpvt(frames, frames_per_batch=2, chunk_log2=4)
+    np.testing.assert_array_equal(decode_file_fpvt(data), frames)
+    r = FpvtReader(data)
+    off, _b = r._batches[0]
+    pb = fpvt.parse_batch_section(data, off)
+    assert pb.preview is None
+    assert r.decode_previews(0).shape == (2, 0, 0)
+
+
+def test_fpvt_footer_o1_and_magic_collision():
+    """Footer is located from the fixed-size tail, not a backward scan — a
+    fake magic+size pattern in the last batch's payload must not confuse it."""
+    frames = testdata.plasma_frames(6, 16, 16)
+    data = encode_file_fpvt(frames, frames_per_batch=2, chunk_log2=4)
+    batches = fpvt.parse_footer(data)
+    assert len(batches) == 3
+    assert fpvt.footer_size(3) == 33 + 36
+    # appending garbage that ends with a bogus size+magic is rejected
+    bogus = data + b"\x00" * 21 + np.uint32(33).tobytes() + b"FPVT"
+    with pytest.raises(ValueError):
+        fpvt.parse_footer(bogus)
+
+
+def test_fpvt_fuzz_single_byte_mutations():
+    """Arbitrary single-byte mutations either still decode or raise
+    ValueError — never IndexError/struct.error/segfault-adjacent errors."""
+    frames = testdata.plasma_frames(4, 16, 16)
+    data = bytearray(encode_file_fpvt(frames, frames_per_batch=2, chunk_log2=4))
+    rng = np.random.default_rng(7)
+    for _ in range(150):
+        i = int(rng.integers(0, len(data)))
+        old = data[i]
+        data[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_file_fpvt(bytes(data))
+        except ValueError:
+            pass
+        finally:
+            data[i] = old
+
+
+def test_fpvt_fuzz_truncations():
+    frames = testdata.plasma_frames(4, 16, 16)
+    data = encode_file_fpvt(frames, frames_per_batch=2, chunk_log2=4)
+    rng = np.random.default_rng(8)
+    cuts = sorted(set(int(c) for c in rng.integers(0, len(data), 40)))
+    for cut in cuts:
+        try:
+            decode_file_fpvt(data[:cut])
+        except ValueError:
+            pass
+
+
 def test_multistream_encoder():
     from fpv_tpu.api.multistream import MultiStreamEncoder
     from fpv_tpu.api.fpvt_codec import decode_file_fpvt

@@ -90,35 +90,19 @@ def test_preview_matches_oracle():
         np.testing.assert_array_equal(pv[i], frame_ops.generate_preview(high[i]))
 
 
-def test_delta_decision_matches_oracle():
-    cases = np.stack(
-        [
-            (testdata.plasma_frames(1, 24, 40)[0] >> 8),
-            (testdata.constant_frames(1, 24, 40)[0] >> 8),
-            (testdata.noise_frames(1, 24, 40)[0] >> 8),
-        ]
-    ).astype(np.uint8)
-    got = np.asarray(jheur.delta_decision(cases))
-    for i in range(3):
-        assert bool(got[i]) == heuristics.decide_delta(cases[i]), i
-
-
-def test_cg_histograms_and_decision_match_oracle():
-    highs = np.stack(
-        [
-            (testdata.plasma_frames(1, 24, 40)[0] >> 8),
-            (testdata.noise_frames(1, 24, 40)[0] >> 8),
-            (testdata.ramp_frames(1, 24, 40)[0] >> 8),
-        ]
-    ).astype(np.uint8)
-    counta, countb = (np.asarray(x) for x in jheur.cg_histograms(highs))
-    for i in range(3):
-        oracle_a = heuristics.sampled_histogram(highs[i], 40 + 1, 31)
-        np.testing.assert_array_equal(counta[i], oracle_a)
-        decision = heuristics.estimate_entropy(countb[i]) < heuristics.estimate_entropy(
-            counta[i]
-        )
-        assert decision == heuristics.decide_cg(highs[i]), i
+def test_decide_delta_near_constant_plane():
+    """EstimateEntropy's integer division can return 0 for near-constant
+    planes (e.g. 69,905 equal samples + 1 outlier: 1024*16 // 69906 == 0),
+    so decide_delta must be False there — a constancy check would diverge."""
+    # stride-15 sampling of a plane this size yields 69,906 samples
+    plane = np.zeros((69906, 15), dtype=np.uint8)
+    assert not heuristics.decide_delta(plane)
+    plane[0, 0] = 200  # one outlier sample: entropy estimate still 0
+    assert not heuristics.decide_delta(plane)
+    # small planes with an outlier DO enable delta
+    small = np.zeros((16, 15), dtype=np.uint8)
+    small[0, 0] = 200
+    assert heuristics.decide_delta(small)
 
 
 def test_histogram256():

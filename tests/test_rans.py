@@ -1,4 +1,4 @@
-"""rANS engines: magic division, tables, numpy/pallas bit-equivalence."""
+"""rANS engines: tables, numpy/pallas bit-equivalence."""
 
 import numpy as np
 import pytest
@@ -12,23 +12,6 @@ from fpv_tpu.entropy.tables import PROB_SCALE, normalize_freqs
 from fpv_tpu.ops import rans_numpy as rn
 from fpv_tpu.ops.rans_layout import BLOCK_LANES, chunk_lens
 from fpv_tpu.utils import testdata
-from fpv_tpu.utils.magic import magic_tables
-
-
-def test_magic_division_exact():
-    rng = np.random.default_rng(3)
-    xs = np.concatenate(
-        [
-            rng.integers(0, 1 << 31, size=2000, dtype=np.int64),
-            np.array([0, 1, 2, (1 << 31) - 1, (1 << 30), (1 << 15)], dtype=np.int64),
-        ]
-    )
-    for d in [2, 3, 5, 7, 11, 255, 256, 1000, 4095, 4096, 1, 17]:
-        m_hi, m_lo, post = magic_tables(np.array([d]))
-        m = (int(m_hi[0]) << 32) + int(m_lo[0])
-        for x in xs:
-            q = ((int(x) * m) >> 32) >> int(post[0])
-            assert q == int(x) // d, (d, x)
 
 
 def test_normalize_freqs_properties():
