@@ -45,6 +45,27 @@ def normalize_freqs_device(hist: jax.Array) -> jax.Array:
     return freq.astype(jnp.uint32)
 
 
+def decode_tables_device(freq: jax.Array) -> jax.Array:
+    """freq u32 [256] -> packed symbol table [8, 128] u32 on device.
+
+    Device twin of the ``sym_packed`` output of rans_pallas.table_arrays:
+    slot s maps to the symbol whose cumulative range contains s, i.e. the
+    number of inclusive cumulative sums <= s (a compare-reduce; no scatter).
+    """
+    cum = jnp.cumsum(freq.astype(jnp.int32))
+    slots = jnp.arange(PROB_SCALE, dtype=jnp.int32)
+    sym = jnp.sum(
+        cum[None, :] <= slots[:, None], axis=1, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    packed = (
+        sym[0::4]
+        | (sym[1::4] << 8)
+        | (sym[2::4] << 16)
+        | (sym[3::4] << 24)
+    )
+    return packed.reshape(8, 128)
+
+
 def encode_tables_device(freq: jax.Array):
     """freq u32 [256] -> (fc [2,128] u32, finv_bits [2,128] u32) on device."""
     cum = jnp.concatenate(

@@ -331,6 +331,12 @@ def words_rows(chunk_len: int) -> int:
     return chunk_len * BLOCK_LANES // BLOCK_COLS + 48
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    """Mosaic kernels only compile for TPU; on any other backend (CPU tests,
+    the virtual multi-chip dryrun mesh) fall back to interpret mode."""
+    return interpret or jax.default_backend() != "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks", "interpret"))
 def encode_pallas(
     syms: jax.Array,  # [nblocks, K, 8, 128] i32
@@ -342,6 +348,7 @@ def encode_pallas(
 ):
     """Returns (states u32 [nblocks,8,128], words u16 [nblocks,Wrows,128],
     counts i32 [nblocks,1,1])."""
+    interpret = _auto_interpret(interpret)
     k = chunk_len
     wrows = words_rows(k)
     kernel = functools.partial(_encode_kernel, chunk_len=k)
@@ -406,6 +413,7 @@ def decode_pallas(
     interpret: bool = False,
 ):
     """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128])."""
+    interpret = _auto_interpret(interpret)
     k = chunk_len
     wrows = words.shape[1]
     kernel = functools.partial(_decode_kernel, chunk_len=k)

@@ -64,50 +64,155 @@ def sharded_encode_model_step(mesh: Mesh, shift: int = 0, big_endian: bool = Fal
     return step
 
 
-def sharded_roundtrip_step(mesh: Mesh, chunk_len: int = 256):
-    """A full sharded encode->decode step (prediction + rANS + inverse).
+def _local_codec_roundtrip(
+    imgs: jax.Array,
+    delta_high: jax.Array,
+    delta_low: jax.Array,
+    *,
+    shift: int,
+    big_endian: bool,
+    chunk_len: int,
+    axis: str | None,
+):
+    """The FULL fused codec, shard-local: model step -> device tables ->
+    rANS encode kernels -> rANS decode kernels -> inverse predictors ->
+    plane combine.  With ``axis`` set, histogram psums build globally-shared
+    frequency tables (the one collective; everything else is per-shard —
+    streams/batches are independent, matching the reference's frame-level
+    data parallelism, fusion_power_video.cc:1199-1230).
 
-    Used by the multi-chip dry run: exercises every collective the codec
-    needs (hist psum, halo rolls, sharded chunk scans) in one jitted program.
-    Returns (fn, make_example_args).
+    Returns (reconstructed imgs, ok) where ok aggregates the rANS state
+    integrity checks, the preview roundtrip and the pixel-exact compare.
     """
-    from fpv_tpu.ops.planes import combine_planes, split_planes
-    from fpv_tpu.ops.predict import (
-        cg2d_decode,
-        cg2d_encode,
-        delta_decode,
-        delta_encode,
+    from fpv_tpu.api.fpvt_codec import (
+        _apply_delta_and_combine,
+        _inverse_spatial,
+        _plane_geometry,
+        encode_model_step,
     )
-    from fpv_tpu.ops.preview import generate_preview
-    from fpv_tpu.ops.heuristics import histogram256
+    from fpv_tpu.entropy.plane_codec import (
+        _from_block_symbols,
+        _to_block_symbols,
+    )
+    from fpv_tpu.entropy.tables_device import (
+        decode_tables_device,
+        encode_tables_device,
+        normalize_freqs_device,
+    )
+    from fpv_tpu.ops import rans_pallas as rp
+    from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_ROWS
 
-    data_sh = NamedSharding(mesh, P("data", None, None))
-    rep = NamedSharding(mesh, P())
+    b, h, w = imgs.shape
+    m = encode_model_step(imgs, delta_high, delta_low, shift, big_endian)
+    rec = {}
+    oks = []
+    for name, s in (("high", h * w), ("low", h * w),
+                    ("preview", (h // 4) * (w // 4))):
+        hist = m[f"hist_{name}"]
+        if axis is not None:
+            hist = jax.lax.psum(hist, axis)
+        freq = normalize_freqs_device(hist)
+        fc, _finv = encode_tables_device(freq)
+        sym_tab = decode_tables_device(freq)
+        lens, nblocks = _plane_geometry(b, s, chunk_len)
+        syms = _to_block_symbols(m[name].reshape(b, -1), chunk_len, nblocks)
+        lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
+        states, words, counts = rp.encode_pallas(
+            syms, lens_dev, fc, chunk_len, nblocks
+        )
+        syms2, ok = rp.decode_pallas(
+            counts, states, lens_dev, sym_tab, fc,
+            words.astype(jnp.uint32), chunk_len, nblocks,
+        )
+        rec[name] = _from_block_symbols(syms2, b, s, chunk_len)
+        oks.append(jnp.all(ok == 1))
+    high = _inverse_spatial(
+        rec["high"].reshape(b, h, w), m["spatial"], True, True
+    )
+    out = _apply_delta_and_combine(
+        high, rec["low"].reshape(b, h, w), m["use_delta"],
+        delta_high, delta_low,
+    )
+    pv_ok = jnp.all(rec["preview"] == m["preview"].reshape(b, -1))
+    ok_all = jnp.all(jnp.stack(oks)) & pv_ok & jnp.all(out == imgs)
+    if axis is not None:
+        # replicate the verdict so it is a legal replicated output
+        ok_all = jax.lax.psum(ok_all.astype(jnp.int32), axis) == jax.lax.psum(
+            jnp.int32(1), axis
+        )
+    return out, ok_all
 
-    @functools.partial(jax.jit, in_shardings=(data_sh, rep, rep))
-    def step(imgs, delta_high, delta_low):
-        high, low, nonzero_low = split_planes(imgs, 0, False)
-        pv = generate_preview(high)
-        dh = delta_encode(high, delta_high[None])
-        res = cg2d_encode(dh)
-        hist = histogram256(res)
-        # inverse path (decode): wavefront + delta add + combine
-        back = cg2d_decode(res)
-        rec_high = delta_decode(back, delta_high[None])
-        rec = combine_planes(rec_high, low)
-        ok = jnp.all(rec == imgs)
-        return res, pv, hist, ok
 
-    return step
+def sharded_codec_roundtrip(
+    mesh: Mesh,
+    chunk_len: int = 64,
+    shift: int = 0,
+    big_endian: bool = False,
+):
+    """One jitted program running the FULL codec data-parallel over ``mesh``:
+    frames shard over 'data', the rANS Pallas kernels run on per-shard
+    blocks, and table histograms psum over ICI.  Returns f(imgs, dh, dl) ->
+    (reconstructed imgs, ok)."""
+    from jax import shard_map
+
+    fn = functools.partial(
+        _local_codec_roundtrip,
+        shift=shift,
+        big_endian=big_endian,
+        chunk_len=chunk_len,
+        axis="data",
+    )
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("data", None, None), P(None, None), P(None, None)),
+        out_specs=(P("data", None, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_fused_encode(
+    mesh: Mesh,
+    shift: int = 0,
+    big_endian: bool = False,
+    chunk_len: int = 512,
+    use_delta_frame: bool = True,
+):
+    """shard_map of the production fused_encode_batch program: each device
+    encodes its local frames into independent rANS streams (shard-local
+    tables and blocks).  Returns f(imgs, dh, dl) -> (small, payload_high,
+    payload_low, payload_preview), each the concatenation of the per-device
+    outputs along axis 0 — bit-identical to running fused_encode_batch on
+    each device's frame slice separately (tested in tests/test_parallel.py).
+    """
+    from jax import shard_map
+
+    from fpv_tpu.api.fpvt_codec import fused_encode_batch
+
+    def fn(imgs, dh, dl):
+        return fused_encode_batch(
+            imgs, dh, dl, shift, big_endian, chunk_len, use_delta_frame
+        )
+
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("data", None, None), P(None, None), P(None, None)),
+        out_specs=(P("data"), P("data"), P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def multichip_dryrun(n_devices: int, h: int = 32, w: int = 32) -> None:
-    """Compile + execute one sharded step over an ``n_devices`` mesh.
+    """Compile + execute the FULL codec (model step, device tables, rANS
+    encode/decode Pallas kernels, inverse predictors) sharded over an
+    ``n_devices`` mesh, and verify the roundtrip.
 
-    Raises if the sharded program fails to compile or produces a wrong
-    roundtrip. Designed to run on CPU with
-    ``--xla_force_host_platform_device_count=N``.
-    """
+    Designed to run on CPU with
+    ``--xla_force_host_platform_device_count=N`` (kernels run in interpret
+    mode off-TPU, see rans_pallas._auto_interpret)."""
     if len(jax.devices()) < n_devices and os.environ.get("FPV_TPU_DRYRUN") != "1":
         # Not enough devices on the current platform (e.g. a single real TPU
         # chip, or a backend pre-initialized by site hooks): re-exec in a
@@ -130,16 +235,21 @@ def multichip_dryrun(n_devices: int, h: int = 32, w: int = 32) -> None:
         subprocess.run([sys.executable, "-c", code], env=env, check=True)
         return
     mesh = make_mesh(n_devices)
-    step = sharded_roundtrip_step(mesh)
-    b = max(2 * n_devices, n_devices)  # at least 2 frames per device
-    rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 1 << 16, size=(b, h, w), dtype=np.uint16)
-    delta = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+    step = sharded_codec_roundtrip(mesh, chunk_len=32)
+    b = 2 * n_devices  # 2 frames per device
+    frames = _test_frames(b, h, w)
+    delta = frames[0]
     dh = (delta >> 8).astype(np.uint8)
     dl = (delta & 0xFF).astype(np.uint8)
-    imgs_s = shard_frames(imgs, mesh)
-    res, pv, hist, ok = step(imgs_s, jnp.asarray(dh), jnp.asarray(dl))
-    jax.block_until_ready(res)
+    imgs_s = shard_frames(frames, mesh)
+    out, ok = step(imgs_s, jnp.asarray(dh), jnp.asarray(dl))
+    jax.block_until_ready(out)
     if not bool(ok):
-        raise AssertionError("sharded roundtrip mismatch")
-    assert int(jnp.sum(hist)) == b * h * w
+        raise AssertionError("sharded full-codec roundtrip failed")
+    if not np.array_equal(np.asarray(out), frames):
+        raise AssertionError("sharded full-codec output mismatch")
+
+
+def _test_frames(b: int, h: int, w: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 1 << 16, size=(b, h, w), dtype=np.uint16)

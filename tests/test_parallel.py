@@ -39,6 +39,61 @@ def test_sharded_model_step_matches_single_device():
                                   np.asarray(out_single["use_delta"]))
 
 
+def test_sharded_fused_encode_bitexact_vs_single_device():
+    """shard_map of the production fused encode program produces streams
+    bit-identical to encoding each device's frame slice on one device."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.api.fpvt_codec import _small_layout, fused_encode_batch
+    from fpv_tpu.utils import testdata
+
+    D, H, W, K = 4, 16, 16, 16
+    m = pmesh.make_mesh(D, data=D)
+    frames = testdata.plasma_frames(8, H, W, bits=12)
+    delta = frames[0]
+    dh = (delta >> 8).astype(np.uint8)
+    dl = (delta & 0xFF).astype(np.uint8)
+    f = pmesh.sharded_fused_encode(m, chunk_len=K)
+    outs = f(pmesh.shard_frames(frames, m), jnp.asarray(dh), jnp.asarray(dl))
+    small_g, ph_g, pl_g, pv_g = (np.asarray(x) for x in outs)
+    bl = frames.shape[0] // D
+    lay = _small_layout(bl, H, W, K)
+    L = small_g.size // D
+    for d in range(D):
+        ref = fused_encode_batch(
+            jnp.asarray(frames[d * bl : (d + 1) * bl]),
+            jnp.asarray(dh), jnp.asarray(dl), 0, False, K,
+        )
+        rs, rh, rl, rpv = (np.asarray(x) for x in ref)
+        s_d = small_g[d * L : (d + 1) * L]
+        np.testing.assert_array_equal(s_d, rs)
+        for glob, ref_pay, name in (
+            (ph_g, rh, "high"), (pl_g, rl, "low"), (pv_g, rpv, "preview")
+        ):
+            lo, hi = lay[f"counts_{name}"]
+            total = int(s_d[lo:hi].sum())
+            n = ref_pay.size
+            np.testing.assert_array_equal(
+                glob[d * n : d * n + total], ref_pay[:total]
+            )
+
+
+def test_sharded_codec_roundtrip_lossless():
+    """The full codec (rANS kernels included) over a 4-device mesh."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.utils import testdata
+
+    m = pmesh.make_mesh(4, data=4)
+    frames = testdata.plasma_frames(8, 16, 16, bits=16)
+    dh = (frames[0] >> 8).astype(np.uint8)
+    dl = (frames[0] & 0xFF).astype(np.uint8)
+    step = pmesh.sharded_codec_roundtrip(m, chunk_len=16)
+    out, ok = step(pmesh.shard_frames(frames, m), jnp.asarray(dh), jnp.asarray(dl))
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(out), frames)
+
+
 def test_graft_entry():
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
