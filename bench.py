@@ -212,7 +212,7 @@ def main() -> None:
 
     # also report the single-dispatch number (includes one RPC round trip)
     def encode_device_batch():
-        small, ph, pl2, pp = fused_encode_batch(
+        small, _states, ph, pl2, pp = fused_encode_batch(
             imgs_dev, w0._delta_high, w0._delta_low, SHIFT, False, chunk_len
         )
         small_np = np.asarray(small)

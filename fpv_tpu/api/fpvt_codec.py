@@ -229,11 +229,14 @@ def fused_encode_batch(
 ):
     """Whole-batch FPVT encode as ONE device program.
 
-    Returns (small u32 [L], payload_high u16, payload_low u16, payload_pv
-    u16).  ``small`` packs, in order: use_delta, spatial, pv_spatial,
-    nonzero_low (B each), then per plane (high, low, preview): freq[256],
-    block counts, chunk states.  Payload buffers are worst-case-sized;
-    their true lengths are the per-plane count sums.
+    Returns (small u32 [L], states u32 [C], payload_high u16, payload_low
+    u16, payload_pv u16).  ``small`` packs, in order: use_delta, spatial,
+    pv_spatial, nonzero_low (B each), then per plane (high, low, preview):
+    freq[256] and block counts — only what the host needs to locate the
+    stream.  ``states`` concatenates the per-chunk final states of the
+    three planes; like the payloads it is part of the compressed stream
+    and can stay in HBM until the file is written.  Payload buffers are
+    worst-case-sized; their true lengths are the per-plane count sums.
     """
     from fpv_tpu.entropy.plane_codec import _to_block_symbols
     from fpv_tpu.entropy.tables_device import (
@@ -254,6 +257,7 @@ def fused_encode_batch(
         m["nonzero_low"].astype(jnp.uint32),
     ]
     payloads = []
+    all_states = []
     for name in ("high", "low", "preview"):
         plane = m[name].reshape(b, -1)
         s = plane.shape[1]
@@ -278,22 +282,30 @@ def fused_encode_batch(
         payloads.append(_compact_payload(words, cum, nblocks * win, wrows))
         small.append(freq)
         small.append(counts_flat)
-        small.append(states.reshape(-1))
-    return (jnp.concatenate(small), *payloads)
+        all_states.append(states.reshape(-1))
+    return (jnp.concatenate(small), jnp.concatenate(all_states), *payloads)
 
 
 def _small_layout(b: int, h: int, w: int, chunk_len: int):
-    """Offsets into fused_encode_batch's ``small`` vector."""
+    """Offsets into fused_encode_batch's ``small`` vector, plus offsets of
+    each plane's chunk states inside the separate ``states`` vector."""
+    from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
+
     sizes = [b, b, b, b]
     names = ["use_delta", "spatial", "pv_spatial", "nonzero_low"]
+    st_sizes, st_names = [], []
     for name, s in (("high", h * w), ("low", h * w), ("preview", (h // 4) * (w // 4))):
         _lens, nblocks = _plane_geometry(b, s, chunk_len)
-        from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
-
-        sizes += [256, nblocks, nblocks * _BL]
-        names += [f"freq_{name}", f"counts_{name}", f"states_{name}"]
+        sizes += [256, nblocks]
+        names += [f"freq_{name}", f"counts_{name}"]
+        st_sizes.append(nblocks * _BL)
+        st_names.append(f"states_{name}")
     offs = np.cumsum([0] + sizes)
-    return {n: (int(offs[i]), int(offs[i + 1])) for i, n in enumerate(names)}
+    lay = {n: (int(offs[i]), int(offs[i + 1])) for i, n in enumerate(names)}
+    st_offs = np.cumsum([0] + st_sizes)
+    for i, n in enumerate(st_names):
+        lay[n] = (int(st_offs[i]), int(st_offs[i + 1]))
+    return lay
 
 
 @functools.partial(
@@ -382,6 +394,61 @@ def fused_decode_batch(
         pv = _inverse_spatial(pv, pv_spatial, pv_any_up, pv_any_cg)
         return imgs, ok_all, pv
     return imgs, ok_all
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_len", "b", "ph", "pw", "pv_any_up", "pv_any_cg",
+                     "rows_alloc"),
+)
+def fused_decode_preview(
+    payload: jax.Array,  # u16 padded (rows_alloc*128 slack)
+    counts: jax.Array,  # i32 [nblocks]
+    states: jax.Array,  # u32 [nblocks*1024]
+    flags: jax.Array,  # u32 [B]
+    sym_tab: jax.Array,  # u32 [8, 128]
+    fc: jax.Array,  # u32 [2, 128]
+    chunk_len: int,
+    b: int,
+    ph: int,
+    pw: int,
+    pv_any_up: bool,
+    pv_any_cg: bool,
+    rows_alloc: int,
+):
+    """Preview-only decode as ONE device program -> ([B,ph,pw] u8, ok).
+
+    The fast-path analog of RandomAccessDecoder::DecodePreview
+    (fusion_power_video.cc:1038-1070): previews decode without touching the
+    main planes."""
+    from fpv_tpu.entropy.plane_codec import (
+        _expand_payload,
+        _from_block_symbols,
+    )
+    from fpv_tpu.ops import rans_pallas as rp
+    from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_ROWS
+
+    s = ph * pw
+    lens, nblocks = _plane_geometry(b, s, chunk_len)
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    words = _expand_payload(payload, cum, counts, rows_alloc)
+    lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
+    syms, ok = rp.decode_pallas(
+        counts.reshape(nblocks, 1, 1),
+        states.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS),
+        lens_dev,
+        sym_tab,
+        fc,
+        words,
+        chunk_len,
+        nblocks,
+    )
+    pv = _from_block_symbols(syms, b, s, chunk_len).reshape(b, ph, pw)
+    pv_spatial = ((flags >> F_PV_SPATIAL_SHIFT) & 3).astype(jnp.int32)
+    pv = _inverse_spatial(pv, pv_spatial, pv_any_up, pv_any_cg)
+    return pv, jnp.all(ok == 1)
 
 
 class FpvtWriter:
@@ -512,7 +579,7 @@ class FpvtWriter:
         from fpv_tpu.entropy.plane_codec import PlaneStream, _quantize_cap
 
         h, w = self.header.ysize, self.header.xsize
-        small_d, pay_h, pay_l, pay_p = fused_encode_batch(
+        small_d, states_d, pay_h, pay_l, pay_p = fused_encode_batch(
             imgs,
             self._delta_high,
             self._delta_low,
@@ -521,6 +588,7 @@ class FpvtWriter:
             self._chunk_len,
         )
         small = np.asarray(small_d)
+        states_all = np.asarray(states_d)
         lay = _small_layout(b, h, w, self._chunk_len)
 
         def seg(name):
@@ -535,7 +603,8 @@ class FpvtWriter:
         def package(name, pay_dev, s):
             freq = seg(f"freq_{name}").astype(np.uint16)
             counts = seg(f"counts_{name}").astype(np.uint32)
-            states = seg(f"states_{name}").astype(np.uint32)
+            lo, hi = lay[f"states_{name}"]
+            states = states_all[lo:hi].astype(np.uint32)
             total = int(counts.sum())
             nblocks = len(counts)
             cap = _quantize_cap(total, self._chunk_len, nblocks)
@@ -625,7 +694,7 @@ class FpvtReader:
             and pb.low is not None
             and pb.preview is not None
         ):
-            return self._decode_batch_fused(pb, b)
+            return self._decode_batch_fused(pb, b)[0]
         h, w = self.header.ysize, self.header.xsize
         high = self._decode_high(pb, b)
         if pb.low is not None:
@@ -638,8 +707,15 @@ class FpvtReader:
         )
         return np.asarray(imgs)
 
-    def _decode_batch_fused(self, pb: fpvt.ParsedBatch, b: int) -> np.ndarray:
-        """One-jit decode: single upload + dispatch + frame pull."""
+    def _decode_batch_fused(
+        self, pb: fpvt.ParsedBatch, b: int, decode_preview: bool = False
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """One-jit decode: single upload + dispatch + frame pull.
+
+        Returns (imgs, previews-or-None); with ``decode_preview`` the
+        preview plane decodes inside the same fused program (the fast-path
+        analog of the reference's DecodePreview,
+        fusion_power_video.cc:1038-1070)."""
         from fpv_tpu.entropy.plane_codec import _quantize_cap
         from fpv_tpu.ops import rans_pallas as rp
         from fpv_tpu.ops.rans_layout import BLOCK_COLS
@@ -671,7 +747,8 @@ class FpvtReader:
         sym_tabs = np.stack([t[2] for t in tabs])
         flags = pb.frame_flags.astype(np.uint32)
         spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
-        imgs, ok = fused_decode_batch(
+        pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
+        out = fused_decode_batch(
             jnp.asarray(payload),
             jnp.asarray(plane_offs),
             jnp.asarray(counts),
@@ -687,14 +764,16 @@ class FpvtReader:
             w=w,
             any_up=bool((spatial == SPATIAL_UP).any()),
             any_cg=bool((spatial == SPATIAL_CG2D).any()),
-            pv_any_up=False,
-            pv_any_cg=False,
+            pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
+            pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
+            decode_preview=decode_preview,
             rows_alloc=rows_alloc,
         )
-        imgs_np = np.asarray(imgs)
-        if not bool(np.asarray(ok)):
+        imgs_np = np.asarray(out[0])
+        if not bool(np.asarray(out[1])):
             raise ValueError("rANS stream integrity check failed")
-        return imgs_np
+        pv_np = np.asarray(out[2]) if decode_preview else None
+        return imgs_np, pv_np
 
     def decode_frame(self, index: int) -> np.ndarray:
         """Decode one frame (decodes + caches its containing batch)."""
@@ -703,8 +782,30 @@ class FpvtReader:
             self._cache = (bi, self.decode_batch(bi))
         return self._cache[1][j]
 
+    def decode_batch_with_previews(
+        self, index: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode batch ``index`` frames AND previews.
+
+        On the pallas engine both decode inside one fused device program
+        (full-fidelity decode: every coded plane reconstructed)."""
+        from fpv_tpu.entropy.plane_codec import engine_name
+
+        off, b = self._batches[index]
+        pb = fpvt.parse_batch_section(self._data, off)
+        if (
+            engine_name() == "pallas"
+            and pb.low is not None
+            and pb.preview is not None
+        ):
+            imgs, pv = self._decode_batch_fused(pb, b, decode_preview=True)
+            return imgs, pv
+        return self.decode_batch(index), self.decode_previews(index)
+
     def decode_previews(self, index: int) -> np.ndarray:
         """Decode batch ``index`` previews -> [B, H//4, W//4] uint8."""
+        from fpv_tpu.entropy.plane_codec import engine_name
+
         off, b = self._batches[index]
         pb = fpvt.parse_batch_section(self._data, off)
         ph, pw = self.header.ysize // 4, self.header.xsize // 4
@@ -712,6 +813,41 @@ class FpvtReader:
             if ph * pw == 0:
                 return np.zeros((b, ph, pw), np.uint8)
             raise ValueError("batch has no preview stream")
+        if engine_name() == "pallas":
+            # one fused program: expand + rANS decode + inverse spatial,
+            # previews only (no main-plane work)
+            from fpv_tpu.entropy.plane_codec import _quantize_cap, _quantize_rows
+            from fpv_tpu.ops import rans_pallas as rp
+            from fpv_tpu.ops.rans_layout import BLOCK_COLS
+
+            st = pb.preview
+            k = 1 << self.header.chunk_log2
+            counts = st.block_counts.astype(np.int32)
+            rows_alloc = _quantize_rows(int(counts.max()), k) + 16
+            total = int(counts.sum())
+            cap = _quantize_cap(total, k, st.num_blocks)
+            payload = np.zeros(cap + rows_alloc * BLOCK_COLS, np.uint16)
+            payload[:total] = st.payload
+            fc, _finv, sym_tab = rp.table_arrays(st.freq)
+            pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
+            pv, ok = fused_decode_preview(
+                jnp.asarray(payload),
+                jnp.asarray(counts),
+                jnp.asarray(st.states.astype(np.uint32)),
+                jnp.asarray(pb.frame_flags.astype(np.uint32)),
+                jnp.asarray(sym_tab),
+                jnp.asarray(fc),
+                chunk_len=k,
+                b=b,
+                ph=ph,
+                pw=pw,
+                pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
+                pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
+                rows_alloc=rows_alloc,
+            )
+            if not bool(np.asarray(ok)):
+                raise ValueError("rANS stream integrity check failed")
+            return np.asarray(pv)
         res = decode_plane_batch(pb.preview).reshape(b, ph, pw)
         pv_spatial = ((pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3).astype(np.int32)
         pv = _inverse_spatial(

@@ -106,15 +106,24 @@ def _pack_rows(values: jax.Array, incl: jax.Array) -> jax.Array:
 
     ``incl`` is the within-row inclusive cumsum of the mask.  Output position
     i takes the lane src = min{col : incl[col] >= i+1} (garbage beyond each
-    row's count).  7-round binary search with axis-1 dynamic gathers.
+    row's count).  4-ary search: 4 rounds of THREE independent probes beat
+    7 rounds of one — dynamic gathers cost ~80 cycles of latency but
+    pipeline, so the serial chain length (not probe count) is what the
+    symbol loop pays.
     """
     lane = _lanes()
     target = lane + 1
     lo = jnp.zeros(values.shape, jnp.int32)
-    for step in (64, 32, 16, 8, 4, 2, 1):
-        probe = lo + step
-        pv = jnp.take_along_axis(incl, jnp.minimum(probe, 127), axis=1)
-        lo = jnp.where(pv < target, probe, lo)
+    for w in (32, 8, 2):
+        c = jnp.zeros(values.shape, jnp.int32)
+        for i in (1, 2, 3):
+            pv = jnp.take_along_axis(
+                incl, jnp.minimum(lo + i * w, 127), axis=1
+            )
+            c = c + (pv < target).astype(jnp.int32)
+        lo = lo + w * c
+    pv = jnp.take_along_axis(incl, jnp.minimum(lo + 1, 127), axis=1)
+    lo = jnp.where(pv < target, lo + 1, lo)
     first = jnp.take_along_axis(incl, jnp.zeros_like(lo), axis=1)
     src = jnp.where(first >= target, 0, jnp.minimum(lo + 1, 127))
     return jnp.take_along_axis(values, src, axis=1)

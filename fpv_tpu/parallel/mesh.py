@@ -181,11 +181,11 @@ def sharded_fused_encode(
 ):
     """shard_map of the production fused_encode_batch program: each device
     encodes its local frames into independent rANS streams (shard-local
-    tables and blocks).  Returns f(imgs, dh, dl) -> (small, payload_high,
-    payload_low, payload_preview), each the concatenation of the per-device
-    outputs along axis 0 — bit-identical to running fused_encode_batch on
-    each device's frame slice separately (tested in tests/test_parallel.py).
-    """
+    tables and blocks).  Returns f(imgs, dh, dl) -> (small, states,
+    payload_high, payload_low, payload_preview), each the concatenation of
+    the per-device outputs along axis 0 — bit-identical to running
+    fused_encode_batch on each device's frame slice separately (tested in
+    tests/test_parallel.py)."""
     from jax import shard_map
 
     from fpv_tpu.api.fpvt_codec import fused_encode_batch
@@ -199,7 +199,7 @@ def sharded_fused_encode(
         fn,
         mesh=mesh,
         in_specs=(P("data", None, None), P(None, None), P(None, None)),
-        out_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"),) * 5,
         check_vma=False,
     )
     return jax.jit(sharded)

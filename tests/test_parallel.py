@@ -55,18 +55,20 @@ def test_sharded_fused_encode_bitexact_vs_single_device():
     dl = (delta & 0xFF).astype(np.uint8)
     f = pmesh.sharded_fused_encode(m, chunk_len=K)
     outs = f(pmesh.shard_frames(frames, m), jnp.asarray(dh), jnp.asarray(dl))
-    small_g, ph_g, pl_g, pv_g = (np.asarray(x) for x in outs)
+    small_g, st_g, ph_g, pl_g, pv_g = (np.asarray(x) for x in outs)
     bl = frames.shape[0] // D
     lay = _small_layout(bl, H, W, K)
     L = small_g.size // D
+    SL = st_g.size // D
     for d in range(D):
         ref = fused_encode_batch(
             jnp.asarray(frames[d * bl : (d + 1) * bl]),
             jnp.asarray(dh), jnp.asarray(dl), 0, False, K,
         )
-        rs, rh, rl, rpv = (np.asarray(x) for x in ref)
+        rs, rst, rh, rl, rpv = (np.asarray(x) for x in ref)
         s_d = small_g[d * L : (d + 1) * L]
         np.testing.assert_array_equal(s_d, rs)
+        np.testing.assert_array_equal(st_g[d * SL : (d + 1) * SL], rst)
         for glob, ref_pay, name in (
             (ph_g, rh, "high"), (pl_g, rl, "low"), (pv_g, rpv, "preview")
         ):
