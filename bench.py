@@ -28,8 +28,8 @@ REFBIN = REPO / ".refbin" / "ref_benchmark"
 RECORDED_BASELINE_MPS = 43.98  # ref_benchmark, this box, 32x1024x1024 12-bit
 
 # benchmark configuration (mirrors the BASELINE.json corpus shape)
-FRAMES, H, W, BITS, SHIFT = 64, 1024, 1024, 12, 4
-BATCH = 64
+FRAMES, H, W, BITS, SHIFT = 128, 1024, 1024, 12, 4
+BATCH = 128
 
 
 def log(*args):
@@ -264,13 +264,18 @@ def main() -> None:
         sym_tabs, fcs, rdr._delta_high, rdr._delta_low,
     )
     jax.block_until_ready(dec_args)
+    from fpv_tpu.format.fpvt import F_PV_SPATIAL_SHIFT
+    pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
+    # full-fidelity decode: previews decode in the same fused program
     dec_kw = dict(chunk_len=chunk_len, b=b0, h=H, w=W,
                   any_up=bool((spatial == SPATIAL_UP).any()),
                   any_cg=bool((spatial == SPATIAL_CG2D).any()),
-                  pv_any_up=False, pv_any_cg=False, rows_alloc=_rows_alloc)
+                  pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
+                  pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
+                  decode_preview=True, rows_alloc=_rows_alloc)
 
     def decode_device_batch():
-        imgs, ok = fused_decode_batch(*dec_args, **dec_kw)
+        imgs, ok, _pv = fused_decode_batch(*dec_args, **dec_kw)
         return bool(np.asarray(ok))
 
     assert decode_device_batch()
@@ -280,7 +285,7 @@ def main() -> None:
         decode_device_batch()
         times.append(time.time() - t0)
     dev_dec = b0 * H * W / 1e6 / min(times)
-    log(f"device-resident decode: {dev_dec:.1f} Mpix/s"
+    log(f"device-resident decode (frames+previews): {dev_dec:.1f} Mpix/s"
         f" ({min(times)*1000:.0f} ms / {b0} frames)")
     log(f"device-resident encode sustained: {dev_enc:.1f} Mpix/s"
         f" (marginal {dev_enc_s*1000:.0f} ms / {BATCH} frames); "
@@ -288,18 +293,21 @@ def main() -> None:
 
     log(f"e2e encode: {e2e_enc:.1f} Mpix/s, e2e decode: {e2e_dec:.1f} Mpix/s"
         " (tunnel link-bound)")
-    log(f"vs reference encode: device {dev_enc/ref_mps:.2f}x, "
-        f"e2e {e2e_enc/ref_mps:.2f}x")
+    log(f"vs reference encode: device single-dispatch "
+        f"{dev_enc_1shot/ref_mps:.2f}x, e2e {e2e_enc/ref_mps:.2f}x")
 
+    # headline = the honest single-dispatch device number (one fused
+    # program, one host round trip); the marginal-cost "sustained" figure
+    # is reported as a secondary field
     print(json.dumps({
         "metric": "fpvt_device_encode_throughput",
-        "value": round(dev_enc, 2),
+        "value": round(dev_enc_1shot, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(dev_enc / ref_mps, 3),
+        "vs_baseline": round(dev_enc_1shot / ref_mps, 3),
+        "device_encode_sustained_mpix_s": round(dev_enc, 2),
         "e2e_encode_mpix_s": round(e2e_enc, 2),
         "e2e_decode_mpix_s": round(e2e_dec, 2),
         "device_decode_mpix_s": round(dev_dec, 2),
-        "device_encode_single_dispatch_mpix_s": round(dev_enc_1shot, 2),
         "bits_per_pixel": round(8 * len(data) / npix, 3),
         "lossless_roundtrip": True,
         "baseline_mpix_s": round(ref_mps, 2),

@@ -166,13 +166,22 @@ def _compact_payload(
     win = rows_q * BLOCK_COLS
 
     # fori_loop keeps the buffer carry in place (an unrolled
-    # dynamic_update_slice chain materializes full-buffer copies)
-    def body(m, out):
-        chunk = jax.lax.dynamic_slice(flat16, (m, 0), (1, win))[0]
-        return jax.lax.dynamic_update_slice(out, chunk, (cum[m],))
+    # dynamic_update_slice chain materializes full-buffer copies); UNROLL
+    # several blocks per iteration — XLA pays ~40us of loop overhead per
+    # while step, which dominates at one block per step
+    unroll = 8
+
+    def body(i, out):
+        for s in range(unroll):
+            # clamp: the tail re-places the last block at its own offset
+            # (identical bytes, idempotent)
+            m = jnp.minimum(i * unroll + s, nblocks - 1)
+            chunk = jax.lax.dynamic_slice(flat16, (m, 0), (1, win))[0]
+            out = jax.lax.dynamic_update_slice(out, chunk, (cum[m],))
+        return out
 
     out = jax.lax.fori_loop(
-        0, nblocks, body, jnp.zeros(cap + win, jnp.uint16)
+        0, -(-nblocks // unroll), body, jnp.zeros(cap + win, jnp.uint16)
     )
     return out[:cap]
 

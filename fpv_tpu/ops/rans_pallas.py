@@ -113,20 +113,26 @@ def _pack_rows(values: jax.Array, incl: jax.Array) -> jax.Array:
     """
     lane = _lanes()
     target = lane + 1
+    # combo packs (word << 8 | incl) so the final probes return the VALUE
+    # along with the cumsum — no separate value gather at the chain's end
+    combo = (values.astype(jnp.int32) << 8) | incl
     lo = jnp.zeros(values.shape, jnp.int32)
-    for w in (32, 8, 2):
+    for w in (16, 2):
         c = jnp.zeros(values.shape, jnp.int32)
-        for i in (1, 2, 3):
-            pv = jnp.take_along_axis(
-                incl, jnp.minimum(lo + i * w, 127), axis=1
+        for i in range(1, 8):
+            pv = (
+                jnp.take_along_axis(
+                    combo, jnp.minimum(lo + i * w, 127), axis=1
+                )
+                & 0xFF
             )
             c = c + (pv < target).astype(jnp.int32)
         lo = lo + w * c
-    pv = jnp.take_along_axis(incl, jnp.minimum(lo + 1, 127), axis=1)
-    lo = jnp.where(pv < target, lo + 1, lo)
-    first = jnp.take_along_axis(incl, jnp.zeros_like(lo), axis=1)
-    src = jnp.where(first >= target, 0, jnp.minimum(lo + 1, 127))
-    return jnp.take_along_axis(values, src, axis=1)
+    p1 = jnp.take_along_axis(combo, jnp.minimum(lo + 1, 127), axis=1)
+    p2 = jnp.take_along_axis(combo, jnp.minimum(lo + 2, 127), axis=1)
+    chosen = jnp.where((p1 & 0xFF) >= target, p1, p2)
+    out = jnp.where(incl[:, 0:1] >= target, combo[:, 0:1], chosen)
+    return ((out >> 8) & 0xFFFF).astype(values.dtype)
 
 
 def _div_by_freq(x: jax.Array, f: jax.Array, inv: jax.Array) -> jax.Array:
@@ -167,8 +173,11 @@ def _encode_kernel(
     wrow_id = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 0)
     wlane = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 1)
 
-    def one(u, t, x, ptr, e):
-        """One symbol step for sub-block u (e = prefetched table row)."""
+    def advance(u, t, x, e):
+        """State update + group pack for step t (no stream writes).
+
+        Returns (x', packed words [8,128] u32, per-row counts broadcast
+        [8,128] i32)."""
         j = k - 1 - t
         f = (e & 0xFFF) + 1
         cum = e >> PROB_BITS
@@ -182,18 +191,23 @@ def _encode_kernel(
         q = _div_by_freq(x2, f, inv)
         xn = (q << PROB_BITS) + (x2 - q * f) + cum
         x = jnp.where(active, xn, x)
-
-        # pack this step's emitted words and append at ptr (row-major order):
-        # one aligned 16-row read-modify-write window per step; row segments
-        # are placed into window registers with rolls + row selects.
         incl = _row_cumsum(emit.astype(jnp.int32))
         packed = _pack_rows(word, incl)
+        rowcnt = jnp.broadcast_to(
+            incl[:, BLOCK_COLS - 1 :], (BLOCK_ROWS, BLOCK_COLS)
+        )
+        return x, packed, rowcnt
+
+    def place(u, packed, rowcnt, ptr):
+        """Append a packed word group at ptr (row-major row segments): one
+        aligned 16-row read-modify-write window; row segments are placed
+        with rolls + row selects."""
         al = (ptr >> 7) & ~15  # 16-row-aligned window base (u16 tiling)
         al = pl.multiple_of(al, 16)
         win = words_ref[u, pl.ds(al, win_rows), :]
         off = ptr - al * BLOCK_COLS  # word offset inside the window [0, 2048)
         for r in range(BLOCK_ROWS):
-            cnt_r = jnp.sum(incl[r : r + 1, BLOCK_COLS - 1 :])
+            cnt_r = jnp.sum(rowcnt[r : r + 1, :1])
             shift = off & 127
             rot = jnp.broadcast_to(
                 pltpu.roll(packed[r : r + 1], shift, 1).astype(jnp.uint16),
@@ -205,7 +219,7 @@ def _encode_kernel(
             win = jnp.where(m0 | m1, rot, win)
             off = off + cnt_r
         words_ref[u, pl.ds(al, win_rows), :] = win
-        return x, al * BLOCK_COLS + off
+        return al * BLOCK_COLS + off
 
     def _prefetch(u, t):
         """Table row for sub-block u at step t (clamped at the end)."""
@@ -214,14 +228,23 @@ def _encode_kernel(
         return _lookup256(fc, sym)
 
     def step(t, carry):
-        xs, ptrs, es = carry
+        """Two-stage software pipeline: this body computes step t's state
+        update + pack (gather-latency-bound) while PLACING step t-1's word
+        group (VPU/VMEM-bound) — independent work the VLIW scheduler can
+        interleave."""
+        xs, ptrs, pks, rcs, es = carry
         # issue next step's independent lookups first so they overlap the
-        # state-update dependency chains (software pipelining)
+        # state-update dependency chains
         es_next = tuple(_prefetch(u, t + 1) for u in range(NSUB))
-        out = [one(u, t, xs[u], ptrs[u], es[u]) for u in range(NSUB)]
+        adv = [advance(u, t, xs[u], es[u]) for u in range(NSUB)]
+        ptrs_new = tuple(
+            place(u, pks[u], rcs[u], ptrs[u]) for u in range(NSUB)
+        )
         return (
-            tuple(o[0] for o in out),
-            tuple(o[1] for o in out),
+            tuple(a[0] for a in adv),
+            ptrs_new,
+            tuple(a[1] for a in adv),
+            tuple(a[2] for a in adv),
             es_next,
         )
 
@@ -231,10 +254,19 @@ def _encode_kernel(
     )
     p0 = tuple(jnp.int32(0) for _ in range(NSUB))
     e0 = tuple(_prefetch(u, 0) for u in range(NSUB))
-    xs, ptrs, _ = jax.lax.fori_loop(0, k, step, (x0, p0, e0))
+    pk0 = tuple(
+        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(NSUB)
+    )
+    rc0 = tuple(
+        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32) for _ in range(NSUB)
+    )
+    xs, ptrs, pks, rcs, _ = jax.lax.fori_loop(
+        0, k, step, (x0, p0, pk0, rc0, e0)
+    )
     for u in range(NSUB):
         states_ref[u] = xs[u]
-        count_ref[u, 0] = ptrs[u]
+        # drain the pipeline: place the final step's word group
+        count_ref[u, 0] = place(u, pks[u], rcs[u], ptrs[u])
 
 
 def _decode_kernel(
