@@ -152,6 +152,23 @@ def main() -> None:
         times.append(time.time() - t0)
     e2e_dec = npix / 1e6 / min(times)
 
+    # ---- FPV1 compat path (byte-exact reference format): whole-frame
+    # native pipeline (split+heuristics+prediction+brotli in one C call,
+    # native/fpv_native.cc) on the same host CPU the reference uses
+    import fpv_tpu
+
+    sub = frames[:32]
+    fpv1_data = fpv_tpu.encode_file(sub, shift=SHIFT, num_threads=0)
+    t0 = time.time()
+    fpv_tpu.encode_file(sub, shift=SHIFT, num_threads=0)
+    fpv1_mps = sub.size / 1e6 / (time.time() - t0)
+    fpv1_ok = bool(
+        (fpv_tpu.decode_file(fpv1_data) >> SHIFT == sub).all()
+    )
+    log(f"FPV1 compat encode (native, byte-exact): {fpv1_mps:.1f} MP/s "
+        f"({8*len(fpv1_data)/sub.size:.3f} bpp, roundtrip {'ok' if fpv1_ok else 'FAIL'})"
+        f" vs reference {ref_mps:.1f} MP/s")
+
     # ---- device-resident codec throughput: frames pre-staged in HBM,
     # compressed stream left in HBM (the production serving scenario; the
     # reference's own numbers likewise exclude disk I/O).  Host work that is
@@ -310,6 +327,9 @@ def main() -> None:
         "device_decode_mpix_s": round(dev_dec, 2),
         "bits_per_pixel": round(8 * len(data) / npix, 3),
         "lossless_roundtrip": True,
+        "fpv1_encode_mpix_s": round(fpv1_mps, 2),
+        "fpv1_vs_baseline": round(fpv1_mps / ref_mps, 3),
+        "fpv1_lossless_roundtrip": fpv1_ok,
         "baseline_mpix_s": round(ref_mps, 2),
     }))
 

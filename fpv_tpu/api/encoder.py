@@ -29,6 +29,17 @@ from fpv_tpu.format import container
 Callback = Callable[[bytes, object], None]
 
 
+def _native_compress_frame():
+    """fpv_native.compress_frame if the extension is built, else None."""
+    import os
+
+    if os.environ.get("FPV_TPU_COMPAT_NATIVE") == "0":
+        return None
+    from fpv_tpu.entropy.brotli import _native
+
+    return getattr(_native, "compress_frame", None)
+
+
 def _compress_frame_bytes(
     img: np.ndarray,
     xsize: int,
@@ -37,7 +48,22 @@ def _compress_frame_bytes(
     big_endian: bool,
     delta: FramePlanes | None,
 ) -> bytes:
-    """One frame through the full numpy compat pipeline -> frame chunk bytes."""
+    """One frame through the full compat pipeline -> frame chunk bytes.
+
+    Fast path: the whole pipeline (split, preview, heuristics, prediction,
+    brotli) runs in one GIL-released native call (native/fpv_native.cc);
+    the numpy stage functions below remain the tested oracle
+    (FPV_TPU_COMPAT_NATIVE=0 forces them)."""
+    native = _native_compress_frame()
+    if native is not None:
+        img = np.ascontiguousarray(img, dtype=np.uint16).reshape(ysize, xsize)
+        dh = delta.high if delta is not None else None
+        dl = delta.low if delta is not None else None
+        _flags, image_bs, preview_bs = native(
+            img, xsize, ysize, shift, big_endian, dh, dl,
+            delta is not None, True,
+        )
+        return container.serialize_frame_chunk(preview_bs, image_bs)
     planes = frame_ops.split_planes(
         np.asarray(img, dtype=np.uint16).reshape(ysize, xsize), shift, big_endian
     )
@@ -99,15 +125,25 @@ class Encoder:
         """Write header + delta-frame chunk (Encoder::Init,
         fusion_power_video.cc:1086-1106)."""
         self._xsize, self._ysize = int(xsize), int(ysize)
-        img = np.asarray(delta_frame, dtype=np.uint16).reshape(ysize, xsize)
+        img = np.ascontiguousarray(delta_frame, dtype=np.uint16).reshape(
+            ysize, xsize
+        )
         self._delta = frame_ops.split_planes(img, self._shift, self._big_endian)
         # Compress a copy of the delta frame: preview generated but dropped
         # by OutputCore; no delta prediction; CG optional.
-        predicted = frame_ops.predict(self._delta, None, make_preview=False)
-        # The reference *does* generate and CG-transform a preview here via
-        # Predict, but OutputCore never emits it, so skipping generation is
-        # output-equivalent.  The CG decision only looks at the high plane.
-        image_bs = container.serialize_image(predicted)
+        native = _native_compress_frame()
+        if native is not None:
+            _flags, image_bs, _pv = native(
+                img, self._xsize, self._ysize, self._shift,
+                self._big_endian, None, None, False, False,
+            )
+        else:
+            predicted = frame_ops.predict(self._delta, None, make_preview=False)
+            # The reference *does* generate and CG-transform a preview here
+            # via Predict, but OutputCore never emits it, so skipping
+            # generation is output-equivalent.  The CG decision only looks
+            # at the high plane.
+            image_bs = container.serialize_image(predicted)
         out = (
             container.serialize_header(self._xsize, self._ysize)
             + container.serialize_delta_chunk(image_bs)

@@ -178,7 +178,238 @@ PyObject* py_cg_encode(PyObject*, PyObject* args) {
   return out_obj;
 }
 
+// ---------------------------------------------------------------------------
+// Whole-frame FPV1 compress fast path.
+//
+// The compat path's per-frame cost on this host is dominated by Python/numpy
+// staging between stages; this runs the full pipeline of
+// fpv_tpu.api.frame.predict + container.serialize_image natively (semantics:
+// fusion_power_video.cc:370-489 split, :491-515 preview, :517-564 decisions
+// with the int32/uint64 EstimateEntropy quirks, :566-586 CG forward,
+// :643-728 brotli q1) in one GIL-released call.
+
+static inline int FloorLog2U64(uint64_t v) {
+  int r = -1;
+  while (v) { v >>= 1; r++; }
+  return r;
+}
+
+// Bit-exact port of EstimateEntropy (fusion_power_video.cc:235-244; see
+// fpv_tpu/models/heuristics.py for the integer-width analysis).
+static uint64_t EstimateEntropy(const uint64_t counts[256]) {
+  int32_t sum32 = 0;
+  for (int i = 0; i < 256; i++) sum32 = (int32_t)(sum32 + (int32_t)counts[i]);
+  if (sum32 == 0) return 0;
+  uint64_t sum_u64 = (uint64_t)(int64_t)sum32;
+  int log2sum = FloorLog2U64(sum32 > 0 ? (uint64_t)sum32 : sum_u64);
+  int64_t total = 0;
+  for (int i = 0; i < 256; i++) {
+    uint64_t v = counts[i];
+    if (!v) continue;
+    total += (int64_t)v * (log2sum - FloorLog2U64(v));
+  }
+  int32_t acc32 = (int32_t)(uint32_t)((uint64_t)total & 0xFFFFFFFFu);
+  uint64_t sum_of_logs = (uint64_t)(int64_t)acc32;
+  return (uint64_t)(1024u * sum_of_logs) / sum_u64;
+}
+
+static bool BrotliQ1(const uint8_t* data, size_t n, std::vector<uint8_t>* out) {
+  size_t max_size = BrotliEncoderMaxCompressedSize(n);
+  if (max_size == 0) max_size = 64;
+  out->resize(max_size);
+  size_t encoded = max_size;
+  if (!BrotliEncoderCompress(1, BROTLI_DEFAULT_WINDOW, BROTLI_DEFAULT_MODE, n,
+                             data, &encoded, out->data()))
+    return false;
+  out->resize(encoded);
+  return true;
+}
+
+enum : int { kUseDelta = 1, kUseCG = 2, kNoLow = 4 };
+
+// compress_frame(img u16 native-LE, xsize, ysize, shift, big_endian,
+//                delta_high|None, delta_low|None, use_delta_frame,
+//                make_preview) -> (flags, image_bs, preview_bs|None)
+PyObject* py_compress_frame(PyObject*, PyObject* args) {
+  Py_buffer img_buf, dh_buf = {}, dl_buf = {};
+  PyObject* dh_obj;
+  PyObject* dl_obj;
+  Py_ssize_t xsize, ysize, shift;
+  int big_endian, use_delta, make_preview;
+  if (!PyArg_ParseTuple(args, "y*nnnpOOpp", &img_buf, &xsize, &ysize, &shift,
+                        &big_endian, &dh_obj, &dl_obj, &use_delta,
+                        &make_preview))
+    return nullptr;
+  const size_t size = (size_t)xsize * (size_t)ysize;
+  if ((size_t)img_buf.len < size * 2 || xsize <= 0 || ysize <= 0) {
+    PyBuffer_Release(&img_buf);
+    PyErr_SetString(PyExc_ValueError, "bad image buffer");
+    return nullptr;
+  }
+  const uint8_t* delta_high = nullptr;
+  const uint8_t* delta_low = nullptr;
+  if (dh_obj != Py_None) {
+    if (PyObject_GetBuffer(dh_obj, &dh_buf, PyBUF_SIMPLE) < 0 ||
+        (size_t)dh_buf.len != size) {
+      PyBuffer_Release(&img_buf);
+      PyErr_SetString(PyExc_ValueError, "bad delta high buffer");
+      return nullptr;
+    }
+    delta_high = (const uint8_t*)dh_buf.buf;
+  }
+  if (dl_obj != Py_None) {
+    if (PyObject_GetBuffer(dl_obj, &dl_buf, PyBUF_SIMPLE) < 0 ||
+        (size_t)dl_buf.len != size) {
+      PyBuffer_Release(&img_buf);
+      if (delta_high) PyBuffer_Release(&dh_buf);
+      PyErr_SetString(PyExc_ValueError, "bad delta low buffer");
+      return nullptr;
+    }
+    delta_low = (const uint8_t*)dl_buf.buf;
+  }
+
+  int flags = 0;
+  bool failed = false;
+  std::vector<uint8_t> high(size), low, preview;
+  std::vector<uint8_t> comp_high, comp_low, comp_preview;
+  Py_BEGIN_ALLOW_THREADS;
+  do {
+    const uint16_t* img = (const uint16_t*)img_buf.buf;
+    // --- plane split (fusion_power_video.cc:370-451 semantics)
+    bool has_low = shift != 8;
+    if (has_low) low.resize(size);
+    if (!big_endian) {
+      if (shift == 0) {
+        for (size_t i = 0; i < size; i++) { high[i] = img[i] >> 8; low[i] = img[i] & 0xFF; }
+      } else if (shift == 8) {
+        for (size_t i = 0; i < size; i++) high[i] = img[i] & 0xFF;
+      } else {
+        for (size_t i = 0; i < size; i++) {
+          uint16_t v = (uint16_t)(img[i] << shift);
+          high[i] = v >> 8; low[i] = v & 0xFF;
+        }
+      }
+    } else {
+      if (shift == 0) {
+        for (size_t i = 0; i < size; i++) { high[i] = img[i] & 0xFF; low[i] = img[i] >> 8; }
+      } else if (shift == 8) {
+        for (size_t i = 0; i < size; i++) high[i] = img[i] >> 8;
+      } else {
+        for (size_t i = 0; i < size; i++) {
+          uint16_t p = img[i];
+          high[i] = (uint8_t)(((p << shift) | (p >> (16 - shift))) & 0xFF);
+          low[i] = (uint8_t)((p >> (8 - shift)) & 0xFF);
+        }
+      }
+    }
+    bool low_nonzero = false;
+    for (size_t i = 0; i < low.size(); i++)
+      if (low[i]) { low_nonzero = true; break; }
+    if (!has_low || !low_nonzero) flags |= kNoLow;
+
+    // --- 1/4-scale preview from the unpredicted high plane (:491-515)
+    const size_t ph = (size_t)ysize / 4, pw = (size_t)xsize / 4;
+    if (make_preview) {
+      preview.resize(ph * pw);
+      for (size_t py = 0; py < ph; py++) {
+        for (size_t px = 0; px < pw; px++) {
+          uint32_t sum = 0;
+          for (size_t dy = 0; dy < 4; dy++)
+            for (size_t dx = 0; dx < 4; dx++)
+              sum += high[(py * 4 + dy) * xsize + px * 4 + dx];
+          preview[py * pw + px] = (uint8_t)((sum / 16) & 0xFE);
+        }
+      }
+    }
+
+    // --- delta decision (:517-533; degenerate always-zero "delta"
+    // histogram, so USE_DELTA iff EstimateEntropy(sampled high) > 0)
+    if (use_delta && delta_high) {
+      uint64_t counta[256] = {0};
+      for (size_t i = 0; i < size; i += 15) counta[high[i]]++;
+      if (0 < EstimateEntropy(counta)) {
+        flags |= kUseDelta;
+        for (size_t i = 0; i < size; i++) high[i] = (uint8_t)(high[i] - delta_high[i]);
+        if (has_low && delta_low)
+          for (size_t i = 0; i < size; i++) low[i] = (uint8_t)(low[i] - delta_low[i]);
+      }
+    }
+
+    // --- CG decision on the (possibly delta-predicted) high plane
+    // (:546-564), flat-buffer neighbor semantics including row wrap
+    {
+      uint64_t counta[256] = {0}, countb[256] = {0};
+      for (size_t i = (size_t)xsize + 1; i < size; i += 31) {
+        uint8_t a = high[i];
+        uint8_t r = (uint8_t)(a - ClampedGradient(high[i - xsize], high[i - 1],
+                                                  high[i - xsize - 1]));
+        counta[a]++;
+        countb[r]++;
+      }
+      if (EstimateEntropy(countb) < EstimateEntropy(counta)) {
+        flags |= kUseCG;
+        // forward transform in reverse scan order: reads original neighbors
+        for (size_t i = size - 1; i >= (size_t)xsize + 1; i--) {
+          high[i] = (uint8_t)(high[i] - ClampedGradient(high[i - xsize], high[i - 1],
+                                                        high[i - xsize - 1]));
+        }
+        if (make_preview && ph > 0 && pw > 0) {
+          for (size_t i = ph * pw - 1; i >= pw + 1; i--) {
+            preview[i] = (uint8_t)(preview[i] -
+                                   ClampedGradient(preview[i - pw], preview[i - 1],
+                                                   preview[i - pw - 1]));
+          }
+        }
+      }
+    }
+
+    // --- brotli q1 entropy coding (:643-688)
+    if (!(flags & kNoLow) && !BrotliQ1(low.data(), size, &comp_low)) { failed = true; break; }
+    if (!BrotliQ1(high.data(), size, &comp_high)) { failed = true; break; }
+    if (make_preview && !BrotliQ1(preview.data(), preview.size(), &comp_preview)) {
+      failed = true;
+      break;
+    }
+  } while (false);
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&img_buf);
+  if (delta_high) PyBuffer_Release(&dh_buf);
+  if (delta_low) PyBuffer_Release(&dl_buf);
+  if (failed) {
+    PyErr_SetString(PyExc_RuntimeError, "brotli compression failed");
+    return nullptr;
+  }
+
+  // image bitstream: flags byte + [low stream] + high stream (OutputCore)
+  std::vector<uint8_t> image_bs;
+  image_bs.reserve(1 + comp_low.size() + comp_high.size());
+  image_bs.push_back((uint8_t)flags);
+  image_bs.insert(image_bs.end(), comp_low.begin(), comp_low.end());
+  image_bs.insert(image_bs.end(), comp_high.begin(), comp_high.end());
+  PyObject* image_obj = PyBytes_FromStringAndSize((const char*)image_bs.data(),
+                                                  (Py_ssize_t)image_bs.size());
+  if (!image_obj) return nullptr;
+  PyObject* preview_obj;
+  if (make_preview) {
+    // preview flags byte: (main & USE_CG) | NO_LOW_BYTES (OutputFull :842)
+    std::vector<uint8_t> pv_bs;
+    pv_bs.reserve(1 + comp_preview.size());
+    pv_bs.push_back((uint8_t)((flags & kUseCG) | kNoLow));
+    pv_bs.insert(pv_bs.end(), comp_preview.begin(), comp_preview.end());
+    preview_obj = PyBytes_FromStringAndSize((const char*)pv_bs.data(),
+                                            (Py_ssize_t)pv_bs.size());
+    if (!preview_obj) { Py_DECREF(image_obj); return nullptr; }
+  } else {
+    preview_obj = Py_None;
+    Py_INCREF(Py_None);
+  }
+  return Py_BuildValue("(iNN)", flags, image_obj, preview_obj);
+}
+
 PyMethodDef methods[] = {
+    {"compress_frame", py_compress_frame, METH_VARARGS,
+     "compress_frame(img, xsize, ysize, shift, big_endian, delta_high, "
+     "delta_low, use_delta, make_preview) -> (flags, image_bs, preview_bs)"},
     {"brotli_compress", py_brotli_compress, METH_VARARGS,
      "brotli_compress(data, quality=1, lgwin=22) -> bytes"},
     {"brotli_decompress_stream", py_brotli_decompress_stream, METH_VARARGS,

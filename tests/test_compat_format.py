@@ -5,6 +5,8 @@ compiled reference encoder, and each side must decode the other's output
 losslessly.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -12,6 +14,30 @@ from fpv_tpu.api.decoder import RandomAccessDecoder, StreamingDecoder, decode_fi
 from fpv_tpu.api.encoder import encode_file
 from fpv_tpu.api.frame import unextract_frame
 from fpv_tpu.utils import testdata
+
+
+@pytest.mark.parametrize(
+    "shift,big_endian",
+    [(0, False), (4, False), (8, False), (0, True), (3, True), (8, True)],
+)
+def test_native_compress_frame_matches_numpy_path(shift, big_endian):
+    """The whole-frame native FPV1 pipeline (fpv_native.compress_frame) is
+    byte-identical to the numpy oracle path across shift/endian variants."""
+    frames = testdata.plasma_frames(5, 48, 64, bits=16 - shift, seed=11)
+    old = os.environ.get("FPV_TPU_COMPAT_NATIVE")
+    try:
+        os.environ["FPV_TPU_COMPAT_NATIVE"] = "0"
+        a = encode_file(frames, shift=shift, big_endian=big_endian,
+                        num_threads=0)
+        os.environ["FPV_TPU_COMPAT_NATIVE"] = "1"
+        b = encode_file(frames, shift=shift, big_endian=big_endian,
+                        num_threads=0)
+    finally:
+        if old is None:
+            os.environ.pop("FPV_TPU_COMPAT_NATIVE", None)
+        else:
+            os.environ["FPV_TPU_COMPAT_NATIVE"] = old
+    assert a == b
 
 from conftest import ref_decode, ref_encode, requires_reference
 
