@@ -188,7 +188,7 @@ def main() -> None:
 
     from fpv_tpu.api.fpvt_codec import fused_encode_batch, _small_layout
 
-    lay = _small_layout(BATCH, H, W, chunk_len)
+    lay = _small_layout(BATCH, H, W, chunk_len, w0._low_coding)
 
     def _reduce_all(out):
         return sum(jnp.sum(x.astype(jnp.uint32)) for x in out)
@@ -197,7 +197,7 @@ def main() -> None:
     def _enc_chain1(im):
         return _reduce_all(
             fused_encode_batch(im, w0._delta_high, w0._delta_low, SHIFT,
-                               False, chunk_len)
+                               False, chunk_len, low_coding=w0._low_coding)
         )
 
     @jax.jit
@@ -206,7 +206,8 @@ def main() -> None:
         for i in range(3):
             acc = acc + _reduce_all(
                 fused_encode_batch(im ^ jnp.uint16(i), w0._delta_high,
-                                   w0._delta_low, SHIFT, False, chunk_len)
+                                   w0._delta_low, SHIFT, False, chunk_len,
+                                   low_coding=w0._low_coding)
             )
         return acc
 
@@ -230,7 +231,8 @@ def main() -> None:
     # also report the single-dispatch number (includes one RPC round trip)
     def encode_device_batch():
         small, _states, ph, pl2, pp = fused_encode_batch(
-            imgs_dev, w0._delta_high, w0._delta_low, SHIFT, False, chunk_len
+            imgs_dev, w0._delta_high, w0._delta_low, SHIFT, False, chunk_len,
+            low_coding=w0._low_coding,
         )
         small_np = np.asarray(small)
         total = 0
@@ -271,9 +273,18 @@ def main() -> None:
     payload[:pos] = np.concatenate(parts)
     counts = np.concatenate([st.block_counts for st in streams]).astype(np.uint32)
     states = np.concatenate([st.states for st in streams]).astype(np.uint32)
-    tabs = [_rp.table_arrays(st.freq) for st in streams]
-    fcs = jnp.asarray(np.stack([t[0] for t in tabs]))
-    sym_tabs = jnp.asarray(np.stack([t[2] for t in tabs]))
+    fcs_np = np.zeros((3, 4, 128), np.uint32)
+    symt_np = np.zeros((3, 8, 128), np.uint32)
+    for i, st in enumerate(streams):
+        if st.coding:
+            fc_i, sym_i = _rp.ctx_table_arrays(st.freq)
+            fcs_np[i] = fc_i
+        else:
+            fc_i, _finv, sym_i = _rp.table_arrays(st.freq)
+            fcs_np[i, :2] = fc_i
+        symt_np[i] = sym_i
+    fcs = jnp.asarray(fcs_np)
+    sym_tabs = jnp.asarray(symt_np)
     spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
     dec_args = (
         jnp.asarray(payload), jnp.asarray(plane_offs), jnp.asarray(counts),
@@ -289,7 +300,8 @@ def main() -> None:
                   any_cg=bool((spatial == SPATIAL_CG2D).any()),
                   pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
                   pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
-                  decode_preview=True, rows_alloc=_rows_alloc)
+                  decode_preview=True, rows_alloc=_rows_alloc,
+                  low_ctx=bool(pb.low.coding))
 
     def decode_device_batch():
         imgs, ok, _pv = fused_decode_batch(*dec_args, **dec_kw)
@@ -304,6 +316,20 @@ def main() -> None:
     dev_dec = b0 * H * W / 1e6 / min(times)
     log(f"device-resident decode (frames+previews): {dev_dec:.1f} Mpix/s"
         f" ({min(times)*1000:.0f} ms / {b0} frames)")
+
+    # ---- low-plane ratio vs brotli-q1 (the reference's entropy coder):
+    # the context-coded nibble mode should win on the residual low plane
+    from fpv_tpu.entropy import brotli as _brotli
+    from fpv_tpu.entropy.plane_codec import decode_plane_batch as _dpb
+
+    low_plane = np.asarray(_dpb(pb.low))
+    br_low = len(_brotli.compress(low_plane.tobytes()))
+    low_coded = (
+        pb.low.payload.size * 2 + pb.low.states.size * 4
+        + pb.low.block_counts.size * 4 + 512
+    )
+    log(f"low plane coded: ctx-rANS {low_coded} B vs brotli-q1 {br_low} B "
+        f"({low_coded/br_low:.3f}x)")
     log(f"device-resident encode sustained: {dev_enc:.1f} Mpix/s"
         f" (marginal {dev_enc_s*1000:.0f} ms / {BATCH} frames); "
         f"single-dispatch {dev_enc_1shot:.1f} Mpix/s")
@@ -330,6 +356,7 @@ def main() -> None:
         "fpv1_encode_mpix_s": round(fpv1_mps, 2),
         "fpv1_vs_baseline": round(fpv1_mps / ref_mps, 3),
         "fpv1_lossless_roundtrip": fpv1_ok,
+        "low_plane_vs_brotli": round(low_coded / br_low, 4),
         "baseline_mpix_s": round(ref_mps, 2),
     }))
 

@@ -96,7 +96,10 @@ def _batch_hist(plane: jax.Array) -> jax.Array:
     return jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "big_endian", "use_delta_frame"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("shift", "big_endian", "use_delta_frame", "low_ctx"),
+)
 def encode_model_step(
     imgs: jax.Array,
     delta_high: jax.Array,
@@ -104,6 +107,7 @@ def encode_model_step(
     shift: int = 0,
     big_endian: bool = False,
     use_delta_frame: bool = True,
+    low_ctx: bool = False,
 ):
     """The fused per-batch modeling program (everything but entropy coding).
 
@@ -174,7 +178,9 @@ def encode_model_step(
         pv_spatial=pv_spatial,
         nonzero_low=nonzero_low,
         hist_high=_batch_hist(high3),
-        hist_low=_batch_hist(low2),
+        # with the context-coded low mode the joint (ctx, sym) histogram is
+        # computed from the block layout in fused_encode_batch instead
+        hist_low=None if low_ctx else _batch_hist(low2),
         hist_preview=_batch_hist(pv3),
     )
 
@@ -216,7 +222,9 @@ def _plane_geometry(b: int, s: int, chunk_len: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shift", "big_endian", "chunk_len", "use_delta_frame"),
+    static_argnames=(
+        "shift", "big_endian", "chunk_len", "use_delta_frame", "low_coding",
+    ),
 )
 def fused_encode_batch(
     imgs: jax.Array,
@@ -226,6 +234,7 @@ def fused_encode_batch(
     big_endian: bool,
     chunk_len: int,
     use_delta_frame: bool = True,
+    low_coding: int = 0,
 ):
     """Whole-batch FPVT encode as ONE device program.
 
@@ -238,16 +247,30 @@ def fused_encode_batch(
     and can stay in HBM until the file is written.  Payload buffers are
     worst-case-sized; their true lengths are the per-plane count sums.
     """
-    from fpv_tpu.entropy.plane_codec import _to_block_symbols
+    from fpv_tpu.entropy.plane_codec import (
+        _hist_flat,
+        _to_block_symbols,
+        ctx_indices_device,
+    )
     from fpv_tpu.entropy.tables_device import (
+        encode_tables_ctx_device,
         encode_tables_device,
+        normalize_freqs_ctx_device,
         normalize_freqs_device,
     )
     from fpv_tpu.ops import rans_pallas as rp
-    from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_ROWS
+    from fpv_tpu.ops.rans_layout import (
+        BLOCK_COLS,
+        BLOCK_ROWS,
+        CODING_CTX16,
+        CTX_NIDX,
+        CTX_PROB_BITS,
+    )
 
+    low_ctx = low_coding == CODING_CTX16
     m = encode_model_step(
-        imgs, delta_high, delta_low, shift, big_endian, use_delta_frame
+        imgs, delta_high, delta_low, shift, big_endian, use_delta_frame,
+        low_ctx,
     )
     b = imgs.shape[0]
     small = [
@@ -262,13 +285,24 @@ def fused_encode_batch(
         plane = m[name].reshape(b, -1)
         s = plane.shape[1]
         lens, nblocks = _plane_geometry(b, s, chunk_len)
-        freq = normalize_freqs_device(m[f"hist_{name}"])
-        fc, _finv = encode_tables_device(freq)
-        syms = _to_block_symbols(plane, chunk_len, nblocks)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
-        states, words, counts = rp.encode_pallas(
-            syms, lens_dev, fc, chunk_len, nblocks
-        )
+        if name == "low" and low_ctx:
+            sym4 = _to_block_symbols(plane >> 4, chunk_len, nblocks)
+            syms = ctx_indices_device(sym4)
+            hist = _hist_flat(syms.reshape(-1)[::_HIST_STRIDE], CTX_NIDX)
+            freq = normalize_freqs_ctx_device(hist)
+            fc = encode_tables_ctx_device(freq)
+            states, words, counts = rp.encode_pallas(
+                syms, lens_dev, fc, chunk_len, nblocks,
+                prob_bits=CTX_PROB_BITS,
+            )
+        else:
+            freq = normalize_freqs_device(m[f"hist_{name}"])
+            fc, _finv = encode_tables_device(freq)
+            syms = _to_block_symbols(plane, chunk_len, nblocks)
+            states, words, counts = rp.encode_pallas(
+                syms, lens_dev, fc, chunk_len, nblocks
+            )
         counts_flat = counts.reshape(-1).astype(jnp.uint32)
         cum = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_flat).astype(jnp.int32)]
@@ -286,17 +320,23 @@ def fused_encode_batch(
     return (jnp.concatenate(small), jnp.concatenate(all_states), *payloads)
 
 
-def _small_layout(b: int, h: int, w: int, chunk_len: int):
+def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     """Offsets into fused_encode_batch's ``small`` vector, plus offsets of
     each plane's chunk states inside the separate ``states`` vector."""
     from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
+    from fpv_tpu.ops.rans_layout import CODING_CTX16, CTX_NIDX
 
     sizes = [b, b, b, b]
     names = ["use_delta", "spatial", "pv_spatial", "nonzero_low"]
     st_sizes, st_names = [], []
     for name, s in (("high", h * w), ("low", h * w), ("preview", (h // 4) * (w // 4))):
         _lens, nblocks = _plane_geometry(b, s, chunk_len)
-        sizes += [256, nblocks]
+        nfreq = (
+            CTX_NIDX
+            if (name == "low" and low_coding == CODING_CTX16)
+            else 256
+        )
+        sizes += [nfreq, nblocks]
         names += [f"freq_{name}", f"counts_{name}"]
         st_sizes.append(nblocks * _BL)
         st_names.append(f"states_{name}")
@@ -311,7 +351,8 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int):
 @functools.partial(
     jax.jit,
     static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
-                     "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc"),
+                     "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc",
+                     "low_ctx"),
 )
 def fused_decode_batch(
     payload: jax.Array,  # u16, all planes concatenated (+clamp-safe)
@@ -320,7 +361,7 @@ def fused_decode_batch(
     states: jax.Array,  # u32 concatenated per plane
     flags: jax.Array,  # u32 [B] frame flags
     sym_tabs: jax.Array,  # u32 [3, 8, 128]
-    fcs: jax.Array,  # u32 [3, 2, 128]
+    fcs: jax.Array,  # u32 [3, 4, 128] (order-0 fc in rows 0-1)
     delta_high: jax.Array,
     delta_low: jax.Array,
     chunk_len: int,
@@ -333,10 +374,17 @@ def fused_decode_batch(
     pv_any_cg: bool,
     decode_preview: bool = False,
     rows_alloc: int | None = None,
+    low_ctx: bool = False,
 ):
     """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok)."""
     from fpv_tpu.ops import rans_pallas as rp
-    from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_LANES, BLOCK_ROWS, RANS_L
+    from fpv_tpu.ops.rans_layout import (
+        BLOCK_COLS,
+        BLOCK_LANES,
+        BLOCK_ROWS,
+        CTX_PROB_BITS,
+        RANS_L,
+    )
     from fpv_tpu.entropy.plane_codec import _from_block_symbols
 
     geoms = []
@@ -368,17 +416,23 @@ def fused_decode_batch(
             nblocks, wrows, BLOCK_COLS
         )
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
+        ctx = low_ctx and pi == 1
         syms, ok = rp.decode_pallas(
             cnt.reshape(nblocks, 1, 1),
             st_pad.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS),
             lens_dev,
             sym_tabs[pi],
-            fcs[pi],
+            fcs[pi] if ctx else fcs[pi, :2],
             words,
             chunk_len,
             nblocks,
+            prob_bits=CTX_PROB_BITS if ctx else 12,
+            ctx_mode=ctx,
         )
-        planes.append(_from_block_symbols(syms, b, s, chunk_len))
+        out_plane = _from_block_symbols(syms, b, s, chunk_len)
+        if ctx:
+            out_plane = (out_plane << 4).astype(jnp.uint8)
+        planes.append(out_plane)
         oks.append(jnp.all(ok == 1))
 
     high = planes[0].reshape(b, h, w)
@@ -474,6 +528,12 @@ class FpvtWriter:
             frames_per_batch=frames_per_batch,
         )
         self._chunk_len = 1 << chunk_log2
+        # shift >= 4 guarantees the low plane's bottom nibble is zero
+        # (values are (v << shift) & 0xFF), enabling the context-coded
+        # 16-symbol mode (rans_layout CTX docs) — worth ~5% total ratio
+        from fpv_tpu.ops.rans_layout import CODING_CTX16, CODING_ORDER0
+
+        self._low_coding = CODING_CTX16 if shift >= 4 else CODING_ORDER0
         self._delta_high: jax.Array | None = None
         self._delta_low: jax.Array | None = None
         self._batch_offsets: list[tuple[int, int]] = []
@@ -539,20 +599,29 @@ class FpvtWriter:
                 self._delta_low,
                 self.header.shift,
                 self.header.big_endian,
+                low_ctx=bool(self._low_coding),
             )
-            from fpv_tpu.entropy.plane_codec import encode_planes_batch
+            from fpv_tpu.entropy.plane_codec import (
+                encode_plane_batch,
+                encode_planes_batch,
+            )
 
             jobs = [
                 (m["high"].reshape(b, -1), np.asarray(m["hist_high"])),
-                (m["low"].reshape(b, -1), np.asarray(m["hist_low"])),
             ]
             if has_pv:
                 jobs.append(
                     (m["preview"].reshape(b, -1), np.asarray(m["hist_preview"]))
                 )
             out = encode_planes_batch(jobs, self._chunk_len)
-            hs, ls = out[0], out[1]
-            pvs = out[2] if has_pv else None
+            hs = out[0]
+            pvs = out[1] if has_pv else None
+            ls = encode_plane_batch(
+                m["low"].reshape(b, -1),
+                None if self._low_coding else np.asarray(m["hist_low"]),
+                self._chunk_len,
+                coding=self._low_coding,
+            )
             flags = self._pack_flags(
                 np.asarray(m["use_delta"]),
                 np.asarray(m["spatial"]),
@@ -586,10 +655,11 @@ class FpvtWriter:
             self.header.shift,
             self.header.big_endian,
             self._chunk_len,
+            low_coding=self._low_coding,
         )
         small = np.asarray(small_d)
         states_all = np.asarray(states_d)
-        lay = _small_layout(b, h, w, self._chunk_len)
+        lay = _small_layout(b, h, w, self._chunk_len, self._low_coding)
 
         def seg(name):
             lo, hi = lay[name]
@@ -609,9 +679,11 @@ class FpvtWriter:
             nblocks = len(counts)
             cap = _quantize_cap(total, self._chunk_len, nblocks)
             payload = np.asarray(pay_dev[: min(cap, pay_dev.shape[0])])[:total]
+            coding = self._low_coding if name == "low" else 0
             return PlaneStream(
                 nframes=b, plane_size=s, chunk_len=self._chunk_len, freq=freq,
                 states=states, block_counts=counts, payload=payload,
+                coding=coding,
             )
 
         with ThreadPoolExecutor(max_workers=3) as pool:
@@ -742,9 +814,17 @@ class FpvtReader:
         payload[:pos] = np.concatenate(parts) if parts else payload[:0]
         counts = np.concatenate([s.block_counts for s in streams]).astype(np.uint32)
         states = np.concatenate([s.states for s in streams]).astype(np.uint32)
-        tabs = [rp.table_arrays(s.freq) for s in streams]
-        fcs = np.stack([t[0] for t in tabs])
-        sym_tabs = np.stack([t[2] for t in tabs])
+        low_ctx = bool(pb.low.coding)
+        fcs = np.zeros((3, 4, 128), np.uint32)
+        sym_tabs = np.zeros((3, 8, 128), np.uint32)
+        for i, st in enumerate(streams):
+            if st.coding:
+                fc_i, sym_i = rp.ctx_table_arrays(st.freq)
+                fcs[i] = fc_i
+            else:
+                fc_i, _finv, sym_i = rp.table_arrays(st.freq)
+                fcs[i, :2] = fc_i
+            sym_tabs[i] = sym_i
         flags = pb.frame_flags.astype(np.uint32)
         spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
         pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
@@ -768,6 +848,7 @@ class FpvtReader:
             pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
             decode_preview=decode_preview,
             rows_alloc=rows_alloc,
+            low_ctx=low_ctx,
         )
         imgs_np = np.asarray(out[0])
         if not bool(np.asarray(out[1])):

@@ -24,12 +24,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fpv_tpu.entropy.tables import normalize_freqs
+from fpv_tpu.entropy.tables import normalize_freqs, normalize_freqs_ctx
 from fpv_tpu.ops import rans_numpy
 from fpv_tpu.ops.rans_layout import (
     BLOCK_COLS,
     BLOCK_LANES,
     BLOCK_ROWS,
+    CODING_CTX16,
+    CODING_ORDER0,
+    CTX_ALPHA,
+    CTX_NIDX,
+    CTX_PROB_BITS,
     RANS_L,
     chunk_lens,
 )
@@ -44,10 +49,11 @@ class PlaneStream:
     nframes: int
     plane_size: int  # S = bytes per frame plane
     chunk_len: int  # K
-    freq: np.ndarray  # [256] u16
+    freq: np.ndarray  # [256] u16 (coding=0) or [512] per-ctx u16 (coding=1)
     states: np.ndarray  # [C] u32 (real chunks only)
     block_counts: np.ndarray  # [nblocks] u32
     payload: np.ndarray  # [sum(block_counts)] u16
+    coding: int = CODING_ORDER0  # CODING_CTX16: nibble alphabet, ctx tables
 
     @property
     def num_blocks(self) -> int:
@@ -108,6 +114,23 @@ def _from_block_symbols(
     """[nblocks, K, 8, 128] i32 -> [B, S] u8 (pure reshape)."""
     flat = syms.reshape(-1)[: nframes * plane_size]
     return flat.reshape(nframes, plane_size).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def ctx_indices_device(sym4: jax.Array) -> jax.Array:
+    """[nb, K, 8, 128] nibble symbols (zero-padded) -> fc indices
+    ctx*16+sym, the device twin of rans_numpy.encode_ctx_indices (ctx
+    feature defined in fpv_tpu.ops.rans_layout)."""
+    nb, k = sym4.shape[0], sym4.shape[1]
+    s = sym4.astype(jnp.int32)
+    prev = jnp.concatenate(
+        [jnp.zeros((nb, 1, 8, 128), jnp.int32), s[:, :-1]], axis=1
+    )
+    p = prev.reshape(nb, k, BLOCK_LANES)
+    al = jnp.roll(p, 1, axis=2)
+    ar = jnp.roll(p, -1, axis=2)
+    ctx = (p * 2 + (al != ar).astype(jnp.int32)).reshape(nb, k, 8, 128)
+    return ctx * CTX_ALPHA + s
 
 
 def _interleave_np(plane_np: np.ndarray, chunk_len: int, nblocks: int):
@@ -208,6 +231,40 @@ def _expand_payload(
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def _hist_flat(x: jax.Array, nbins: int) -> jax.Array:
+    """Exact histogram of a flat int array via compare-reduce."""
+    n = x.shape[0]
+    width = 512
+    pad = (-n) % width
+    if pad:
+        x = jnp.concatenate([x, jnp.full(pad, -1, jnp.int32)])
+    x2 = x.reshape(-1, width)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    eq = x2[:, :, None] == bins[None, None, :]
+    return jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)
+
+
+def _package_pallas(
+    states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq, coding
+) -> PlaneStream:
+    """Host packaging of pallas encode outputs (counts sync + compaction)."""
+    counts = np.asarray(counts_d).reshape(-1)
+    total = int(counts.sum())
+    cap = _quantize_cap(total, chunk_len, nblocks)
+    rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, chunk_len)
+    cum = np.zeros(nblocks + 1, np.int32)
+    cum[1:] = np.cumsum(counts)
+    payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
+    payload = np.asarray(payload_d)[:total]
+    states = np.asarray(states_d).reshape(-1)
+    return PlaneStream(
+        nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+        states=states, block_counts=counts.astype(np.uint32),
+        payload=payload, coding=coding,
+    )
+
+
 def encode_planes_batch(
     planes_and_hists: list,
     chunk_len: int = DEFAULT_CHUNK_LEN,
@@ -284,14 +341,18 @@ def encode_planes_batch(
 
 def encode_plane_batch(
     plane,
-    hist: np.ndarray,
+    hist: np.ndarray | None,
     chunk_len: int = DEFAULT_CHUNK_LEN,
     engine: str | None = None,
+    coding: int = CODING_ORDER0,
 ) -> PlaneStream:
     """Encode a [B, S] (or [B, H, W]) uint8 plane batch.
 
     ``hist`` is the 256-bin histogram of the whole batch (device-computed;
-    passed in so callers can fuse histogramming with prediction).
+    passed in so callers can fuse histogramming with prediction).  With
+    ``coding=CODING_CTX16`` (nibble alphabet + conditional tables, see
+    rans_layout) the joint (ctx, sym) histogram is computed here exactly and
+    ``hist`` may be None.
     """
     engine = engine or engine_name()
     b = plane.shape[0]
@@ -300,6 +361,46 @@ def encode_plane_batch(
     s = plane.shape[1]
     lens = chunk_lens(b, s, chunk_len)
     nblocks = len(lens) // BLOCK_LANES
+
+    if coding == CODING_CTX16:
+        from fpv_tpu.ops import rans_numpy as rn
+
+        if engine == "numpy":
+            sym4 = (
+                _interleave_np(np.asarray(plane), chunk_len, nblocks) >> 4
+            ).astype(np.uint8)
+            idx = rn.encode_ctx_indices(sym4, lens)
+            mask = np.arange(chunk_len)[None, :] < lens[:, None]
+            jhist = np.bincount(idx[mask].reshape(-1), minlength=CTX_NIDX)
+            freq = normalize_freqs_ctx(jhist)
+            _f32, cum, _sos = rn.ctx_tables(freq)
+            states, counts, payload = rn.encode_blocks(
+                idx, lens, freq, prob_bits=CTX_PROB_BITS, cum=cum
+            )
+            return PlaneStream(
+                nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+                states=states, block_counts=counts, payload=payload,
+                coding=CODING_CTX16,
+            )
+        from fpv_tpu.ops import rans_pallas as rp
+
+        sym4 = _to_block_symbols(
+            jnp.asarray(plane) >> 4, chunk_len, nblocks
+        )
+        idx = ctx_indices_device(sym4)
+        jhist = np.asarray(_hist_flat(idx.reshape(-1), CTX_NIDX))
+        freq = normalize_freqs_ctx(jhist)
+        fc, _symtab = rp.ctx_table_arrays(freq)
+        lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
+        states_d, words_d, counts_d = rp.encode_pallas(
+            idx, lens_dev, jnp.asarray(fc),
+            chunk_len=chunk_len, nblocks=nblocks, prob_bits=CTX_PROB_BITS,
+        )
+        return _package_pallas(
+            states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq,
+            coding=CODING_CTX16,
+        )
+
     freq = normalize_freqs(np.asarray(hist), ensure_all=True)
 
     if engine == "numpy":
@@ -346,19 +447,31 @@ def decode_plane_batch(
     nblocks = len(lens) // BLOCK_LANES
     states = stream.states.astype(np.uint32)
     counts = stream.block_counts.astype(np.int64)
+    ctx = stream.coding == CODING_CTX16
+    prob_bits = CTX_PROB_BITS if ctx else 12
 
     if engine == "numpy":
-        syms, ok = rans_numpy.decode_blocks(
-            states, stream.block_counts, stream.payload, lens,
-            stream.freq, k,
-        )
+        if ctx:
+            syms, ok = rans_numpy.decode_blocks_ctx(
+                states, stream.block_counts, stream.payload, lens,
+                stream.freq, k,
+            )
+            syms = (syms << 4).astype(np.uint8)
+        else:
+            syms, ok = rans_numpy.decode_blocks(
+                states, stream.block_counts, stream.payload, lens,
+                stream.freq, k,
+            )
         if check and not ok.all():
             raise ValueError("rANS stream integrity check failed")
         return _deinterleave_np(syms, b * s, k).reshape(b, s)
 
     from fpv_tpu.ops import rans_pallas as rp
 
-    fc, _finv, symtab = rp.table_arrays(stream.freq)
+    if ctx:
+        fc, symtab = rp.ctx_table_arrays(stream.freq)
+    else:
+        fc, _finv, symtab = rp.table_arrays(stream.freq)
     rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, k)
     rows_alloc = rows_q + 16  # window headroom
     total = int(counts.sum())
@@ -382,7 +495,10 @@ def decode_plane_batch(
         words_d,
         chunk_len=k,
         nblocks=nblocks,
+        prob_bits=prob_bits,
+        ctx_mode=ctx,
     )
     if check and not bool(jnp.all(ok == 1)):
         raise ValueError("rANS stream integrity check failed")
-    return _from_block_symbols(syms, b, s, k)
+    out = _from_block_symbols(syms, b, s, k)
+    return (out << 4).astype(jnp.uint8) if ctx else out

@@ -14,6 +14,20 @@ PROB_SCALE = 1 << PROB_BITS  # 4096
 RANS_L = 1 << 15  # state lower bound; state in [2^15, 2^31)
 
 
+def normalize_freqs_ctx(hist: np.ndarray) -> np.ndarray:
+    """[NCTX*ALPHA] joint histogram -> per-context tables, each summing to
+    CTX_PROB_SCALE with every symbol >= 1 (sampled-histogram safety)."""
+    from fpv_tpu.ops.rans_layout import CTX_ALPHA, CTX_NCTX, CTX_PROB_SCALE
+
+    hist = np.asarray(hist, dtype=np.int64).reshape(CTX_NCTX, CTX_ALPHA)
+    out = np.empty((CTX_NCTX, CTX_ALPHA), np.uint16)
+    for c in range(CTX_NCTX):
+        out[c] = normalize_freqs(
+            hist[c], scale=CTX_PROB_SCALE, ensure_all=True
+        )
+    return out.reshape(-1)
+
+
 def normalize_freqs(
     hist: np.ndarray, scale: int = PROB_SCALE, ensure_all: bool = False
 ) -> np.ndarray:
@@ -33,7 +47,7 @@ def normalize_freqs(
         if ensure_all:
             # zero-pixel plane (e.g. previews of H<4 or W<4 frames): any
             # valid table works since nothing is coded; use uniform
-            return np.full(256, scale // 256, dtype=np.uint16)
+            return np.full(len(hist), scale // len(hist), dtype=np.uint16)
         raise ValueError("empty histogram")
     present = (hist > 0) | ensure_all
     npresent = int(present.sum())
@@ -47,7 +61,7 @@ def normalize_freqs(
     if diff != 0:
         rema = ideal - np.floor(ideal)
         if diff > 0:
-            order = np.lexsort((np.arange(256), -rema))
+            order = np.lexsort((np.arange(len(hist)), -rema))
             order = order[present[order]]
             for i in range(diff):
                 freq[order[i % len(order)]] += 1

@@ -45,6 +45,52 @@ def normalize_freqs_device(hist: jax.Array) -> jax.Array:
     return freq.astype(jnp.uint32)
 
 
+def normalize_freqs_ctx_device(hist: jax.Array) -> jax.Array:
+    """[NCTX*ALPHA] joint histogram -> per-context tables on device.
+
+    Vectorized largest-remainder apportionment per context row: every
+    symbol gets a floor of 1, the remaining CTX_PROB_SCALE-ALPHA units go
+    by remainder rank (ties by symbol index)."""
+    from fpv_tpu.ops.rans_layout import CTX_ALPHA, CTX_NCTX, CTX_PROB_SCALE
+
+    h = hist.astype(jnp.float32).reshape(CTX_NCTX, CTX_ALPHA)
+    total = jnp.maximum(jnp.sum(h, axis=1, keepdims=True), 1.0)
+    scale = jnp.float32(CTX_PROB_SCALE - CTX_ALPHA)
+    ideal = h * (scale / total)
+    base = jnp.maximum(jnp.floor(ideal * (1.0 - 1e-6)).astype(jnp.int32), 0)
+    rem = ideal - base.astype(jnp.float32)
+    d = (CTX_PROB_SCALE - CTX_ALPHA) - jnp.sum(base, axis=1, keepdims=True)
+    key = rem * 512.0 - jnp.arange(CTX_ALPHA, dtype=jnp.float32) / 256.0
+    rank = jnp.argsort(jnp.argsort(-key, axis=1), axis=1).astype(jnp.int32)
+    extra = (rank < d).astype(jnp.int32) + (rank < d - CTX_ALPHA).astype(
+        jnp.int32
+    )
+    freq = 1 + base + extra
+    resid = CTX_PROB_SCALE - jnp.sum(freq, axis=1, keepdims=True)
+    amax = jnp.argmax(freq, axis=1)
+    onehot = (
+        jnp.arange(CTX_ALPHA, dtype=jnp.int32)[None, :] == amax[:, None]
+    ).astype(jnp.int32)
+    freq = freq + resid * onehot  # no scatter (TPU scatters are slow)
+    return freq.reshape(-1).astype(jnp.uint32)
+
+
+def encode_tables_ctx_device(freq: jax.Array) -> jax.Array:
+    """[NCTX*ALPHA] u32 ctx tables -> fc [4,128]: (f-1) | cum_within << 7."""
+    from fpv_tpu.ops.rans_layout import CTX_ALPHA, CTX_NCTX, CTX_PROB_BITS
+
+    f = freq.reshape(CTX_NCTX, CTX_ALPHA)
+    cum = jnp.concatenate(
+        [
+            jnp.zeros((CTX_NCTX, 1), jnp.uint32),
+            jnp.cumsum(f, axis=1)[:, :-1].astype(jnp.uint32),
+        ],
+        axis=1,
+    )
+    fc = ((f - 1) & ((1 << CTX_PROB_BITS) - 1)) | (cum << CTX_PROB_BITS)
+    return fc.reshape(4, 128)
+
+
 def decode_tables_device(freq: jax.Array) -> jax.Array:
     """freq u32 [256] -> packed symbol table [8, 128] u32 on device.
 

@@ -13,9 +13,10 @@ import struct
 import numpy as np
 
 from fpv_tpu.entropy.plane_codec import PlaneStream
+from fpv_tpu.ops.rans_layout import CODING_CTX16, CODING_ORDER0
 
 MAGIC = b"FPVT"
-VERSION = 1
+VERSION = 2
 PROFILE_RANS12 = 1
 
 SECTION_BATCH = 0
@@ -101,9 +102,16 @@ def _need(data, pos: int, n: int) -> None:
 
 
 def serialize_plane_stream(ps: PlaneStream) -> bytes:
+    # freq field is always 512 bytes: 256 x u16 (coding=0) or the 32x16
+    # per-context u8 tables (coding=1, values <= 128)
+    if ps.coding == CODING_CTX16:
+        freq_bytes = ps.freq.astype(np.uint8).tobytes()
+    else:
+        freq_bytes = ps.freq.astype("<u2").tobytes()
     body = (
-        struct.pack("<III", ps.plane_size, ps.chunk_len, ps.num_chunks)
-        + ps.freq.astype("<u2").tobytes()
+        struct.pack("<IIII", ps.plane_size, ps.chunk_len, ps.num_chunks,
+                    ps.coding)
+        + freq_bytes
         + ps.states.astype("<u4").tobytes()
         + ps.block_counts.astype("<u4").tobytes()
         + ps.payload.astype("<u2").tobytes()
@@ -114,15 +122,25 @@ def serialize_plane_stream(ps: PlaneStream) -> bytes:
 
 
 def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream, int]:
-    _need(data, pos, 16)
+    _need(data, pos, 20)
     (size,) = struct.unpack_from("<I", data, pos)
     end = pos + size
     _need(data, pos, size)
     p = pos + 4
-    plane_size, chunk_len, num_chunks = struct.unpack_from("<III", data, p)
-    p += 12
-    from fpv_tpu.ops.rans_layout import BLOCK_LANES, num_blocks as _num_blocks
+    plane_size, chunk_len, num_chunks, coding = struct.unpack_from(
+        "<IIII", data, p
+    )
+    p += 16
+    from fpv_tpu.ops.rans_layout import (
+        BLOCK_LANES,
+        CTX_NCTX,
+        CTX_NIDX,
+        CTX_PROB_SCALE,
+        num_blocks as _num_blocks,
+    )
 
+    if coding not in (CODING_ORDER0, CODING_CTX16):
+        raise ValueError("unknown plane-stream coding")
     if not (16 <= chunk_len <= 65536) or chunk_len & (chunk_len - 1):
         raise ValueError("invalid plane-stream chunk length")
     if plane_size > 1 << 32 or nframes * plane_size > 16_000_000_000:
@@ -131,12 +149,22 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
     if num_chunks != expect_chunks:
         raise ValueError("plane-stream chunk count mismatch")
     _need(data, p, 512)
-    freq = np.frombuffer(data, dtype="<u2", count=256, offset=p).copy()
-    p += 512
     from fpv_tpu.entropy.tables import PROB_SCALE
 
-    if int(freq.astype(np.int64).sum()) != PROB_SCALE:
-        raise ValueError("invalid frequency table")
+    if coding == CODING_CTX16:
+        freq = (
+            np.frombuffer(data, dtype=np.uint8, count=CTX_NIDX, offset=p)
+            .astype(np.uint16)
+            .copy()
+        )
+        sums = freq.reshape(CTX_NCTX, -1).astype(np.int64).sum(axis=1)
+        if not (sums == CTX_PROB_SCALE).all():
+            raise ValueError("invalid frequency table")
+    else:
+        freq = np.frombuffer(data, dtype="<u2", count=256, offset=p).copy()
+        if int(freq.astype(np.int64).sum()) != PROB_SCALE:
+            raise ValueError("invalid frequency table")
+    p += 512
     _need(data, p, 4 * num_chunks)
     states = np.frombuffer(data, dtype="<u4", count=num_chunks, offset=p).copy()
     p += 4 * num_chunks
@@ -161,6 +189,7 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
         states=states,
         block_counts=block_counts,
         payload=payload,
+        coding=coding,
     )
     return ps, end
 

@@ -33,6 +33,30 @@ BLOCK_ROWS = 8
 BLOCK_COLS = 128
 BLOCK_LANES = BLOCK_ROWS * BLOCK_COLS  # 1024
 
+# Context-coded low-plane mode (plane-stream coding=1): when the container
+# shift is >= 4 the low plane's bottom nibble is structurally zero, so the
+# alphabet is 16 symbols (sym = low >> 4).  Symbols code against per-context
+# conditional tables; the context is computed from already-decoded in-lane
+# history (the symbol 1024 flat positions back = previous step, plus its
+# +-1 lane neighbors, which are the previous step's decoded vector):
+#
+#     ctx = a * 2 + (al != ar)        in [0, 32)
+#
+# where a/al/ar are the previous step's symbols at lanes l, l-1, l+1
+# (wrapping within the block's 1024 lanes; zeros at step 0 and beyond each
+# lane's length, matching the encoder's zero padding).  Tables use 7-bit
+# probabilities so the decode slot table (NCTX * 128 slots = 4096) stays the
+# same [8,128] packed shape as the order-0 mode's.
+CTX_ALPHA = 16
+CTX_NCTX = 32
+CTX_NIDX = CTX_NCTX * CTX_ALPHA  # 512 (ctx, sym) pairs
+CTX_PROB_BITS = 7
+CTX_PROB_SCALE = 1 << CTX_PROB_BITS
+CTX_RENORM_SHIFT = 31 - CTX_PROB_BITS  # 24
+
+CODING_ORDER0 = 0
+CODING_CTX16 = 1
+
 
 def chunk_lens(nframes: int, plane_size: int, chunk_len: int) -> np.ndarray:
     """Per-chunk (lane) symbol counts for the interleaved layout.

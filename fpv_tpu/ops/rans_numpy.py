@@ -12,6 +12,10 @@ import numpy as np
 
 from fpv_tpu.ops.rans_layout import (
     BLOCK_LANES,
+    CTX_ALPHA,
+    CTX_NCTX,
+    CTX_PROB_BITS,
+    CTX_PROB_SCALE,
     PROB_BITS,
     PROB_SCALE,
     RANS_L,
@@ -19,18 +23,67 @@ from fpv_tpu.ops.rans_layout import (
 )
 
 
+def ctx_from_prev(prev: np.ndarray, nblocks: int) -> np.ndarray:
+    """Context ids from the previous step's (masked) symbols.
+
+    ``prev`` is [C_pad] int32 with zeros at step 0 / beyond lane lengths;
+    neighbors wrap within each block's 1024 lanes (see rans_layout docs).
+    """
+    p = prev.reshape(nblocks, BLOCK_LANES)
+    al = np.roll(p, 1, axis=1)
+    ar = np.roll(p, -1, axis=1)
+    return (p * 2 + (al != ar)).reshape(-1).astype(np.int32)
+
+
+def encode_ctx_indices(sym4: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """[C_pad, K] nibble symbols (zero-padded) -> fc indices ctx*16+sym."""
+    c_pad, k = sym4.shape
+    nblocks = c_pad // BLOCK_LANES
+    lens = np.asarray(lens, dtype=np.int32)
+    idx = np.zeros((c_pad, k), np.int32)
+    prev = np.zeros(c_pad, np.int32)
+    for j in range(k):
+        ctx = ctx_from_prev(prev, nblocks)
+        idx[:, j] = ctx * CTX_ALPHA + sym4[:, j]
+        prev = np.where(j < lens, sym4[:, j].astype(np.int32), 0)
+    return idx
+
+
+def ctx_tables(freq_ctx: np.ndarray):
+    """[NCTX*ALPHA] per-context freqs (each ctx sums to CTX_PROB_SCALE) ->
+    (freq32 flat, cum-within-ctx flat, sym_of_slot [NCTX*128])."""
+    freq_ctx = np.asarray(freq_ctx, dtype=np.uint32).reshape(
+        CTX_NCTX, CTX_ALPHA
+    )
+    cum = np.zeros_like(freq_ctx)
+    cum[:, 1:] = np.cumsum(freq_ctx, axis=1)[:, :-1]
+    sym_of_slot = np.concatenate(
+        [
+            np.repeat(np.arange(CTX_ALPHA, dtype=np.int32), freq_ctx[c])
+            for c in range(CTX_NCTX)
+        ]
+    )
+    return freq_ctx.reshape(-1), cum.reshape(-1), sym_of_slot
+
+
 def encode_blocks(
-    symbols: np.ndarray,  # [C_pad, K] uint8 (garbage beyond lens)
+    symbols: np.ndarray,  # [C_pad, K] fc indices (zero beyond lens)
     lens: np.ndarray,  # [C_pad] int32
-    freq: np.ndarray,  # [256] uint16
+    freq: np.ndarray,  # [NIDX] frequencies
+    prob_bits: int = PROB_BITS,
+    cum: np.ndarray | None = None,  # [NIDX]; default: global excl. cumsum
 ):
     """Returns (states u32 [C_pad], block_counts u32 [nblocks], payload u16)."""
     c_pad, k = symbols.shape
     assert c_pad % BLOCK_LANES == 0
     nblocks = c_pad // BLOCK_LANES
-    freq32 = np.maximum(freq.astype(np.uint32), 1)  # guard inactive lanes
-    cum = np.zeros(256, dtype=np.uint32)
-    cum[1:] = np.cumsum(freq.astype(np.uint32))[:-1]
+    renorm_shift = 31 - prob_bits
+    freq32 = np.maximum(np.asarray(freq).astype(np.uint32), 1)
+    if cum is None:
+        cum = np.zeros(len(freq32), dtype=np.uint32)
+        cum[1:] = np.cumsum(np.asarray(freq).astype(np.uint32))[:-1]
+    else:
+        cum = np.asarray(cum, dtype=np.uint32)
 
     x = np.full(c_pad, RANS_L, dtype=np.uint32)
     words = np.zeros((k, c_pad), dtype=np.uint16)  # by symbol index j
@@ -44,12 +97,12 @@ def encode_blocks(
         s = syms[:, j]
         f = np.where(active, freq32[s], 1).astype(np.uint32)
         c = cum[s]
-        emit = active & (x >= (f << RENORM_SHIFT))
+        emit = active & (x >= (f << renorm_shift))
         words[j, emit] = (x[emit] & 0xFFFF).astype(np.uint16)
         emits[j] = emit
         x2 = np.where(emit, x >> 16, x)
         q = x2 // f
-        xn = (q << PROB_BITS) + (x2 - q * f) + np.where(active, c, 0)
+        xn = (q << prob_bits) + (x2 - q * f) + np.where(active, c, 0)
         x = np.where(active, xn, x)
 
     # payload: per block, groups in DESCENDING j order, row-major lanes
@@ -121,4 +174,57 @@ def decode_blocks(
 
     ok = (x == RANS_L) & (ptr[lane_block] == 0) | (lens == 0)
     # lanes with len 0 never touched: state stays as given (RANS_L expected)
+    return out, ok
+
+
+def decode_blocks_ctx(
+    states: np.ndarray,  # [C_pad] uint32
+    block_counts: np.ndarray,  # [nblocks] uint32
+    payload: np.ndarray,  # [sum(counts)] uint16
+    lens: np.ndarray,  # [C_pad] int32
+    freq_ctx: np.ndarray,  # [NCTX*ALPHA] per-context frequencies
+    chunk_len: int,
+):
+    """Context-mode decode (coding=1): (nibble symbols u8 [C_pad, K], ok)."""
+    c_pad = len(states)
+    nblocks = c_pad // BLOCK_LANES
+    k = chunk_len
+    freq32, cum, sym_of_slot = ctx_tables(freq_ctx)
+    freq32 = np.maximum(freq32, 1)
+
+    block_base = np.zeros(nblocks, dtype=np.int64)
+    block_base[1:] = np.cumsum(block_counts.astype(np.int64))[:-1]
+    ptr = block_counts.astype(np.int64).copy()
+
+    x = states.astype(np.uint32).copy()
+    lens = np.asarray(lens, dtype=np.int32)
+    out = np.zeros((c_pad, k), dtype=np.uint8)
+    lane_block = np.arange(c_pad) // BLOCK_LANES
+    prev = np.zeros(c_pad, np.int32)
+
+    for j in range(k):
+        active = j < lens
+        ctx = ctx_from_prev(prev, nblocks)
+        slot = (x & (CTX_PROB_SCALE - 1)).astype(np.int64)
+        s = sym_of_slot[ctx * CTX_PROB_SCALE + slot]
+        idx = ctx * CTX_ALPHA + s
+        f = freq32[idx]
+        xn = f * (x >> CTX_PROB_BITS) + (slot.astype(np.uint32) - cum[idx])
+        renorm = active & (xn < RANS_L)
+        r2 = renorm.reshape(nblocks, BLOCK_LANES)
+        ranks = np.cumsum(r2, axis=1) - 1
+        cnts = r2.sum(axis=1)
+        base = block_base[lane_block] + (ptr[lane_block] - cnts[lane_block])
+        pos = base + ranks.reshape(-1)
+        w = np.zeros(c_pad, dtype=np.uint32)
+        if renorm.any() and len(payload):
+            safe = np.clip(pos[renorm], 0, max(len(payload) - 1, 0))
+            w[renorm] = payload[safe].astype(np.uint32)
+        xn2 = np.where(renorm, (xn << 16) | w, xn)
+        x = np.where(active, xn2, x)
+        ptr -= cnts
+        out[active, j] = s[active].astype(np.uint8)
+        prev = np.where(active, s.astype(np.int32), 0)
+
+    ok = (x == RANS_L) & (ptr[lane_block] == 0) | (lens == 0)
     return out, ok

@@ -38,6 +38,9 @@ from fpv_tpu.ops.rans_layout import (
     BLOCK_COLS,
     BLOCK_LANES,
     BLOCK_ROWS,
+    CTX_ALPHA,
+    CTX_NCTX,
+    CTX_PROB_BITS,
     PROB_BITS,
     PROB_SCALE,
     RANS_L,
@@ -64,6 +67,21 @@ def _lookup256(tab2: jax.Array, idx: jax.Array) -> jax.Array:
     g0 = jnp.take_along_axis(_bcast_row(tab2[0:1]), col, axis=1)
     g1 = jnp.take_along_axis(_bcast_row(tab2[1:2]), col, axis=1)
     return jnp.where(idx < 128, g0, g1)
+
+
+def _lookup_tab(tab: jax.Array, idx: jax.Array) -> jax.Array:
+    """[R,128] u32 table; idx int32 [8,128] in [0, R*128): R-row select tree
+    of independent gathers."""
+    rows = tab.shape[0]
+    if rows == 2:
+        return _lookup256(tab, idx)
+    col = idx & 127
+    row = idx >> 7
+    out = jnp.zeros(idx.shape, jnp.uint32)
+    for r in range(rows):
+        g = jnp.take_along_axis(_bcast_row(tab[r : r + 1]), col, axis=1)
+        out = jnp.where(row == r, g, out)
+    return out
 
 
 def _lookup_sym(sym_tab: jax.Array, slot: jax.Array) -> jax.Array:
@@ -135,21 +153,26 @@ def _pack_rows(values: jax.Array, incl: jax.Array) -> jax.Array:
     return ((out >> 8) & 0xFFFF).astype(values.dtype)
 
 
-def _div_by_freq(x: jax.Array, f: jax.Array, inv: jax.Array) -> jax.Array:
+def _div_by_freq(
+    x: jax.Array, f: jax.Array, inv: jax.Array, rounds: int = 1
+) -> jax.Array:
     """Exact x // f via f32 reciprocal + fixup, for x < f << 19.
 
-    The renorm bound keeps quotients < 2^19, so a single-precision estimate
-    ``u32(f32(x) * inv)`` is off by at most 1 (relative error < 3*2^-24 *
-    2^19 < 0.1 plus conversion truncation); two branchless fixups make it
-    exact.  Much cheaper on the VPU than a 32-bit magic-multiplier mulhi.
+    With quotients < 2^19 (12-bit tables) the single-precision estimate
+    ``u32(f32(x) * inv)`` is off by at most 1 and ``rounds=1`` suffices; for
+    7-bit tables quotients reach 2^24 and the f32 relative error (~3*2^-24)
+    admits drift up to ~3, so callers pass ``rounds=4``.  Still much cheaper
+    on the VPU than a 32-bit magic-multiplier mulhi.
     """
-    # route casts through int32 (x < 2^31, q < 2^19; Mosaic has no u32<->f32)
+    # route casts through int32 (x < 2^31, q < 2^31; Mosaic has no u32<->f32)
     xf = x.astype(jnp.int32).astype(jnp.float32)
     q = (xf * inv).astype(jnp.int32).astype(jnp.uint32)
-    r = x - q * f  # mod-2^32; negative wraps high
-    q = jnp.where(r.astype(jnp.int32) < 0, q - 1, q)
-    r = x - q * f
-    q = jnp.where(r >= f, q + 1, q)
+    for _ in range(rounds):
+        r = x - q * f  # mod-2^32; negative wraps high
+        q = jnp.where(r.astype(jnp.int32) < 0, q - 1, q)
+    for _ in range(rounds):
+        r = x - q * f
+        q = jnp.where(r >= f, q + 1, q)
     return q
 
 
@@ -165,8 +188,12 @@ def _encode_kernel(
     count_ref,  # out [NSUB, 1] i32 (SMEM)
     *,
     chunk_len: int,
+    prob_bits: int = PROB_BITS,
 ):
     k = chunk_len
+    fmask = (1 << prob_bits) - 1
+    renorm_shift = 31 - prob_bits
+    div_rounds = 1 if prob_bits >= 12 else 4
     lens = [lens_ref[u] for u in range(NSUB)]
     fc = fc_ref[:]
     win_rows = 4 * BLOCK_ROWS  # 32-row window, u16-tile (16,128) aligned
@@ -179,17 +206,17 @@ def _encode_kernel(
         Returns (x', packed words [8,128] u32, per-row counts broadcast
         [8,128] i32)."""
         j = k - 1 - t
-        f = (e & 0xFFF) + 1
-        cum = e >> PROB_BITS
+        f = (e & fmask) + 1
+        cum = e >> prob_bits
         # IEEE division is correctly rounded, so this equals the host-side
         # f32 reciprocal table entry bit for bit
         inv = 1.0 / f.astype(jnp.int32).astype(jnp.float32)
         active = j < lens[u]
-        emit = active & (x >= (f << RENORM_SHIFT))
+        emit = active & (x >= (f << renorm_shift))
         word = x & 0xFFFF  # packed as u32 (16-bit gathers unsupported)
         x2 = jnp.where(emit, x >> 16, x)
-        q = _div_by_freq(x2, f, inv)
-        xn = (q << PROB_BITS) + (x2 - q * f) + cum
+        q = _div_by_freq(x2, f, inv, rounds=div_rounds)
+        xn = (q << prob_bits) + (x2 - q * f) + cum
         x = jnp.where(active, xn, x)
         incl = _row_cumsum(emit.astype(jnp.int32))
         packed = _pack_rows(word, incl)
@@ -225,7 +252,7 @@ def _encode_kernel(
         """Table row for sub-block u at step t (clamped at the end)."""
         j = jnp.maximum(k - 1 - t, 0)
         sym = syms_ref[u, pl.ds(j, 1)][0]
-        return _lookup256(fc, sym)
+        return _lookup_tab(fc, sym)
 
     def step(t, carry):
         """Two-stage software pipeline: this body computes step t's state
@@ -274,26 +301,48 @@ def _decode_kernel(
     states_ref,  # [NSUB, 8, 128] u32
     lens_ref,  # [NSUB, 8, 128] i32
     sym_ref,  # [8, 128] u32 packed symbol table
-    fc_ref,  # [2, 128] u32
+    fc_ref,  # [R, 128] u32
     words_ref,  # [NSUB, Wrows, 128] u32
     out_ref,  # out [NSUB, K//4, 8, 128] u32 (4 symbols packed per word)
     ok_ref,  # out [NSUB, 8, 128] i32
     *,
     chunk_len: int,
+    prob_bits: int = PROB_BITS,
+    ctx_mode: bool = False,
 ):
     k = chunk_len
+    fmask = (1 << prob_bits) - 1
+    scale = 1 << prob_bits
     lens = [lens_ref[u] for u in range(NSUB)]
     sym_tab = sym_ref[:]
     fc = fc_ref[:]
+    lane = _lanes()
 
-    def one(u, j, x, ptr):
+    def _ctx(prev):
+        """ctx = a*2 + (al != ar): lane-neighbor rolls of the previous
+        step's (masked) symbols, wrapping within the block's 1024 lanes
+        (rans_layout CTX docs; must match rans_numpy.ctx_from_prev)."""
+        x1 = pltpu.roll(prev, 1, 1)
+        al = jnp.where(lane == 0, pltpu.roll(x1, 1, 0), x1)
+        x2 = pltpu.roll(prev, BLOCK_COLS - 1, 1)
+        ar = jnp.where(
+            lane == BLOCK_COLS - 1, pltpu.roll(x2, BLOCK_ROWS - 1, 0), x2
+        )
+        return prev * 2 + (al != ar).astype(jnp.int32)
+
+    def one(u, j, x, ptr, prev):
         active = j < lens[u]
-        slot = (x & (PROB_SCALE - 1)).astype(jnp.int32)
-        sym = _lookup_sym(sym_tab, slot)
-        e = _lookup256(fc, sym)
-        f = (e & 0xFFF) + 1
-        cum = e >> PROB_BITS
-        xn = f * (x >> PROB_BITS) + (slot.astype(jnp.uint32) - cum)
+        slot = (x & (scale - 1)).astype(jnp.int32)
+        if ctx_mode:
+            ctx = _ctx(prev)
+            sym = _lookup_sym(sym_tab, ctx * scale + slot)
+            e = _lookup_tab(fc, ctx * CTX_ALPHA + sym)
+        else:
+            sym = _lookup_sym(sym_tab, slot)
+            e = _lookup_tab(fc, sym)
+        f = (e & fmask) + 1
+        cum = e >> prob_bits
+        xn = f * (x >> prob_bits) + (slot.astype(jnp.uint32) - cum)
         renorm = active & (xn < RANS_L)
         incl = _row_cumsum(renorm.astype(jnp.int32))
         row_tot = jnp.broadcast_to(
@@ -314,14 +363,17 @@ def _decode_kernel(
             w = jnp.where(rel == r, g, w)
         xn2 = jnp.where(renorm, (xn << 16) | (w & 0xFFFF), xn)
         x = jnp.where(active, xn2, x)
-        return x, base, sym
+        # masked history for the context chain (padding decodes as 0,
+        # matching the encoder's zero padding)
+        prev_next = jnp.where(active, sym, 0)
+        return x, base, sym, prev_next
 
     def step(j, carry):
-        xs, ptrs, accs = carry
+        xs, ptrs, accs, prevs = carry
         sub = j & 3
-        new_xs, new_ptrs, new_accs = [], [], []
+        new_xs, new_ptrs, new_accs, new_prevs = [], [], [], []
         for u in range(NSUB):
-            x, base, sym = one(u, j, xs[u], ptrs[u])
+            x, base, sym, prev_next = one(u, j, xs[u], ptrs[u], prevs[u])
             acc = jnp.where(sub == 0, 0, accs[u])
             acc = acc | (sym.astype(jnp.uint32) << (8 * sub.astype(jnp.uint32)))
             @pl.when(sub == 3)
@@ -330,14 +382,19 @@ def _decode_kernel(
             new_xs.append(x)
             new_ptrs.append(base)
             new_accs.append(acc)
-        return tuple(new_xs), tuple(new_ptrs), tuple(new_accs)
+            new_prevs.append(prev_next)
+        return (tuple(new_xs), tuple(new_ptrs), tuple(new_accs),
+                tuple(new_prevs))
 
     x0 = tuple(states_ref[u] for u in range(NSUB))
     p0 = tuple(count_ref[u, 0] for u in range(NSUB))
     a0 = tuple(
         jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(NSUB)
     )
-    xs, ptrs, _ = jax.lax.fori_loop(0, k, step, (x0, p0, a0))
+    pr0 = tuple(
+        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32) for _ in range(NSUB)
+    )
+    xs, ptrs, _, _ = jax.lax.fori_loop(0, k, step, (x0, p0, a0, pr0))
     for u in range(NSUB):
         ok_ref[u] = (
             ((xs[u] == RANS_L) & (ptrs[u] == 0)) | (lens[u] == 0)
@@ -367,6 +424,25 @@ def table_arrays(freq: np.ndarray):
     )
 
 
+def ctx_table_arrays(freq_ctx: np.ndarray):
+    """Context-mode tables: (fc [4,128] u32 = (f-1)|cum_within<<7,
+    sym_packed [8,128] u32 covering NCTX*128 = 4096 slots)."""
+    from fpv_tpu.ops.rans_numpy import ctx_tables
+
+    freq32, cum, sym_of_slot = ctx_tables(freq_ctx)
+    fc = ((np.maximum(freq32, 1) - 1) & ((1 << CTX_PROB_BITS) - 1)) | (
+        cum << CTX_PROB_BITS
+    )
+    packed = np.zeros(len(sym_of_slot) // 4, dtype=np.uint32)
+    sos = sym_of_slot.astype(np.uint32)
+    for b in range(4):
+        packed |= sos[b::4] << np.uint32(8 * b)
+    return (
+        fc.reshape(4, 128).astype(np.uint32),
+        packed.reshape(BLOCK_ROWS, BLOCK_COLS),
+    )
+
+
 def words_rows(chunk_len: int) -> int:
     """Staging rows per block: worst case K*1024 words + window headroom."""
     return chunk_len * BLOCK_LANES // BLOCK_COLS + 48
@@ -378,21 +454,25 @@ def _auto_interpret(interpret: bool) -> bool:
     return interpret or jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_len", "nblocks", "interpret", "prob_bits"),
+)
 def encode_pallas(
-    syms: jax.Array,  # [nblocks, K, 8, 128] i32
+    syms: jax.Array,  # [nblocks, K, 8, 128] i32 (fc indices)
     lens: jax.Array,  # [nblocks, 8, 128] i32
-    fc: jax.Array,
+    fc: jax.Array,  # [R, 128] u32
     chunk_len: int,
     nblocks: int,
     interpret: bool = False,
+    prob_bits: int = PROB_BITS,
 ):
     """Returns (states u32 [nblocks,8,128], words u16 [nblocks,Wrows,128],
     counts i32 [nblocks,1,1])."""
     interpret = _auto_interpret(interpret)
     k = chunk_len
     wrows = words_rows(k)
-    kernel = functools.partial(_encode_kernel, chunk_len=k)
+    kernel = functools.partial(_encode_kernel, chunk_len=k, prob_bits=prob_bits)
     # pad the block count to a NSUB multiple; pad sub-blocks are inactive
     # (all-zero lens) and emit nothing
     npad = (-nblocks) % NSUB
@@ -412,7 +492,8 @@ def encode_pallas(
                          lambda m: (m, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fc.shape[0], 128), lambda m: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
@@ -441,23 +522,32 @@ def encode_pallas(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_len", "nblocks", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode",
+    ),
+)
 def decode_pallas(
     counts: jax.Array,  # [nblocks, 1, 1] i32
     states: jax.Array,  # [nblocks, 8, 128] u32
     lens: jax.Array,  # [nblocks, 8, 128] i32
     sym_tab: jax.Array,  # [8, 128] u32
-    fc: jax.Array,  # [2, 128] u32
+    fc: jax.Array,  # [R, 128] u32
     words: jax.Array,  # [nblocks, Wrows, 128] u32
     chunk_len: int,
     nblocks: int,
     interpret: bool = False,
+    prob_bits: int = PROB_BITS,
+    ctx_mode: bool = False,
 ):
     """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128])."""
     interpret = _auto_interpret(interpret)
     k = chunk_len
     wrows = words.shape[1]
-    kernel = functools.partial(_decode_kernel, chunk_len=k)
+    kernel = functools.partial(
+        _decode_kernel, chunk_len=k, prob_bits=prob_bits, ctx_mode=ctx_mode
+    )
     npad = (-nblocks) % NSUB
     if npad:
         counts = jnp.concatenate(
@@ -485,7 +575,8 @@ def decode_pallas(
             pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fc.shape[0], 128), lambda m: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((NSUB, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -154,6 +154,97 @@ def test_pallas_kernels_match_numpy_engine():
     np.testing.assert_array_equal(out_np[mask], symbols[mask])
 
 
+def test_ctx_mode_numpy_roundtrip_and_gain():
+    """Context-coded low-plane mode (coding=1): numpy engine roundtrips and
+    beats the order-0 entropy on correlated nibble data."""
+    from fpv_tpu.entropy.plane_codec import _interleave_np
+    from fpv_tpu.entropy.tables import normalize_freqs_ctx
+
+    frames = testdata.plasma_frames(3, 48, 100, bits=12, seed=2)
+    plane = ((frames << 4) & 0xF0).astype(np.uint8).reshape(3, -1)
+    K = 64
+    lens = chunk_lens(3, plane.shape[1], K)
+    nb = len(lens) // BLOCK_LANES
+    sym4 = (_interleave_np(plane, K, nb) >> 4).astype(np.uint8)
+    idx = rn.encode_ctx_indices(sym4, lens)
+    mask = np.arange(K)[None, :] < lens[:, None]
+    hist = np.bincount(idx[mask].reshape(-1), minlength=512)
+    freq = normalize_freqs_ctx(hist)
+    _f32, cum, _sos = rn.ctx_tables(freq)
+    states, counts, payload = rn.encode_blocks(
+        idx, lens, freq, prob_bits=7, cum=cum
+    )
+    out, ok = rn.decode_blocks_ctx(states, counts, payload, lens, freq, K)
+    assert ok.all()
+    np.testing.assert_array_equal(out[mask], sym4[mask])
+
+
+def test_ctx_mode_pallas_matches_numpy():
+    """Pallas ctx-mode kernels (interpret) are bit-exact vs the numpy ctx
+    engine: states, counts, payload, and decoded symbols."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy.plane_codec import _interleave_np
+    from fpv_tpu.entropy.tables import normalize_freqs_ctx
+    from fpv_tpu.ops import rans_pallas as rp
+
+    frames = testdata.plasma_frames(2, 40, 64, bits=12, seed=4)
+    plane = ((frames << 4) & 0xF0).astype(np.uint8).reshape(2, -1)
+    K = 32
+    lens = chunk_lens(2, plane.shape[1], K)
+    nb = len(lens) // BLOCK_LANES
+    sym4 = (_interleave_np(plane, K, nb) >> 4).astype(np.uint8)
+    idx = rn.encode_ctx_indices(sym4, lens)
+    mask = np.arange(K)[None, :] < lens[:, None]
+    hist = np.bincount(idx[mask].reshape(-1), minlength=512)
+    freq = normalize_freqs_ctx(hist)
+    _f32, cum, _sos = rn.ctx_tables(freq)
+    states, counts, payload = rn.encode_blocks(
+        idx, lens, freq, prob_bits=7, cum=cum
+    )
+
+    fc, symtab = rp.ctx_table_arrays(freq)
+    syms_dev = jnp.asarray(
+        idx.reshape(nb, BLOCK_LANES, K).transpose(0, 2, 1)
+        .reshape(nb, K, 8, 128).astype(np.int32)
+    )
+    lens_dev = jnp.asarray(lens.reshape(nb, 8, 128))
+    st, words, cnts = rp.encode_pallas(
+        syms_dev, lens_dev, jnp.asarray(fc), K, nb,
+        interpret=True, prob_bits=7,
+    )
+    cn = np.asarray(cnts).reshape(-1)
+    np.testing.assert_array_equal(cn, counts.astype(cn.dtype))
+    np.testing.assert_array_equal(np.asarray(st).reshape(-1), states)
+    w_np = np.asarray(words).reshape(nb, -1)
+    pl_payload = np.concatenate(
+        [w_np[m, : cn[m]] for m in range(nb)]
+    ).astype(np.uint16)
+    np.testing.assert_array_equal(pl_payload, payload)
+
+    wrows = rp.words_rows(K)
+    words_padded = np.zeros((nb, wrows * 128), np.uint32)
+    off = 0
+    for m in range(nb):
+        words_padded[m, : cn[m]] = payload[off : off + cn[m]]
+        off += cn[m]
+    out, ok = rp.decode_pallas(
+        jnp.asarray(cn.reshape(nb, 1, 1).astype(np.int32)),
+        jnp.asarray(states.reshape(nb, 8, 128)),
+        lens_dev,
+        jnp.asarray(symtab),
+        jnp.asarray(fc),
+        jnp.asarray(words_padded.reshape(nb, wrows, 128)),
+        K, nb, interpret=True, prob_bits=7, ctx_mode=True,
+    )
+    assert np.asarray(ok).all()
+    out_np = (
+        np.asarray(out).reshape(nb, K, BLOCK_LANES)
+        .transpose(0, 2, 1).reshape(-1, K).astype(np.uint8)
+    )
+    np.testing.assert_array_equal(out_np[mask], sym4[mask])
+
+
 def test_plane_codec_pallas_interpret_path():
     """encode/decode_plane_batch with engine='pallas' in interpret mode."""
     import os
