@@ -250,7 +250,7 @@ def fused_encode_batch(
     from fpv_tpu.entropy.plane_codec import (
         _hist_flat,
         _to_block_symbols,
-        ctx_indices_device,
+        ctx_combine_device,
     )
     from fpv_tpu.entropy.tables_device import (
         encode_tables_ctx_device,
@@ -287,14 +287,29 @@ def fused_encode_batch(
         lens, nblocks = _plane_geometry(b, s, chunk_len)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         if name == "low" and low_ctx:
+            # the kernel computes ctx*16+sym in-register from the previous
+            # step's symbols, so no full-size index array materializes in
+            # HBM; the table histogram samples the STEP axis (contiguous
+            # slices — flat strided sampling lowers to a ~150 ms gather)
             sym4 = _to_block_symbols(plane >> 4, chunk_len, nblocks)
-            syms = ctx_indices_device(sym4)
-            hist = _hist_flat(syms.reshape(-1)[::_HIST_STRIDE], CTX_NIDX)
+            nbk = sym4.shape[0]
+            sampled = sym4[:, :: _HIST_STRIDE]
+            prev_s = jnp.concatenate(
+                [
+                    jnp.zeros((nbk, 1, 8, 128), jnp.int32),
+                    sym4[:, _HIST_STRIDE - 1 : -1 : _HIST_STRIDE].astype(
+                        jnp.int32
+                    ),
+                ],
+                axis=1,
+            )[:, : sampled.shape[1]]
+            idx_s = ctx_combine_device(prev_s, sampled)
+            hist = _hist_flat(idx_s.reshape(-1), CTX_NIDX)
             freq = normalize_freqs_ctx_device(hist)
             fc = encode_tables_ctx_device(freq)
             states, words, counts = rp.encode_pallas(
-                syms, lens_dev, fc, chunk_len, nblocks,
-                prob_bits=CTX_PROB_BITS,
+                sym4, lens_dev, fc, chunk_len, nblocks,
+                prob_bits=CTX_PROB_BITS, ctx_mode=True,
             )
         else:
             freq = normalize_freqs_device(m[f"hist_{name}"])
@@ -448,6 +463,96 @@ def fused_decode_batch(
         pv = _inverse_spatial(pv, pv_spatial, pv_any_up, pv_any_cg)
         return imgs, ok_all, pv
     return imgs, ok_all
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk_len", "h", "w", "nbh", "nbl", "spatial",
+                     "use_delta", "no_low", "low_ctx", "rows_h", "rows_l"),
+)
+def fused_decode_frame(
+    pay_h: jax.Array,  # u16 padded payload slice of the covering blocks
+    cnt_h: jax.Array,  # i32 [nbh]
+    st_h: jax.Array,  # u32 [nbh*1024]
+    lens_h: jax.Array,  # i32 [nbh, 8, 128]
+    off_h: jax.Array,  # i32 scalar: frame start within the sub-blocks' syms
+    pay_l: jax.Array,
+    cnt_l: jax.Array,
+    st_l: jax.Array,
+    lens_l: jax.Array,
+    off_l: jax.Array,
+    sym_h: jax.Array,
+    fc_h: jax.Array,
+    sym_l: jax.Array,
+    fc_l: jax.Array,
+    delta_high: jax.Array,
+    delta_low: jax.Array,
+    chunk_len: int,
+    h: int,
+    w: int,
+    nbh: int,
+    nbl: int,
+    spatial: int,
+    use_delta: bool,
+    no_low: bool,
+    low_ctx: bool,
+    rows_h: int,
+    rows_l: int,
+):
+    """Decode ONE frame from only its covering rANS blocks -> ([h,w] u16, ok).
+
+    The sub-batch random-access fast path: the FPVT block layout keeps
+    blocks contiguous in the flat pixel stream precisely so a single frame
+    needs only ceil(S/span)+1 blocks per plane (the role of
+    RandomAccessDecoder::DecodeFrame, fusion_power_video.cc:1017-1036)."""
+    from fpv_tpu.entropy.plane_codec import _expand_payload
+    from fpv_tpu.ops import rans_pallas as rp
+    from fpv_tpu.ops.rans_layout import BLOCK_ROWS, BLOCK_COLS, CTX_PROB_BITS
+
+    s = h * w
+
+    def dec(pay, cnt, st, lens, off, sym_tab, fc, nb, rows, ctx):
+        cum = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt).astype(jnp.int32)]
+        )
+        words = _expand_payload(pay, cum, cnt, rows)
+        syms, ok = rp.decode_pallas(
+            cnt.reshape(nb, 1, 1),
+            st.reshape(nb, BLOCK_ROWS, BLOCK_COLS),
+            lens,
+            sym_tab,
+            fc,
+            words,
+            chunk_len,
+            nb,
+            prob_bits=CTX_PROB_BITS if ctx else 12,
+            ctx_mode=ctx,
+        )
+        flat = syms.reshape(-1)
+        plane = jax.lax.dynamic_slice(flat, (off,), (s,)).astype(jnp.uint8)
+        return plane, jnp.all(ok == 1)
+
+    high, ok_h = dec(pay_h, cnt_h, st_h, lens_h, off_h, sym_h, fc_h, nbh,
+                     rows_h, False)
+    high = high.reshape(1, h, w)
+    if spatial == SPATIAL_UP:
+        high = up_decode(high)
+    elif spatial == SPATIAL_CG2D:
+        high = cg2d_decode(high)
+    if no_low:
+        low = jnp.zeros((1, h, w), jnp.uint8)
+        ok_l = jnp.bool_(True)
+    else:
+        low, ok_l = dec(pay_l, cnt_l, st_l, lens_l, off_l, sym_l, fc_l, nbl,
+                        rows_l, low_ctx)
+        if low_ctx:
+            low = (low << 4).astype(jnp.uint8)
+        low = low.reshape(1, h, w)
+    if use_delta:
+        high = high + delta_high[None]
+        low = (low + delta_low[None]) if not no_low else low
+    img = combine_planes(high, low)[0]
+    return img, ok_h & ok_l
 
 
 @functools.partial(
@@ -857,11 +962,83 @@ class FpvtReader:
         return imgs_np, pv_np
 
     def decode_frame(self, index: int) -> np.ndarray:
-        """Decode one frame (decodes + caches its containing batch)."""
+        """Random-access decode of ONE frame.
+
+        Serves from the batch cache when its batch was already decoded;
+        otherwise (pallas engine) decodes only the rANS blocks covering the
+        frame — a small fraction of a full-batch decode (the role of
+        RandomAccessDecoder::DecodeFrame, fusion_power_video.cc:1017-1036).
+        """
+        from fpv_tpu.entropy.plane_codec import engine_name
+
         bi, j = self._frame_to_batch[index]
-        if self._cache is None or self._cache[0] != bi:
-            self._cache = (bi, self.decode_batch(bi))
+        if self._cache is not None and self._cache[0] == bi:
+            return self._cache[1][j]
+        off, b = self._batches[bi]
+        pb = fpvt.parse_batch_section(self._data, off)
+        if engine_name() == "pallas" and pb.low is not None:
+            return self._decode_frame_blocks(pb, b, j)
+        self._cache = (bi, self.decode_batch(bi))
         return self._cache[1][j]
+
+    def _decode_frame_blocks(
+        self, pb: fpvt.ParsedBatch, b: int, j: int
+    ) -> np.ndarray:
+        """One-dispatch decode of frame j from its covering blocks only."""
+        from fpv_tpu.entropy.plane_codec import _quantize_cap, _quantize_rows
+        from fpv_tpu.ops import rans_pallas as rp
+        from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_LANES, chunk_lens
+
+        h, w = self.header.ysize, self.header.xsize
+        s = h * w
+        k = 1 << self.header.chunk_log2
+        span = k * BLOCK_LANES
+        lens_all = chunk_lens(b, s, k).reshape(-1, BLOCK_LANES)
+
+        def prep(st):
+            counts = st.block_counts.astype(np.int64)
+            cum = np.zeros(len(counts) + 1, np.int64)
+            cum[1:] = np.cumsum(counts)
+            b0 = (j * s) // span
+            b1 = ((j + 1) * s - 1) // span
+            nb = b1 - b0 + 1
+            cnt = counts[b0 : b1 + 1].astype(np.int32)
+            states = st.states[b0 * BLOCK_LANES : (b1 + 1) * BLOCK_LANES]
+            lens = lens_all[b0 : b1 + 1].reshape(nb, 8, BLOCK_COLS)
+            rows = _quantize_rows(int(cnt.max()), k) + 16
+            total = int(cnt.sum())
+            cap = _quantize_cap(total, k, nb)
+            pay = np.zeros(cap + rows * BLOCK_COLS, np.uint16)
+            pay[:total] = st.payload[cum[b0] : cum[b1 + 1]]
+            off_in = j * s - b0 * span
+            if st.coding:
+                fc, sym = rp.ctx_table_arrays(st.freq)
+            else:
+                fc, _finv, sym = rp.table_arrays(st.freq)
+            return (
+                jnp.asarray(pay), jnp.asarray(cnt),
+                jnp.asarray(states.astype(np.uint32)), jnp.asarray(lens),
+                jnp.int32(off_in), jnp.asarray(sym), jnp.asarray(fc),
+                nb, rows,
+            )
+
+        ph = prep(pb.high)
+        pl = prep(pb.low)
+        flags = int(pb.frame_flags[j])
+        img, ok = fused_decode_frame(
+            *ph[:5], *pl[:5],
+            ph[5], ph[6], pl[5], pl[6],
+            self._delta_high, self._delta_low,
+            chunk_len=k, h=h, w=w, nbh=ph[7], nbl=pl[7],
+            spatial=(flags >> F_SPATIAL_SHIFT) & 3,
+            use_delta=bool(flags & F_USE_DELTA),
+            no_low=False,
+            low_ctx=bool(pb.low.coding),
+            rows_h=ph[8], rows_l=pl[8],
+        )
+        if not bool(np.asarray(ok)):
+            raise ValueError("rANS stream integrity check failed")
+        return np.asarray(img)
 
     def decode_batch_with_previews(
         self, index: int

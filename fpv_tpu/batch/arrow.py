@@ -9,9 +9,10 @@ flushed batch is an ``arrow.RecordBatch`` with columns
 
 and schema metadata carrying xsize / ysize / shiftedLeft plus the compressed
 delta-frame planes (arrow/arrow_encoder.cc:81-94), so a RecordBatch stream is
-fully self-describing.  The reference's zero-copy MutableBinaryBuilder
-(arrow/arrow_encoder.h:59-108) is matched here by building binary columns
-from accumulated buffers without re-copying per append.
+fully self-describing.  Binary columns build zero-copy, like the reference's
+MutableBinaryBuilder (arrow/arrow_encoder.h:59-108): frames brotli-compress
+DIRECTLY into a preallocated resizable Arrow buffer and flush wraps the
+buffers into a BinaryArray without copying.
 
 Requires pyarrow; importing this module without it raises ImportError.
 """
@@ -27,8 +28,46 @@ import pyarrow as pa
 
 from fpv_tpu.api import frame as frame_ops
 from fpv_tpu.api.frame import FrameFlags, FramePlanes
-from fpv_tpu.batch.columnar import _compress_predicted
 from fpv_tpu.entropy import brotli
+
+
+class MutableBinaryBuilder:
+    """Zero-copy Arrow BinaryArray builder.
+
+    The role of the reference's ``MutableBinaryBuilder``
+    (arrow/arrow_encoder.h:59-108): ``next_item`` hands the producer a
+    writable window of the preallocated resizable data buffer (growing it
+    when needed), ``advance`` commits the bytes actually written and bumps
+    the offsets array, and ``finish`` assembles the BinaryArray from the
+    (offsets, data) buffers without copying the payload."""
+
+    def __init__(self, capacity: int = 1 << 20) -> None:
+        self._buf = pa.allocate_buffer(capacity, resizable=True)
+        self._size = 0
+        self._offsets = [0]
+
+    def next_item(self, max_size: int) -> memoryview:
+        if self._size + max_size > self._buf.size:
+            self._buf.resize(max(self._size + max_size, 2 * self._buf.size))
+        return memoryview(self._buf)[self._size : self._size + max_size]
+
+    def advance(self, nbytes: int) -> None:
+        self._size += nbytes
+        self._offsets.append(self._size)
+
+    def append_empty(self) -> None:
+        self._offsets.append(self._size)
+
+    def finish(self) -> pa.Array:
+        n = len(self._offsets) - 1
+        offsets = pa.py_buffer(np.asarray(self._offsets, np.int32))
+        data = pa.py_buffer(memoryview(self._buf)[: self._size])
+        arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+        # the emitted array aliases the old buffer; start a fresh one
+        self._buf = pa.allocate_buffer(1 << 20, resizable=True)
+        self._size = 0
+        self._offsets = [0]
+        return arr
 
 SCHEMA_FIELDS = [
     pa.field("timestamp", pa.timestamp("ns"), nullable=False),
@@ -92,7 +131,12 @@ class ArrowEncoder:
         self._delta: FramePlanes | None = None
         self._schema: pa.Schema | None = None
         self._schema_ready = threading.Event()
-        self._rows: list = []
+        self._ts: list = []
+        self._dp: list = []
+        self._cg: list = []
+        self._pv_b = MutableBinaryBuilder()
+        self._hi_b = MutableBinaryBuilder()
+        self._lo_b = MutableBinaryBuilder()
         self._latest_ts = -1
         self._thread = threading.Thread(target=self._encoder_task, daemon=True)
         self._thread.start()
@@ -149,24 +193,43 @@ class ArrowEncoder:
 
     def _flush(self) -> None:
         self._schema_ready.wait()
-        if not self._rows:
+        if not self._ts:
             self._consumer(None)
             return
-        ts, dp, cg, pv, hp, lp = zip(*self._rows)
-        self._latest_ts = ts[-1]
+        self._latest_ts = self._ts[-1]
         batch = pa.RecordBatch.from_arrays(
             [
-                pa.array(np.asarray(ts, np.int64), pa.timestamp("ns")),
-                pa.array(dp, pa.bool_()),
-                pa.array(cg, pa.bool_()),
-                pa.array(list(pv), pa.binary()),
-                pa.array(list(hp), pa.binary()),
-                pa.array(list(lp), pa.binary()),
+                pa.array(np.asarray(self._ts, np.int64), pa.timestamp("ns")),
+                pa.array(self._dp, pa.bool_()),
+                pa.array(self._cg, pa.bool_()),
+                self._pv_b.finish(),
+                self._hi_b.finish(),
+                self._lo_b.finish(),
             ],
             schema=self._schema,
         )
-        self._rows = []
+        self._ts, self._dp, self._cg = [], [], []
         self._consumer(batch)
+
+    def _compress_row(self, planes: FramePlanes) -> None:
+        """Compress one predicted frame DIRECTLY into the column builders
+        (role of CompressPreparedFrame, arrow/arrow_encoder.cc:97-113)."""
+        for plane, builder in (
+            (planes.preview, self._pv_b),
+            (planes.high, self._hi_b),
+            (
+                None if planes.flags & FrameFlags.NO_LOW_BYTES else planes.low,
+                self._lo_b,
+            ),
+        ):
+            if plane is None or plane.size == 0:
+                builder.append_empty()
+                continue
+            mv = builder.next_item(brotli.max_compressed_size(plane.size))
+            builder.advance(brotli.compress_into(np.ascontiguousarray(plane), mv))
+        self._ts.append(planes.timestamp)
+        self._dp.append(bool(planes.flags & FrameFlags.USE_DELTA))
+        self._cg.append(bool(planes.flags & FrameFlags.USE_CG))
 
     def _encoder_task(self) -> None:
         while True:
@@ -176,18 +239,8 @@ class ArrowEncoder:
                 self._closing_future.set_result(self._latest_ts)
                 return
             planes = item.result() if isinstance(item, Future) else item
-            cf = _compress_predicted(planes)
-            self._rows.append(
-                (
-                    cf.timestamp,
-                    bool(cf.flags & FrameFlags.USE_DELTA),
-                    bool(cf.flags & FrameFlags.USE_CG),
-                    cf.preview,
-                    cf.high,
-                    cf.low,
-                )
-            )
-            if len(self._rows) >= self._frames_per_batch:
+            self._compress_row(planes)
+            if len(self._ts) >= self._frames_per_batch:
                 self._flush()
 
     def join(self) -> None:

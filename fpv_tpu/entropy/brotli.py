@@ -180,3 +180,14 @@ def max_compressed_size(input_size: int) -> int:
     if _native is not None:
         return _native.brotli_max_compressed_size(input_size)
     return _impl().max_compressed_size(input_size)
+
+
+def compress_into(data, dest, quality: int = QUALITY) -> int:
+    """Compress directly into the writable buffer ``dest``; returns the
+    compressed size.  Zero-copy when the native extension is built; the
+    ctypes fallback compresses then copies (functionally identical)."""
+    if _native is not None and hasattr(_native, "brotli_compress_into"):
+        return _native.brotli_compress_into(data, dest, quality)
+    out = compress(bytes(data), quality)
+    memoryview(dest).cast("B")[: len(out)] = out
+    return len(out)

@@ -116,21 +116,28 @@ def _from_block_symbols(
     return flat.reshape(nframes, plane_size).astype(jnp.uint8)
 
 
+def ctx_combine_device(prev: jax.Array, sym4: jax.Array) -> jax.Array:
+    """(previous-step symbols, symbols) [nb, K', 8, 128] -> fc indices
+    ctx*16+sym (ctx feature defined in fpv_tpu.ops.rans_layout)."""
+    nb, k = sym4.shape[0], sym4.shape[1]
+    p = prev.astype(jnp.int32).reshape(nb, k, BLOCK_LANES)
+    al = jnp.roll(p, 1, axis=2)
+    ar = jnp.roll(p, -1, axis=2)
+    ctx = (p * 2 + (al != ar).astype(jnp.int32)).reshape(nb, k, 8, 128)
+    return ctx * CTX_ALPHA + sym4.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def ctx_indices_device(sym4: jax.Array) -> jax.Array:
     """[nb, K, 8, 128] nibble symbols (zero-padded) -> fc indices
     ctx*16+sym, the device twin of rans_numpy.encode_ctx_indices (ctx
     feature defined in fpv_tpu.ops.rans_layout)."""
-    nb, k = sym4.shape[0], sym4.shape[1]
+    nb = sym4.shape[0]
     s = sym4.astype(jnp.int32)
     prev = jnp.concatenate(
         [jnp.zeros((nb, 1, 8, 128), jnp.int32), s[:, :-1]], axis=1
     )
-    p = prev.reshape(nb, k, BLOCK_LANES)
-    al = jnp.roll(p, 1, axis=2)
-    ar = jnp.roll(p, -1, axis=2)
-    ctx = (p * 2 + (al != ar).astype(jnp.int32)).reshape(nb, k, 8, 128)
-    return ctx * CTX_ALPHA + s
+    return ctx_combine_device(prev, s)
 
 
 def _interleave_np(plane_np: np.ndarray, chunk_len: int, nblocks: int):
@@ -192,7 +199,7 @@ def _compact_payload(
     # dynamic_update_slice chain materializes full-buffer copies); UNROLL
     # several blocks per iteration — XLA pays ~40us of loop overhead per
     # while step, which dominates at one block per step
-    unroll = 8
+    unroll = 16
 
     def body(i, out):
         for s in range(unroll):
@@ -393,8 +400,9 @@ def encode_plane_batch(
         fc, _symtab = rp.ctx_table_arrays(freq)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         states_d, words_d, counts_d = rp.encode_pallas(
-            idx, lens_dev, jnp.asarray(fc),
+            sym4, lens_dev, jnp.asarray(fc),
             chunk_len=chunk_len, nblocks=nblocks, prob_bits=CTX_PROB_BITS,
+            ctx_mode=True,
         )
         return _package_pallas(
             states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq,

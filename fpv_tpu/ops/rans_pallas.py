@@ -176,6 +176,20 @@ def _div_by_freq(
     return q
 
 
+def _ctx_from_prev(prev: jax.Array) -> jax.Array:
+    """ctx = a*2 + (al != ar): lane-neighbor rolls of the previous step's
+    (masked) symbols, wrapping within the block's 1024 lanes (rans_layout
+    CTX docs; must match rans_numpy.ctx_from_prev)."""
+    lane = _lanes()
+    x1 = pltpu.roll(prev, 1, 1)
+    al = jnp.where(lane == 0, pltpu.roll(x1, 1, 0), x1)
+    x2 = pltpu.roll(prev, BLOCK_COLS - 1, 1)
+    ar = jnp.where(
+        lane == BLOCK_COLS - 1, pltpu.roll(x2, BLOCK_ROWS - 1, 0), x2
+    )
+    return prev * 2 + (al != ar).astype(jnp.int32)
+
+
 NSUB = 2  # independent sub-blocks per grid cell (ILP: two dependency chains)
 
 
@@ -189,6 +203,7 @@ def _encode_kernel(
     *,
     chunk_len: int,
     prob_bits: int = PROB_BITS,
+    ctx_mode: bool = False,
 ):
     k = chunk_len
     fmask = (1 << prob_bits) - 1
@@ -249,9 +264,18 @@ def _encode_kernel(
         return al * BLOCK_COLS + off
 
     def _prefetch(u, t):
-        """Table row for sub-block u at step t (clamped at the end)."""
+        """Table row for sub-block u at step t (clamped at the end).
+
+        In ctx mode the kernel input is nibble symbols and the fc index
+        ctx*16+sym is computed here from the PREVIOUS step's symbols —
+        avoiding a full-size precomputed index array in HBM."""
         j = jnp.maximum(k - 1 - t, 0)
         sym = syms_ref[u, pl.ds(j, 1)][0]
+        if ctx_mode:
+            jp = jnp.maximum(j - 1, 0)
+            prev = syms_ref[u, pl.ds(jp, 1)][0]
+            prev = jnp.where(j >= 1, prev, 0)
+            sym = _ctx_from_prev(prev) * CTX_ALPHA + sym
         return _lookup_tab(fc, sym)
 
     def step(t, carry):
@@ -316,25 +340,11 @@ def _decode_kernel(
     lens = [lens_ref[u] for u in range(NSUB)]
     sym_tab = sym_ref[:]
     fc = fc_ref[:]
-    lane = _lanes()
-
-    def _ctx(prev):
-        """ctx = a*2 + (al != ar): lane-neighbor rolls of the previous
-        step's (masked) symbols, wrapping within the block's 1024 lanes
-        (rans_layout CTX docs; must match rans_numpy.ctx_from_prev)."""
-        x1 = pltpu.roll(prev, 1, 1)
-        al = jnp.where(lane == 0, pltpu.roll(x1, 1, 0), x1)
-        x2 = pltpu.roll(prev, BLOCK_COLS - 1, 1)
-        ar = jnp.where(
-            lane == BLOCK_COLS - 1, pltpu.roll(x2, BLOCK_ROWS - 1, 0), x2
-        )
-        return prev * 2 + (al != ar).astype(jnp.int32)
-
     def one(u, j, x, ptr, prev):
         active = j < lens[u]
         slot = (x & (scale - 1)).astype(jnp.int32)
         if ctx_mode:
-            ctx = _ctx(prev)
+            ctx = _ctx_from_prev(prev)
             sym = _lookup_sym(sym_tab, ctx * scale + slot)
             e = _lookup_tab(fc, ctx * CTX_ALPHA + sym)
         else:
@@ -456,23 +466,29 @@ def _auto_interpret(interpret: bool) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk_len", "nblocks", "interpret", "prob_bits"),
+    static_argnames=(
+        "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode",
+    ),
 )
 def encode_pallas(
-    syms: jax.Array,  # [nblocks, K, 8, 128] i32 (fc indices)
+    syms: jax.Array,  # [nblocks, K, 8, 128] i32 (fc indices, or nibble
+    #                   symbols when ctx_mode)
     lens: jax.Array,  # [nblocks, 8, 128] i32
     fc: jax.Array,  # [R, 128] u32
     chunk_len: int,
     nblocks: int,
     interpret: bool = False,
     prob_bits: int = PROB_BITS,
+    ctx_mode: bool = False,
 ):
     """Returns (states u32 [nblocks,8,128], words u16 [nblocks,Wrows,128],
     counts i32 [nblocks,1,1])."""
     interpret = _auto_interpret(interpret)
     k = chunk_len
     wrows = words_rows(k)
-    kernel = functools.partial(_encode_kernel, chunk_len=k, prob_bits=prob_bits)
+    kernel = functools.partial(
+        _encode_kernel, chunk_len=k, prob_bits=prob_bits, ctx_mode=ctx_mode
+    )
     # pad the block count to a NSUB multiple; pad sub-blocks are inactive
     # (all-zero lens) and emit nothing
     npad = (-nblocks) % NSUB

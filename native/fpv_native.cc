@@ -64,6 +64,38 @@ PyObject* py_brotli_compress(PyObject*, PyObject* args) {
   return PyBytes_FromStringAndSize((const char*)out.data(), (Py_ssize_t)encoded);
 }
 
+// brotli_compress_into(data, dest_writable_buffer, quality=1) -> nbytes:
+// compresses directly into caller-owned memory (the zero-copy Arrow
+// builder's arena; role of MutableBinaryBuilder, arrow/arrow_encoder.h:59-108).
+PyObject* py_brotli_compress_into(PyObject*, PyObject* args) {
+  Py_buffer src, dst;
+  int quality = 1;
+  if (!PyArg_ParseTuple(args, "y*w*|i", &src, &dst, &quality)) return nullptr;
+  size_t need = BrotliEncoderMaxCompressedSize((size_t)src.len);
+  if (need == 0) need = 64;
+  if ((size_t)dst.len < need) {
+    PyBuffer_Release(&src);
+    PyBuffer_Release(&dst);
+    PyErr_SetString(PyExc_ValueError, "destination buffer too small");
+    return nullptr;
+  }
+  size_t encoded = (size_t)dst.len;
+  BROTLI_BOOL ok;
+  Py_BEGIN_ALLOW_THREADS;
+  ok = BrotliEncoderCompress(quality, BROTLI_DEFAULT_WINDOW,
+                             BROTLI_DEFAULT_MODE, (size_t)src.len,
+                             (const uint8_t*)src.buf, &encoded,
+                             (uint8_t*)dst.buf);
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&src);
+  PyBuffer_Release(&dst);
+  if (!ok) {
+    PyErr_SetString(PyExc_RuntimeError, "brotli compression failed");
+    return nullptr;
+  }
+  return PyLong_FromSize_t(encoded);
+}
+
 // Decode ONE brotli stream starting at pos; returns (bytes, end_pos) —
 // mirrors the reference's BrotliDecompress wrapper that supports two
 // concatenated streams (fusion_power_video.cc:186-214).
@@ -412,6 +444,8 @@ PyMethodDef methods[] = {
      "delta_low, use_delta, make_preview) -> (flags, image_bs, preview_bs)"},
     {"brotli_compress", py_brotli_compress, METH_VARARGS,
      "brotli_compress(data, quality=1, lgwin=22) -> bytes"},
+    {"brotli_compress_into", py_brotli_compress_into, METH_VARARGS,
+     "brotli_compress_into(data, dest, quality=1) -> nbytes"},
     {"brotli_decompress_stream", py_brotli_decompress_stream, METH_VARARGS,
      "brotli_decompress_stream(data, pos=0) -> (bytes, end_pos)"},
     {"brotli_max_compressed_size", py_brotli_max_compressed_size, METH_VARARGS,

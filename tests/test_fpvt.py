@@ -163,6 +163,20 @@ def test_fpvt_malformed_inputs_rejected():
         FpvtReader(good + b"\0" * 64)
 
 
+def test_fpvt_per_block_random_access(monkeypatch):
+    """decode_frame on the pallas engine decodes only the covering blocks
+    (no batch decode, no cache fill) and matches the full decode."""
+    monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
+    frames = testdata.plasma_frames(6, 32, 32, bits=12)
+    data = encode_file_fpvt(frames, shift=4, frames_per_batch=3, chunk_log2=4)
+    r = FpvtReader(data)
+    for i in (5, 0, 4, 2):
+        np.testing.assert_array_equal(
+            r.decode_frame(i), frames[i].astype(np.uint16) << 4
+        )
+        assert r._cache is None  # block path, not batch decode
+
+
 def test_fpvt_tiny_dims_roundtrip():
     """H<4 / W<4 frames have zero-pixel previews: the preview stream is
     skipped and both engines roundtrip (advisor finding: the numpy engine
