@@ -75,6 +75,13 @@ def measure_reference(raw_path: str) -> float | None:
 
 
 def main() -> None:
+    # build the native extension if this is a fresh host (otherwise the
+    # FPV1 compat path silently measures the ~2x-slower ctypes fallback)
+    from fpv_tpu.utils.nativebuild import ensure_native_built
+
+    if not ensure_native_built():
+        log("WARNING: fpv_native unavailable; FPV1 uses ctypes fallback")
+
     from fpv_tpu.api.fpvt_codec import FpvtWriter, decode_file_fpvt
     from fpv_tpu.utils import testdata
 

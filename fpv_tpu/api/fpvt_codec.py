@@ -76,6 +76,29 @@ def _residual_cost(plane: jax.Array) -> jax.Array:
     return jnp.sum(mag, axis=1)
 
 
+def _support_mask(plane: jax.Array) -> jax.Array:
+    """[256] 0/1 exact-support superset of a u8 plane batch.
+
+    Interval bounds are exact (full-plane min/max — one fused reduction
+    pass, unlike exact per-bin counting at 256 compares/element).  Two
+    interval views are intersected: the plain value domain and the
+    recentered ``(v+128) & 255`` domain where mod-256 residuals (which
+    cluster around 0 *and* 255) become one contiguous run around 128.
+    The intersection of two supersets of the support is still a superset,
+    so symbols outside the mask provably never occur and can get rANS
+    frequency 0 (see normalize_freqs_device).
+    """
+    if plane.size == 0:
+        return jnp.ones(256, jnp.int32)
+    v = plane.reshape(-1).astype(jnp.int32)
+    sym = jnp.arange(256, dtype=jnp.int32)
+    m_plain = (sym >= jnp.min(v)) & (sym <= jnp.max(v))
+    r = (v + 128) & 255
+    rsym = (sym + 128) & 255
+    m_rec = (rsym >= jnp.min(r)) & (rsym <= jnp.max(r))
+    return (m_plain & m_rec).astype(jnp.int32)
+
+
 def _batch_hist(plane: jax.Array) -> jax.Array:
     """[256] int32 row-sampled histogram over the whole batch.
 
@@ -182,6 +205,10 @@ def encode_model_step(
         # computed from the block layout in fused_encode_batch instead
         hist_low=None if low_ctx else _batch_hist(low2),
         hist_preview=_batch_hist(pv3),
+        # exact-support masks let table floors skip provably-absent symbols
+        mask_high=_support_mask(high3),
+        mask_low=None if low_ctx else _support_mask(low2),
+        mask_preview=_support_mask(pv3),
     )
 
 
@@ -312,7 +339,7 @@ def fused_encode_batch(
                 prob_bits=CTX_PROB_BITS, ctx_mode=True,
             )
         else:
-            freq = normalize_freqs_device(m[f"hist_{name}"])
+            freq = normalize_freqs_device(m[f"hist_{name}"], m[f"mask_{name}"])
             fc, _finv = encode_tables_device(freq)
             syms = _to_block_symbols(plane, chunk_len, nblocks)
             states, words, counts = rp.encode_pallas(
@@ -664,11 +691,17 @@ class FpvtWriter:
         self._delta_low = low[0]
         has_low = bool(np.asarray(nonzero_low)[0])
         hs = encode_plane_batch(
-            high.reshape(1, -1), np.asarray(_batch_hist(high)), self._chunk_len
+            high.reshape(1, -1),
+            np.asarray(_batch_hist(high)),
+            self._chunk_len,
+            mask=np.asarray(_support_mask(high)),
         )
         ls = (
             encode_plane_batch(
-                low.reshape(1, -1), np.asarray(_batch_hist(low)), self._chunk_len
+                low.reshape(1, -1),
+                np.asarray(_batch_hist(low)),
+                self._chunk_len,
+                mask=np.asarray(_support_mask(low)),
             )
             if has_low
             else None
@@ -712,11 +745,19 @@ class FpvtWriter:
             )
 
             jobs = [
-                (m["high"].reshape(b, -1), np.asarray(m["hist_high"])),
+                (
+                    m["high"].reshape(b, -1),
+                    np.asarray(m["hist_high"]),
+                    np.asarray(m["mask_high"]),
+                ),
             ]
             if has_pv:
                 jobs.append(
-                    (m["preview"].reshape(b, -1), np.asarray(m["hist_preview"]))
+                    (
+                        m["preview"].reshape(b, -1),
+                        np.asarray(m["hist_preview"]),
+                        np.asarray(m["mask_preview"]),
+                    )
                 )
             out = encode_planes_batch(jobs, self._chunk_len)
             hs = out[0]
@@ -726,6 +767,11 @@ class FpvtWriter:
                 None if self._low_coding else np.asarray(m["hist_low"]),
                 self._chunk_len,
                 coding=self._low_coding,
+                mask=(
+                    None
+                    if self._low_coding
+                    else np.asarray(m["mask_low"])
+                ),
             )
             flags = self._pack_flags(
                 np.asarray(m["use_delta"]),

@@ -33,6 +33,24 @@ except Exception:
     _native = None
 
 
+def reload_native() -> bool:
+    """Re-attempt the fpv_native import (after an in-place build that
+    happened later than this module's first import — see
+    fpv_tpu.utils.nativebuild).  Returns availability."""
+    global _native
+    if _native is None:
+        try:
+            import importlib
+
+            importlib.invalidate_caches()
+            import fpv_native as _m  # type: ignore
+
+            _native = _m
+        except Exception:
+            _native = None
+    return _native is not None
+
+
 class _CtypesBrotli:
     """Minimal ctypes binding of the stable brotli C API."""
 

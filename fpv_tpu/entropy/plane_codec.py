@@ -280,28 +280,34 @@ def encode_planes_batch(
 ) -> list:
     """Encode several plane batches with one device sync point.
 
-    ``planes_and_hists`` is a list of (plane [B,S], hist [256]) pairs.  On
+    ``planes_and_hists`` is a list of (plane [B,S], hist [256]) or
+    (plane, hist, support_mask) tuples — the optional mask is an exact
+    support superset letting table floors skip absent symbols.  On
     the pallas engine all rANS kernels are dispatched before any counts are
     read back, so per-plane RPC latencies overlap; host packaging then runs
     per plane.
     """
     engine = engine or engine_name()
+    jobs = [(j[0], j[1], j[2] if len(j) > 2 else None)
+            for j in planes_and_hists]
     if engine != "pallas":
         return [
-            encode_plane_batch(p, h, chunk_len, engine)
-            for p, h in planes_and_hists
+            encode_plane_batch(p, h, chunk_len, engine, mask=m)
+            for p, h, m in jobs
         ]
 
     from fpv_tpu.ops import rans_pallas as rp
 
     dispatched = []
-    for plane, hist in planes_and_hists:
+    for plane, hist, hmask in jobs:
         b = plane.shape[0]
         plane = plane.reshape(b, -1)
         s = plane.shape[1]
         lens = chunk_lens(b, s, chunk_len)
         nblocks = len(lens) // BLOCK_LANES
-        freq = normalize_freqs(np.asarray(hist), ensure_all=True)
+        freq = normalize_freqs(
+            np.asarray(hist), ensure_all=True, floor_mask=hmask
+        )
         fc, finv, _ = rp.table_arrays(freq)
         syms = _to_block_symbols(jnp.asarray(plane), chunk_len, nblocks)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
@@ -352,14 +358,16 @@ def encode_plane_batch(
     chunk_len: int = DEFAULT_CHUNK_LEN,
     engine: str | None = None,
     coding: int = CODING_ORDER0,
+    mask: np.ndarray | None = None,
 ) -> PlaneStream:
     """Encode a [B, S] (or [B, H, W]) uint8 plane batch.
 
     ``hist`` is the 256-bin histogram of the whole batch (device-computed;
-    passed in so callers can fuse histogramming with prediction).  With
-    ``coding=CODING_CTX16`` (nibble alphabet + conditional tables, see
-    rans_layout) the joint (ctx, sym) histogram is computed here exactly and
-    ``hist`` may be None.
+    passed in so callers can fuse histogramming with prediction);
+    ``mask`` an optional exact-support superset (see
+    tables.normalize_freqs floor_mask).  With ``coding=CODING_CTX16``
+    (nibble alphabet + conditional tables, see rans_layout) the joint
+    (ctx, sym) histogram is computed here exactly and ``hist`` may be None.
     """
     engine = engine or engine_name()
     b = plane.shape[0]
@@ -409,7 +417,7 @@ def encode_plane_batch(
             coding=CODING_CTX16,
         )
 
-    freq = normalize_freqs(np.asarray(hist), ensure_all=True)
+    freq = normalize_freqs(np.asarray(hist), ensure_all=True, floor_mask=mask)
 
     if engine == "numpy":
         flat = _interleave_np(np.asarray(plane), chunk_len, nblocks)

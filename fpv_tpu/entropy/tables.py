@@ -29,7 +29,10 @@ def normalize_freqs_ctx(hist: np.ndarray) -> np.ndarray:
 
 
 def normalize_freqs(
-    hist: np.ndarray, scale: int = PROB_SCALE, ensure_all: bool = False
+    hist: np.ndarray,
+    scale: int = PROB_SCALE,
+    ensure_all: bool = False,
+    floor_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Histogram -> frequency table summing to ``scale``; present symbols >= 1.
 
@@ -40,16 +43,25 @@ def normalize_freqs(
     histogram count is zero — required when the histogram is *sampled* (the
     encoder may meet symbols the sample missed).  Cost: ~0.09 bits/symbol
     worst case, negligible for sparse alphabets.
+
+    ``floor_mask`` ([len(hist)] bool) refines that: an exact-support
+    superset computed from the *full* data, so only masked symbols get the
+    sampled-miss floor and provably-absent ones stay at frequency 0
+    (reclaiming the floor's code space — the exact-histogram benefit at
+    min/max-reduction cost).  Overrides ``ensure_all``.
     """
     hist = np.asarray(hist, dtype=np.int64)
     total = int(hist.sum())
     if total <= 0:
-        if ensure_all:
+        if ensure_all or floor_mask is not None:
             # zero-pixel plane (e.g. previews of H<4 or W<4 frames): any
             # valid table works since nothing is coded; use uniform
             return np.full(len(hist), scale // len(hist), dtype=np.uint16)
         raise ValueError("empty histogram")
-    present = (hist > 0) | ensure_all
+    if floor_mask is not None:
+        present = (hist > 0) | np.asarray(floor_mask, dtype=bool)
+    else:
+        present = (hist > 0) | ensure_all
     npresent = int(present.sum())
     if npresent > scale:
         raise ValueError("alphabet larger than probability scale")

@@ -20,23 +20,44 @@ import jax.numpy as jnp
 from fpv_tpu.entropy.tables import PROB_BITS, PROB_SCALE
 
 
-def normalize_freqs_device(hist: jax.Array) -> jax.Array:
-    """[256] int histogram -> [256] u32 freq table (sum PROB_SCALE, min 1)."""
+def normalize_freqs_device(
+    hist: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
+    """[256] int histogram -> [256] u32 freq table (sum PROB_SCALE).
+
+    ``mask`` ([256] 0/1, optional) is an exact-support superset: symbols
+    outside it get frequency 0 (they provably never occur, so the floor
+    of 1 that guards against sampled-histogram misses is wasted code space
+    on them — ~0.09 bits/symbol on narrow-support residual planes).
+    Without a mask every symbol gets the floor (legacy behavior).
+    """
     h = hist.astype(jnp.float32)
+    if mask is None:
+        maskf = jnp.ones(256, jnp.float32)
+        nfloor = jnp.float32(256.0)
+    else:
+        maskf = mask.astype(jnp.float32)
+        nfloor = jnp.sum(maskf)
+    h = h * maskf  # sampled counts are within the mask; belt and braces
     total = jnp.maximum(jnp.sum(h), 1.0)
-    scale = jnp.float32(PROB_SCALE - 256)
+    scale = jnp.float32(PROB_SCALE) - nfloor
     ideal = h * (scale / total)
     # bias down so f32 rounding can't push floor above the exact value
     base = jnp.floor(ideal * (1.0 - 1e-6)).astype(jnp.int32)
     base = jnp.maximum(base, 0)
     rem = ideal - base.astype(jnp.float32)
-    d = (PROB_SCALE - 256) - jnp.sum(base)
-    # rank symbols by remainder, ties by index (lower index first)
-    key = rem * 512.0 - jnp.arange(256, dtype=jnp.float32) / 256.0
+    d = scale.astype(jnp.int32) - jnp.sum(base)
+    # rank symbols by remainder, ties by index (lower index first);
+    # out-of-mask symbols rank last so the +1 rounds never reach them
+    key = (
+        rem * 512.0
+        - jnp.arange(256, dtype=jnp.float32) / 256.0
+        - (1.0 - maskf) * 1e9
+    )
     # rank via double argsort — a 256-element scatter costs ~18 ms on TPU
     rank = jnp.argsort(jnp.argsort(-key)).astype(jnp.int32)
     extra = (rank < d).astype(jnp.int32) + (rank < d - 256).astype(jnp.int32)
-    freq = 1 + base + extra
+    freq = (1 + base + extra) * maskf.astype(jnp.int32)
     # exact-sum safety net: absorb any residual rounding slack into the
     # largest bin (always big enough to take a few +/-1 units)
     resid = PROB_SCALE - jnp.sum(freq)

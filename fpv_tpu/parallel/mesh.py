@@ -109,9 +109,12 @@ def _local_codec_roundtrip(
     for name, s in (("high", h * w), ("low", h * w),
                     ("preview", (h // 4) * (w // 4))):
         hist = m[f"hist_{name}"]
+        mask = m[f"mask_{name}"]
         if axis is not None:
             hist = jax.lax.psum(hist, axis)
-        freq = normalize_freqs_device(hist)
+            # support-mask union across shards (OR via psum)
+            mask = (jax.lax.psum(mask, axis) > 0).astype(jnp.int32)
+        freq = normalize_freqs_device(hist, mask)
         fc, _finv = encode_tables_device(freq)
         sym_tab = decode_tables_device(freq)
         lens, nblocks = _plane_geometry(b, s, chunk_len)

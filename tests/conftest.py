@@ -32,6 +32,12 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 REFBIN = REPO / ".refbin"
 REFERENCE_SRC = pathlib.Path("/root/reference")
 
+# build fpv_native once per fresh host so the native-path tests run against
+# the extension rather than silently exercising only the ctypes fallback
+from fpv_tpu.utils.nativebuild import ensure_native_built  # noqa: E402
+
+ensure_native_built()
+
 
 def _build_reference() -> bool:
     """Compile the reference binaries (one-time) for interop tests."""

@@ -26,6 +26,96 @@ def test_normalize_freqs_properties():
         assert np.all((freq > 0) == (hist > 0))
 
 
+def test_normalize_freqs_floor_mask():
+    """floor_mask floors only masked symbols; absent ones get freq 0."""
+    rng = np.random.default_rng(12)
+    hist = np.zeros(256, np.int64)
+    hist[10:20] = rng.integers(1, 1000, size=10)
+    mask = np.zeros(256, bool)
+    mask[8:24] = True  # support superset
+    freq = normalize_freqs(hist, ensure_all=True, floor_mask=mask)
+    assert freq.sum() == PROB_SCALE
+    assert np.all(freq[~mask] == 0)
+    assert np.all(freq[mask] >= 1)
+    # reclaimed floor mass: masked table must beat the blanket floor on
+    # the coded cost of the histogrammed symbols
+    freq_all = normalize_freqs(hist, ensure_all=True)
+    p = hist / hist.sum()
+    cost = lambda f: -(p[hist > 0] * np.log2(f[hist > 0] / PROB_SCALE)).sum()
+    assert cost(freq) < cost(freq_all)
+
+
+def test_support_mask_device_superset():
+    """_support_mask is always a superset of the true support, and tight
+    for mod-256 residual clusters (which straddle 0/255)."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.api.fpvt_codec import _support_mask
+
+    rng = np.random.default_rng(13)
+    cases = [
+        (rng.laplace(0, 3, size=(2, 64, 64)).astype(np.int64) % 256),  # wrap
+        rng.integers(100, 140, size=(2, 64, 64)),  # plain interval
+        rng.integers(0, 256, size=(2, 64, 64)),  # full range
+        np.full((1, 8, 8), 7),  # constant
+    ]
+    for vals in cases:
+        plane = jnp.asarray(vals.astype(np.uint8))
+        mask = np.asarray(_support_mask(plane)).astype(bool)
+        support = np.bincount(vals.astype(np.uint8).reshape(-1),
+                              minlength=256) > 0
+        assert np.all(mask[support]), "mask must cover every present symbol"
+    # tightness on the wraparound cluster: no more than the contiguous run
+    vals = (rng.laplace(0, 3, size=(4, 64, 64)).astype(np.int64) % 256)
+    plane = jnp.asarray(vals.astype(np.uint8))
+    mask = np.asarray(_support_mask(plane)).astype(bool)
+    assert mask.sum() < 80  # cluster spans far less than 256
+
+
+def test_normalize_freqs_device_masked():
+    """Device normalizer: valid masked tables; legacy path unchanged."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy.tables_device import normalize_freqs_device
+
+    rng = np.random.default_rng(15)
+    hist = np.zeros(256, np.int64)
+    hist[30:45] = rng.integers(1, 5000, size=15)
+    mask = np.zeros(256, np.int32)
+    mask[28:50] = 1
+    freq = np.asarray(
+        normalize_freqs_device(jnp.asarray(hist), jnp.asarray(mask))
+    )
+    assert freq.sum() == PROB_SCALE
+    assert np.all(freq[mask == 0] == 0)
+    assert np.all(freq[mask == 1] >= 1)
+    # no-mask call still sums exactly and floors everything
+    freq_all = np.asarray(normalize_freqs_device(jnp.asarray(hist)))
+    assert freq_all.sum() == PROB_SCALE
+    assert np.all(freq_all >= 1)
+
+
+def test_masked_tables_roundtrip_both_engines():
+    """Narrow-support plane + exact mask: encode/decode on both engines."""
+    rng = np.random.default_rng(14)
+    vals = (rng.laplace(0, 2, size=(3, 48, 128)).astype(np.int64) % 256)
+    planes = vals.astype(np.uint8)
+    hist = np.bincount(planes.reshape(-1), minlength=256)
+    # sampled-looking hist (drop some counts) + exact mask
+    hist_s = hist.copy()
+    hist_s[hist_s == 1] = 0
+    mask = hist > 0
+    for engine in ("numpy", "pallas"):
+        b = planes.shape[0]
+        stream = encode_plane_batch(
+            planes.reshape(b, -1), hist_s, chunk_len=64, engine=engine,
+            mask=mask,
+        )
+        assert np.all(stream.freq[~mask] == 0)
+        out = np.asarray(decode_plane_batch(stream, engine=engine))
+        np.testing.assert_array_equal(out, planes.reshape(b, -1))
+
+
 def _roundtrip(planes: np.ndarray, chunk_len=128, engine="numpy"):
     b = planes.shape[0]
     hist = np.bincount(planes.reshape(-1), minlength=256)
