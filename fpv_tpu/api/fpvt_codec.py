@@ -355,7 +355,9 @@ def fused_encode_batch(
         win = wrows * BLOCK_COLS
         # fori-loop compaction keeps the buffer carry in place (an unrolled
         # dynamic_update_slice chain materializes full-buffer copies)
-        payloads.append(_compact_payload(words, cum, nblocks * win, wrows))
+        payloads.append(
+            _compact_payload(words, cum, words.shape[0] * win, wrows)
+        )
         small.append(freq)
         small.append(counts_flat)
         all_states.append(states.reshape(-1))
@@ -366,8 +368,9 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     """Offsets into fused_encode_batch's ``small`` vector, plus offsets of
     each plane's chunk states inside the separate ``states`` vector."""
     from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
-    from fpv_tpu.ops.rans_layout import CODING_CTX16, CTX_NIDX
+    from fpv_tpu.ops.rans_layout import CODING_CTX16, CTX_NIDX, num_segments
 
+    nseg = num_segments(chunk_len)
     sizes = [b, b, b, b]
     names = ["use_delta", "spatial", "pv_spatial", "nonzero_low"]
     st_sizes, st_names = [], []
@@ -378,7 +381,7 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
             if (name == "low" and low_coding == CODING_CTX16)
             else 256
         )
-        sizes += [nfreq, nblocks]
+        sizes += [nfreq, nblocks * nseg]
         names += [f"freq_{name}", f"counts_{name}"]
         st_sizes.append(nblocks * _BL)
         st_names.append(f"states_{name}")
@@ -433,18 +436,22 @@ def fused_decode_batch(
     for s in (h * w, h * w, (h // 4) * (w // 4)):
         geoms.append((s, *_plane_geometry(b, s, chunk_len)))  # (s, lens, nblocks)
 
+    from fpv_tpu.ops.rans_layout import num_segments
+
+    nseg = num_segments(chunk_len)
     planes = []
     oks = []
     coff = 0
     soff = 0
     for pi, (s, lens, nblocks) in enumerate(geoms):
+        ngroups = nblocks * nseg
         if pi == 2 and not decode_preview:
             planes.append(None)
             continue
         c = nblocks * BLOCK_LANES
-        cnt = counts[coff : coff + nblocks].astype(jnp.int32)
+        cnt = counts[coff : coff + ngroups].astype(jnp.int32)
         st_pad = states[soff : soff + c]
-        coff += nblocks
+        coff += ngroups
         soff += c
         cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
         wrows = rows_alloc or rp.words_rows(chunk_len)
@@ -452,15 +459,15 @@ def fused_decode_batch(
         base = plane_offs[pi]
         blocks = [
             jax.lax.dynamic_slice(payload, (base + cum[mb],), (win,))
-            for mb in range(nblocks)
+            for mb in range(ngroups)
         ]
         words = jnp.stack(blocks).astype(jnp.uint32).reshape(
-            nblocks, wrows, BLOCK_COLS
+            ngroups, wrows, BLOCK_COLS
         )
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         ctx = low_ctx and pi == 1
         syms, ok = rp.decode_pallas(
-            cnt.reshape(nblocks, 1, 1),
+            cnt.reshape(ngroups, 1, 1),
             st_pad.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS),
             lens_dev,
             sym_tabs[pi],
@@ -544,7 +551,7 @@ def fused_decode_frame(
         )
         words = _expand_payload(pay, cum, cnt, rows)
         syms, ok = rp.decode_pallas(
-            cnt.reshape(nb, 1, 1),
+            cnt.reshape(-1, 1, 1),
             st.reshape(nb, BLOCK_ROWS, BLOCK_COLS),
             lens,
             sym_tab,
@@ -622,7 +629,7 @@ def fused_decode_preview(
     words = _expand_payload(payload, cum, counts, rows_alloc)
     lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
     syms, ok = rp.decode_pallas(
-        counts.reshape(nblocks, 1, 1),
+        counts.reshape(-1, 1, 1),
         states.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS),
         lens_dev,
         sym_tab,
@@ -647,7 +654,7 @@ class FpvtWriter:
         shift: int = 0,
         big_endian: bool = False,
         frames_per_batch: int = 16,
-        chunk_log2: int = 9,
+        chunk_log2: int = 12,
         device=None,
     ) -> None:
         self._device = device  # optional jax.Device pinning this stream
@@ -826,8 +833,10 @@ class FpvtWriter:
             counts = seg(f"counts_{name}").astype(np.uint32)
             lo, hi = lay[f"states_{name}"]
             states = states_all[lo:hi].astype(np.uint32)
+            from fpv_tpu.ops.rans_layout import num_segments
+
             total = int(counts.sum())
-            nblocks = len(counts)
+            nblocks = len(counts) // num_segments(self._chunk_len)
             cap = _quantize_cap(total, self._chunk_len, nblocks)
             payload = np.asarray(pay_dev[: min(cap, pay_dev.shape[0])])[:total]
             coding = self._low_coding if name == "low" else 0
@@ -1042,20 +1051,24 @@ class FpvtReader:
         lens_all = chunk_lens(b, s, k).reshape(-1, BLOCK_LANES)
 
         def prep(st):
+            from fpv_tpu.ops.rans_layout import num_segments
+
+            nsegs = num_segments(k)
             counts = st.block_counts.astype(np.int64)
             cum = np.zeros(len(counts) + 1, np.int64)
             cum[1:] = np.cumsum(counts)
             b0 = (j * s) // span
             b1 = ((j + 1) * s - 1) // span
             nb = b1 - b0 + 1
-            cnt = counts[b0 : b1 + 1].astype(np.int32)
+            # counts/payload are per (block, segment) groups, block-major
+            cnt = counts[b0 * nsegs : (b1 + 1) * nsegs].astype(np.int32)
             states = st.states[b0 * BLOCK_LANES : (b1 + 1) * BLOCK_LANES]
             lens = lens_all[b0 : b1 + 1].reshape(nb, 8, BLOCK_COLS)
             rows = _quantize_rows(int(cnt.max()), k) + 16
             total = int(cnt.sum())
             cap = _quantize_cap(total, k, nb)
             pay = np.zeros(cap + rows * BLOCK_COLS, np.uint16)
-            pay[:total] = st.payload[cum[b0] : cum[b1 + 1]]
+            pay[:total] = st.payload[cum[b0 * nsegs] : cum[(b1 + 1) * nsegs]]
             off_in = j * s - b0 * span
             if st.coding:
                 fc, sym = rp.ctx_table_arrays(st.freq)
@@ -1245,7 +1258,7 @@ def encode_file_fpvt(
     shift: int = 0,
     big_endian: bool = False,
     frames_per_batch: int = 16,
-    chunk_log2: int = 9,
+    chunk_log2: int = 12,
     delta_frame: np.ndarray | None = None,
 ) -> bytes:
     """One-shot FPVT encode of [N, H, W] uint16 frames."""

@@ -38,7 +38,7 @@ class MultiStreamEncoder:
         shift: int = 0,
         big_endian: bool = False,
         frames_per_batch: int = 16,
-        chunk_log2: int = 9,
+        chunk_log2: int = 12,
         sink=None,
         devices=None,
     ) -> None:

@@ -51,7 +51,7 @@ class PlaneStream:
     chunk_len: int  # K
     freq: np.ndarray  # [256] u16 (coding=0) or [512] per-ctx u16 (coding=1)
     states: np.ndarray  # [C] u32 (real chunks only)
-    block_counts: np.ndarray  # [nblocks] u32
+    block_counts: np.ndarray  # [nblocks * nseg] u32, (block, segment) groups
     payload: np.ndarray  # [sum(block_counts)] u16
     coding: int = CODING_ORDER0  # CODING_CTX16: nibble alphabet, ctx tables
 
@@ -65,11 +65,17 @@ class PlaneStream:
     def num_chunks(self) -> int:
         return self.num_blocks * BLOCK_LANES
 
+    @property
+    def num_groups(self) -> int:
+        from fpv_tpu.ops.rans_layout import num_segments
+
+        return self.num_blocks * num_segments(self.chunk_len)
+
     def nbytes(self) -> int:
         return (
             528
             + self.num_chunks * 4
-            + self.num_blocks * 4
+            + self.num_groups * 4
             + self.payload.size * 2
         )
 
@@ -166,8 +172,13 @@ def _deinterleave_np(symbols: np.ndarray, n: int, chunk_len: int):
 
 
 def _quantize_rows(max_count: int, chunk_len: int) -> int:
-    """Round a per-block row count up to limit distinct compile shapes."""
-    worst = chunk_len * BLOCK_LANES // BLOCK_COLS
+    """Round a per-group row count up to limit distinct compile shapes.
+
+    Groups are (block, segment) regions, so the worst case is bounded by
+    the segment tile, not the full chunk."""
+    from fpv_tpu.ops.rans_layout import SEG_LEN
+
+    worst = min(chunk_len, SEG_LEN) * BLOCK_LANES // BLOCK_COLS
     step = max(worst // 8, 16)
     rows = -(-max_count // BLOCK_COLS)
     return min(-(-rows // step) * step, worst)
@@ -256,11 +267,11 @@ def _package_pallas(
     states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq, coding
 ) -> PlaneStream:
     """Host packaging of pallas encode outputs (counts sync + compaction)."""
-    counts = np.asarray(counts_d).reshape(-1)
+    counts = np.asarray(counts_d).reshape(-1)  # [nblocks * nseg] groups
     total = int(counts.sum())
     cap = _quantize_cap(total, chunk_len, nblocks)
     rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, chunk_len)
-    cum = np.zeros(nblocks + 1, np.int32)
+    cum = np.zeros(len(counts) + 1, np.int32)
     cum[1:] = np.cumsum(counts)
     payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
     payload = np.asarray(payload_d)[:total]
@@ -323,7 +334,10 @@ def encode_planes_batch(
     all_counts = np.asarray(
         jnp.concatenate([d[6].reshape(-1) for d in dispatched])
     )
-    offs = np.cumsum([0] + [d[2] for d in dispatched])
+    from fpv_tpu.ops.rans_layout import num_segments
+
+    nseg = num_segments(chunk_len)
+    offs = np.cumsum([0] + [d[2] * nseg for d in dispatched])
 
     out = []
     for i, (b, s, nblocks, freq, states_d, words_d, counts_d) in enumerate(
@@ -334,7 +348,7 @@ def encode_planes_batch(
         cap = _quantize_cap(total, chunk_len, nblocks)
         rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0,
                                 chunk_len)
-        cum = np.zeros(nblocks + 1, np.int32)
+        cum = np.zeros(len(counts) + 1, np.int32)
         cum[1:] = np.cumsum(counts)
         payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
         if materialize:
@@ -440,7 +454,7 @@ def encode_plane_batch(
     total = int(counts.sum())
     cap = _quantize_cap(total, chunk_len, nblocks)
     rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, chunk_len)
-    cum = np.zeros(nblocks + 1, np.int32)
+    cum = np.zeros(len(counts) + 1, np.int32)
     cum[1:] = np.cumsum(counts)
     payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
     payload = np.asarray(payload_d)[:total]
@@ -494,7 +508,7 @@ def decode_plane_batch(
     cap = _quantize_cap(total, k, nblocks)
     payload_np = np.zeros(cap + rows_alloc * BLOCK_COLS, np.uint16)
     payload_np[:total] = stream.payload
-    cum = np.zeros(nblocks + 1, np.int32)
+    cum = np.zeros(len(counts) + 1, np.int32)
     cum[1:] = np.cumsum(counts)
     words_d = _expand_payload(
         jnp.asarray(payload_np),
@@ -503,7 +517,7 @@ def decode_plane_batch(
         rows_alloc,
     )
     syms, ok = rp.decode_pallas(
-        jnp.asarray(counts.reshape(nblocks, 1, 1).astype(np.int32)),
+        jnp.asarray(counts.reshape(-1, 1, 1).astype(np.int32)),
         jnp.asarray(states.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
         jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
         jnp.asarray(symtab),

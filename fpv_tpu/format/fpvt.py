@@ -169,12 +169,18 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
     states = np.frombuffer(data, dtype="<u4", count=num_chunks, offset=p).copy()
     p += 4 * num_chunks
     nblocks = -(-num_chunks // BLOCK_LANES)
-    _need(data, p, 4 * nblocks)
-    block_counts = np.frombuffer(data, dtype="<u4", count=nblocks, offset=p).copy()
-    p += 4 * nblocks
+    # one count per (block, segment), block-major (rans_layout SEG_LEN)
+    from fpv_tpu.ops.rans_layout import num_segments
+
+    ngroups = nblocks * num_segments(chunk_len)
+    _need(data, p, 4 * ngroups)
+    block_counts = np.frombuffer(data, dtype="<u4", count=ngroups, offset=p).copy()
+    p += 4 * ngroups
     total_words = int(block_counts.astype(np.int64).sum())
-    # each chunk emits at most chunk_len words
-    if nblocks and block_counts.max() > chunk_len * BLOCK_LANES:
+    # each chunk emits at most one word per symbol step of its segment
+    from fpv_tpu.ops.rans_layout import SEG_LEN
+
+    if ngroups and block_counts.max() > min(chunk_len, SEG_LEN) * BLOCK_LANES:
         raise ValueError("plane-stream block count out of range")
     _need(data, p, 2 * total_words)
     payload = np.frombuffer(data, dtype="<u2", count=total_words, offset=p).copy()

@@ -9,11 +9,18 @@ Stream layout ("step-major descending"):
   frame, last chunk short); the chunk array is padded to a multiple of
   BLOCK_LANES = 1024 lanes (pad lanes have length 0);
 * lanes are grouped into blocks of 1024 = [8 sublanes x 128 lanes];
-* each block's payload is the concatenation of per-symbol-step word groups
-  in DESCENDING symbol order (the encoder's natural emission order — it
-  codes symbols in reverse); within a group, words are in row-major lane
-  order; the DECODER therefore consumes the payload backward from the end;
-* per chunk: a u32 final state; per block: a u32 word count.
+* chunks longer than SEG_LEN = 512 are cut into ceil(K / SEG_LEN) segments
+  (the VMEM tile the kernels stream through; rANS state carries across
+  segments, so only one u32 state per chunk is ever stored — long chunks
+  amortize the ~16 wasted bits each state costs);
+* each block's payload is the concatenation of its segments in ASCENDING
+  segment order; within a segment, per-symbol-step word groups in
+  DESCENDING symbol order (the encoder's natural emission order — it codes
+  symbols in reverse, segments last-to-first); within a group, words are
+  in row-major lane order; the DECODER consumes each segment's region
+  backward from that segment's word count;
+* per chunk: a u32 final state; per (block, segment): a u32 word count,
+  block-major.
 
 This gives both sides fully static shapes, lets the encoder write forward
 with a scalar pointer, and lets the decoder expand each group with one
@@ -32,6 +39,16 @@ RENORM_SHIFT = 19  # emit while x >= freq << 19 ((L >> PROB_BITS) * 2^16)
 BLOCK_ROWS = 8
 BLOCK_COLS = 128
 BLOCK_LANES = BLOCK_ROWS * BLOCK_COLS  # 1024
+
+# Segment length: the kernels' VMEM tile along the symbol-step axis.  A
+# format-level constant — the payload's (block, segment) grouping depends
+# on it.  chunk_len <= SEG_LEN streams are laid out exactly as before
+# segments existed (one segment).
+SEG_LEN = 512
+
+
+def num_segments(chunk_len: int) -> int:
+    return max(1, -(-chunk_len // SEG_LEN))
 
 # Context-coded low-plane mode (plane-stream coding=1): when the container
 # shift is >= 4 the low plane's bottom nibble is structurally zero, so the

@@ -20,6 +20,8 @@ from fpv_tpu.ops.rans_layout import (
     PROB_SCALE,
     RANS_L,
     RENORM_SHIFT,
+    SEG_LEN,
+    num_segments,
 )
 
 
@@ -105,17 +107,21 @@ def encode_blocks(
         xn = (q << prob_bits) + (x2 - q * f) + np.where(active, c, 0)
         x = np.where(active, xn, x)
 
-    # payload: per block, groups in DESCENDING j order, row-major lanes
-    counts = np.zeros(nblocks, dtype=np.uint32)
+    # payload: per block, segments ASCENDING; within a segment, groups in
+    # DESCENDING j order, row-major lanes; one count per (block, segment)
+    nseg = num_segments(k)
+    counts = np.zeros((nblocks, nseg), dtype=np.uint32)
     parts = []
     for m in range(nblocks):
         sl = slice(m * BLOCK_LANES, (m + 1) * BLOCK_LANES)
-        w = words[::-1, sl]  # descending j
-        e = emits[::-1, sl]
-        parts.append(w[e])  # row-major: j-major, lane-minor
-        counts[m] = int(e.sum())
+        for g in range(nseg):
+            jlo, jhi = g * SEG_LEN, min((g + 1) * SEG_LEN, k)
+            w = words[jhi - 1 : jlo - 1 if jlo else None : -1, sl]
+            e = emits[jhi - 1 : jlo - 1 if jlo else None : -1, sl]
+            parts.append(w[e])  # row-major: j-major, lane-minor
+            counts[m, g] = int(e.sum())
     payload = np.concatenate(parts) if parts else np.zeros(0, np.uint16)
-    return x, counts, payload
+    return x, counts.reshape(-1), payload
 
 
 def decode_blocks(
@@ -130,6 +136,7 @@ def decode_blocks(
     c_pad = len(states)
     nblocks = c_pad // BLOCK_LANES
     k = chunk_len
+    nseg = num_segments(k)
     cum = np.zeros(256, dtype=np.uint32)
     cum[1:] = np.cumsum(freq.astype(np.uint32))[:-1]
     sym_of_slot = np.repeat(
@@ -137,10 +144,14 @@ def decode_blocks(
     )
     freq32 = freq.astype(np.uint32)
 
-    block_base = np.zeros(nblocks, dtype=np.int64)
-    block_base[1:] = np.cumsum(block_counts.astype(np.int64))[:-1]
-    # decoder consumes each block's payload backward from its end
-    ptr = block_counts.astype(np.int64).copy()
+    counts2 = block_counts.astype(np.int64).reshape(nblocks, nseg)
+    group_base = np.zeros(nblocks * nseg, dtype=np.int64)
+    group_base[1:] = np.cumsum(counts2.reshape(-1))[:-1]
+    group_base = group_base.reshape(nblocks, nseg)
+    # decoder consumes each (block, segment) region backward from its end
+    ptr = counts2[:, 0].copy()
+    gb = group_base[:, 0]
+    seg_ok = np.ones(nblocks, dtype=bool)
 
     x = states.astype(np.uint32).copy()
     lens = np.asarray(lens, dtype=np.int32)
@@ -148,6 +159,11 @@ def decode_blocks(
     lane_block = np.arange(c_pad) // BLOCK_LANES
 
     for j in range(k):
+        if j and j % SEG_LEN == 0:
+            g = j // SEG_LEN
+            seg_ok &= ptr == 0
+            ptr = counts2[:, g].copy()
+            gb = group_base[:, g]
         active = j < lens
         slot = (x & (PROB_SCALE - 1)).astype(np.int64)
         s = sym_of_slot[slot]
@@ -158,7 +174,7 @@ def decode_blocks(
         r2 = renorm.reshape(nblocks, BLOCK_LANES)
         ranks = np.cumsum(r2, axis=1) - 1
         cnts = r2.sum(axis=1)
-        base = block_base[lane_block] + (ptr[lane_block] - cnts[lane_block])
+        base = gb[lane_block] + (ptr[lane_block] - cnts[lane_block])
         pos = base + ranks.reshape(-1)
         w = np.zeros(c_pad, dtype=np.uint32)
         if renorm.any():
@@ -172,7 +188,8 @@ def decode_blocks(
         ptr -= cnts
         out[active, j] = s[active].astype(np.uint8)
 
-    ok = (x == RANS_L) & (ptr[lane_block] == 0) | (lens == 0)
+    seg_ok &= ptr == 0
+    ok = (x == RANS_L) & seg_ok[lane_block] | (lens == 0)
     # lanes with len 0 never touched: state stays as given (RANS_L expected)
     return out, ok
 
@@ -189,12 +206,17 @@ def decode_blocks_ctx(
     c_pad = len(states)
     nblocks = c_pad // BLOCK_LANES
     k = chunk_len
+    nseg = num_segments(k)
     freq32, cum, sym_of_slot = ctx_tables(freq_ctx)
     freq32 = np.maximum(freq32, 1)
 
-    block_base = np.zeros(nblocks, dtype=np.int64)
-    block_base[1:] = np.cumsum(block_counts.astype(np.int64))[:-1]
-    ptr = block_counts.astype(np.int64).copy()
+    counts2 = block_counts.astype(np.int64).reshape(nblocks, nseg)
+    group_base = np.zeros(nblocks * nseg, dtype=np.int64)
+    group_base[1:] = np.cumsum(counts2.reshape(-1))[:-1]
+    group_base = group_base.reshape(nblocks, nseg)
+    ptr = counts2[:, 0].copy()
+    gb = group_base[:, 0]
+    seg_ok = np.ones(nblocks, dtype=bool)
 
     x = states.astype(np.uint32).copy()
     lens = np.asarray(lens, dtype=np.int32)
@@ -203,6 +225,11 @@ def decode_blocks_ctx(
     prev = np.zeros(c_pad, np.int32)
 
     for j in range(k):
+        if j and j % SEG_LEN == 0:
+            g = j // SEG_LEN
+            seg_ok &= ptr == 0
+            ptr = counts2[:, g].copy()
+            gb = group_base[:, g]
         active = j < lens
         ctx = ctx_from_prev(prev, nblocks)
         slot = (x & (CTX_PROB_SCALE - 1)).astype(np.int64)
@@ -214,7 +241,7 @@ def decode_blocks_ctx(
         r2 = renorm.reshape(nblocks, BLOCK_LANES)
         ranks = np.cumsum(r2, axis=1) - 1
         cnts = r2.sum(axis=1)
-        base = block_base[lane_block] + (ptr[lane_block] - cnts[lane_block])
+        base = gb[lane_block] + (ptr[lane_block] - cnts[lane_block])
         pos = base + ranks.reshape(-1)
         w = np.zeros(c_pad, dtype=np.uint32)
         if renorm.any() and len(payload):
@@ -226,5 +253,6 @@ def decode_blocks_ctx(
         out[active, j] = s[active].astype(np.uint8)
         prev = np.where(active, s.astype(np.int32), 0)
 
-    ok = (x == RANS_L) & (ptr[lane_block] == 0) | (lens == 0)
+    seg_ok &= ptr == 0
+    ok = (x == RANS_L) & seg_ok[lane_block] | (lens == 0)
     return out, ok

@@ -45,6 +45,8 @@ from fpv_tpu.ops.rans_layout import (
     PROB_SCALE,
     RANS_L,
     RENORM_SHIFT,
+    SEG_LEN,
+    num_segments,
 )
 
 
@@ -205,33 +207,62 @@ NSUB = 2  # independent sub-blocks per grid cell (ILP: two dependency chains)
 
 
 def _encode_kernel(
-    syms_ref,  # [NSUB, K, 8, 128] i32 (grid dim squeezed)
-    lens_ref,  # [NSUB, 8, 128] i32
-    fc_ref,  # [2, 128] u32: (freq-1) | cum << 12
-    states_ref,  # out [NSUB, 8, 128] u32
-    words_ref,  # out [NSUB, Wrows, 128] u16
-    count_ref,  # out [NSUB, 1] i32 (SMEM)
-    *,
+    *refs,
     chunk_len: int,
+    kseg: int,
+    nseg: int,
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
 ):
-    k = chunk_len
+    """One (cell, segment) grid step: encode ``kseg`` symbol steps of the
+    cell's NSUB blocks into that segment's word region.
+
+    Grid dim 1 walks segments in EXECUTION order g = 0..nseg-1, which maps
+    to stream segment ``nseg-1-g`` (rANS encodes in reverse).  The per-chunk
+    state carries across segments through ``states_ref`` (same block every
+    g — it stays resident in VMEM), so a chunk of chunk_len = nseg*kseg
+    symbols stores ONE u32 state while the kernel only ever tiles kseg
+    steps of symbols in VMEM.
+
+    Refs (grid dims squeezed): syms [NSUB, kseg, 8, 128] i32;
+    lens [NSUB, 8, 128] (full chunk lengths); fc [R, 128] u32;
+    ctx mode adds prevlast [NSUB, 8, 128] i32 (the symbol just before this
+    segment, for the first step's context).  Outs: states [NSUB, 8, 128]
+    u32 (carry + final), words [NSUB, Wrows, 128] u16 (per segment),
+    count [NSUB, 1] i32 SMEM (per segment).
+    """
+    if ctx_mode:
+        (syms_ref, lens_ref, fc_ref, prevlast_ref,
+         states_ref, words_ref, count_ref) = refs
+    else:
+        syms_ref, lens_ref, fc_ref, states_ref, words_ref, count_ref = refs
+        prevlast_ref = None
     fmask = (1 << prob_bits) - 1
     renorm_shift = 31 - prob_bits
     div_rounds = 1 if prob_bits >= 12 else 4
     lens = [lens_ref[u] for u in range(NSUB)]
     fc = fc_ref[:]
+    g = pl.program_id(1)
+    seg_lo = (nseg - 1 - g) * kseg  # global j of this segment's first symbol
     win_rows = 4 * BLOCK_ROWS  # 32-row window, u16-tile (16,128) aligned
     wrow_id = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 0)
     wlane = jax.lax.broadcasted_iota(jnp.int32, (win_rows, BLOCK_COLS), 1)
+
+    # chunk-state carry: fresh at the first executed segment (the chunk's
+    # LAST symbols), otherwise continue from the previous segment's states
+    @pl.when(g == 0)
+    def _():
+        for u in range(NSUB):
+            states_ref[u] = jnp.full(
+                (BLOCK_ROWS, BLOCK_COLS), RANS_L, dtype=jnp.uint32
+            )
 
     def advance(u, t, x, e):
         """State update + group pack for step t (no stream writes).
 
         Returns (x', packed words [8,128] u32, per-row counts broadcast
         [8,128] i32)."""
-        j = k - 1 - t
+        j = seg_lo + (kseg - 1 - t)
         f = (e & fmask) + 1
         cum = e >> prob_bits
         # IEEE division is correctly rounded, so this equals the host-side
@@ -279,13 +310,16 @@ def _encode_kernel(
 
         In ctx mode the kernel input is nibble symbols and the fc index
         ctx*16+sym is computed here from the PREVIOUS step's symbols —
-        avoiding a full-size precomputed index array in HBM."""
-        j = jnp.maximum(k - 1 - t, 0)
-        sym = syms_ref[u, pl.ds(j, 1)][0]
+        avoiding a full-size precomputed index array in HBM.  At the
+        segment's first step the previous symbol lives in the preceding
+        segment; it is passed in as ``prevlast`` (zeros for the chunk's
+        very first symbol, matching the encoder's zero padding)."""
+        jl = jnp.maximum(kseg - 1 - t, 0)
+        sym = syms_ref[u, pl.ds(jl, 1)][0]
         if ctx_mode:
-            jp = jnp.maximum(j - 1, 0)
-            prev = syms_ref[u, pl.ds(jp, 1)][0]
-            prev = jnp.where(j >= 1, prev, 0)
+            jp = jnp.maximum(jl - 1, 0)
+            prev_in = syms_ref[u, pl.ds(jp, 1)][0]
+            prev = jnp.where(jl >= 1, prev_in, prevlast_ref[u])
             sym = _ctx_from_prev(prev) * CTX_ALPHA + sym
         return _lookup_tab(fc, sym)
 
@@ -310,10 +344,7 @@ def _encode_kernel(
             es_next,
         )
 
-    x0 = tuple(
-        jnp.full((BLOCK_ROWS, BLOCK_COLS), RANS_L, dtype=jnp.uint32)
-        for _ in range(NSUB)
-    )
+    x0 = tuple(states_ref[u] for u in range(NSUB))
     p0 = tuple(jnp.int32(0) for _ in range(NSUB))
     e0 = tuple(_prefetch(u, 0) for u in range(NSUB))
     pk0 = tuple(
@@ -323,7 +354,7 @@ def _encode_kernel(
         jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32) for _ in range(NSUB)
     )
     xs, ptrs, pks, rcs, _ = jax.lax.fori_loop(
-        0, k, step, (x0, p0, pk0, rc0, e0)
+        0, kseg, step, (x0, p0, pk0, rc0, e0)
     )
     for u in range(NSUB):
         states_ref[u] = xs[u]
@@ -332,27 +363,44 @@ def _encode_kernel(
 
 
 def _decode_kernel(
-    count_ref,  # [NSUB, 1] i32 (SMEM)
+    count_ref,  # [NSUB, 1] i32 (SMEM, per segment)
     states_ref,  # [NSUB, 8, 128] u32
-    lens_ref,  # [NSUB, 8, 128] i32
+    lens_ref,  # [NSUB, 8, 128] i32 (full chunk lengths)
     sym_ref,  # [8, 128] u32 packed symbol table
     fc_ref,  # [R, 128] u32
-    words_ref,  # [NSUB, Wrows, 128] u32
-    out_ref,  # out [NSUB, K//4, 8, 128] u32 (4 symbols packed per word)
+    words_ref,  # [NSUB, Wrows, 128] u32 (per segment)
+    out_ref,  # out [NSUB, kseg//4, 8, 128] u32 (4 syms/word, per segment)
     ok_ref,  # out [NSUB, 8, 128] i32
+    xscr,  # scratch [NSUB, 8, 128] u32: state carry across segments
+    okscr,  # scratch [NSUB, 1] i32 (SMEM): per-segment ptr==0 accumulation
+    prevscr,  # scratch [NSUB, 8, 128] i32 (ctx mode only; else unused)
     *,
     chunk_len: int,
+    kseg: int,
+    nseg: int,
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
 ):
-    k = chunk_len
     fmask = (1 << prob_bits) - 1
     scale = 1 << prob_bits
     lens = [lens_ref[u] for u in range(NSUB)]
     sym_tab = sym_ref[:]
     fc = fc_ref[:]
-    def one(u, j, x, ptr, prev):
-        active = j < lens[u]
+    g = pl.program_id(1)  # decode walks segments in stream (ascending) order
+    seg_lo = g * kseg
+
+    @pl.when(g == 0)
+    def _():
+        for u in range(NSUB):
+            xscr[u] = states_ref[u]
+            okscr[u, 0] = 1
+            if ctx_mode:
+                prevscr[u] = jnp.zeros(
+                    (BLOCK_ROWS, BLOCK_COLS), jnp.int32
+                )
+
+    def one(u, jl, x, ptr, prev):
+        active = (seg_lo + jl) < lens[u]
         slot = (x & (scale - 1)).astype(jnp.int32)
         if ctx_mode:
             ctx = _ctx_from_prev(prev)
@@ -380,8 +428,8 @@ def _decode_kernel(
         col = pos & 127
         w = jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32)
         for r in range(9):
-            g = jnp.take_along_axis(_bcast_row(win[r : r + 1]), col, axis=1)
-            w = jnp.where(rel == r, g, w)
+            gv = jnp.take_along_axis(_bcast_row(win[r : r + 1]), col, axis=1)
+            w = jnp.where(rel == r, gv, w)
         xn2 = jnp.where(renorm, (xn << 16) | (w & 0xFFFF), xn)
         x = jnp.where(active, xn2, x)
         # masked history for the context chain (padding decodes as 0,
@@ -389,17 +437,17 @@ def _decode_kernel(
         prev_next = jnp.where(active, sym, 0)
         return x, base, sym, prev_next
 
-    def step(j, carry):
+    def step(jl, carry):
         xs, ptrs, accs, prevs = carry
-        sub = j & 3
+        sub = jl & 3
         new_xs, new_ptrs, new_accs, new_prevs = [], [], [], []
         for u in range(NSUB):
-            x, base, sym, prev_next = one(u, j, xs[u], ptrs[u], prevs[u])
+            x, base, sym, prev_next = one(u, jl, xs[u], ptrs[u], prevs[u])
             acc = jnp.where(sub == 0, 0, accs[u])
             acc = acc | (sym.astype(jnp.uint32) << (8 * sub.astype(jnp.uint32)))
             @pl.when(sub == 3)
             def _(u=u, acc=acc):
-                out_ref[u, pl.ds(j >> 2, 1)] = acc[None]
+                out_ref[u, pl.ds(jl >> 2, 1)] = acc[None]
             new_xs.append(x)
             new_ptrs.append(base)
             new_accs.append(acc)
@@ -407,19 +455,30 @@ def _decode_kernel(
         return (tuple(new_xs), tuple(new_ptrs), tuple(new_accs),
                 tuple(new_prevs))
 
-    x0 = tuple(states_ref[u] for u in range(NSUB))
+    x0 = tuple(xscr[u] for u in range(NSUB))
     p0 = tuple(count_ref[u, 0] for u in range(NSUB))
     a0 = tuple(
         jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(NSUB)
     )
     pr0 = tuple(
-        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32) for _ in range(NSUB)
+        (prevscr[u] if ctx_mode
+         else jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32))
+        for u in range(NSUB)
     )
-    xs, ptrs, _, _ = jax.lax.fori_loop(0, k, step, (x0, p0, a0, pr0))
+    xs, ptrs, _, prevs = jax.lax.fori_loop(0, kseg, step, (x0, p0, a0, pr0))
     for u in range(NSUB):
-        ok_ref[u] = (
-            ((xs[u] == RANS_L) & (ptrs[u] == 0)) | (lens[u] == 0)
-        ).astype(jnp.int32)
+        xscr[u] = xs[u]
+        okscr[u, 0] = okscr[u, 0] & (ptrs[u] == 0).astype(jnp.int32)
+        if ctx_mode:
+            prevscr[u] = prevs[u]
+
+    @pl.when(g == nseg - 1)
+    def _():
+        for u in range(NSUB):
+            seg_ok = okscr[u, 0] == 1
+            ok_ref[u] = (
+                ((xscr[u] == RANS_L) & seg_ok) | (lens[u] == 0)
+            ).astype(jnp.int32)
 
 
 def table_arrays(freq: np.ndarray):
@@ -465,8 +524,10 @@ def ctx_table_arrays(freq_ctx: np.ndarray):
 
 
 def words_rows(chunk_len: int) -> int:
-    """Staging rows per block: worst case K*1024 words + window headroom."""
-    return chunk_len * BLOCK_LANES // BLOCK_COLS + 48
+    """Staging rows per (block, segment): worst case kseg*1024 words +
+    window headroom."""
+    kseg = min(chunk_len, SEG_LEN)
+    return kseg * BLOCK_LANES // BLOCK_COLS + 48
 
 
 def _auto_interpret(interpret: bool) -> bool:
@@ -492,13 +553,19 @@ def encode_pallas(
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
 ):
-    """Returns (states u32 [nblocks,8,128], words u16 [nblocks,Wrows,128],
-    counts i32 [nblocks,1,1])."""
+    """Returns (states u32 [nblocks,8,128], words u16 [ngroups,Wrows,128],
+    counts i32 [ngroups,1,1]) where ngroups = nblocks * num_segments(K):
+    per-(block, segment) word regions in block-major order."""
     interpret = _auto_interpret(interpret)
     k = chunk_len
+    kseg = min(k, SEG_LEN)
+    nseg = num_segments(k)
+    if nseg * kseg != k:
+        raise ValueError("chunk_len > SEG_LEN must be a SEG_LEN multiple")
     wrows = words_rows(k)
     kernel = functools.partial(
-        _encode_kernel, chunk_len=k, prob_bits=prob_bits, ctx_mode=ctx_mode
+        _encode_kernel, chunk_len=k, kseg=kseg, nseg=nseg,
+        prob_bits=prob_bits, ctx_mode=ctx_mode,
     )
     # pad the block count to a NSUB multiple; pad sub-blocks are inactive
     # (all-zero lens) and emit nothing
@@ -510,42 +577,78 @@ def encode_pallas(
         lens = jnp.concatenate(
             [lens, jnp.zeros((npad, BLOCK_ROWS, BLOCK_COLS), lens.dtype)]
         )
-    ncells = (nblocks + npad) // NSUB
+    nb_pad = nblocks + npad
+    ncells = nb_pad // NSUB
+    syms6 = syms.reshape(ncells, NSUB, nseg, kseg, BLOCK_ROWS, BLOCK_COLS)
+    lens4 = lens.reshape(ncells, NSUB, BLOCK_ROWS, BLOCK_COLS)
+    inputs = [syms6, lens4, fc]
+    in_specs = [
+        pl.BlockSpec(
+            (None, NSUB, None, kseg, BLOCK_ROWS, BLOCK_COLS),
+            lambda m, g: (m, 0, nseg - 1 - g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+                     lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((fc.shape[0], 128), lambda m, g: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if ctx_mode:
+        # the symbol just before each segment (for the first step's ctx):
+        # segment g>0 -> syms[:, g*kseg-1]; zeros for segment 0
+        prevlast = jnp.concatenate(
+            [
+                jnp.zeros((nb_pad, 1, BLOCK_ROWS, BLOCK_COLS), syms.dtype),
+                syms[:, kseg - 1 :: kseg][:, : nseg - 1],
+            ],
+            axis=1,
+        ).reshape(ncells, NSUB, nseg, BLOCK_ROWS, BLOCK_COLS)
+        inputs.append(prevlast)
+        in_specs.append(
+            pl.BlockSpec(
+                (None, NSUB, None, BLOCK_ROWS, BLOCK_COLS),
+                lambda m, g: (m, 0, nseg - 1 - g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
     states, words, counts = pl.pallas_call(
         kernel,
-        grid=(ncells,),
-        in_specs=[
-            pl.BlockSpec((NSUB, k, BLOCK_ROWS, BLOCK_COLS),
-                         lambda m: (m, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((fc.shape[0], 128), lambda m: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(ncells, nseg),
+        in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, NSUB, 1), lambda m: (m, 0, 0),
+            pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+                         lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (None, NSUB, None, wrows, BLOCK_COLS),
+                lambda m, g: (m, 0, nseg - 1 - g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # nseg ahead of NSUB: Mosaic requires the block's last two dims
+            # to equal the array's (the squeezed seg dim can't be trailing)
+            pl.BlockSpec((None, None, NSUB, 1),
+                         lambda m, g: (m, nseg - 1 - g, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
-                (ncells * NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.uint32
+                (ncells, NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.uint32
             ),
-            jax.ShapeDtypeStruct((ncells * NSUB, wrows, BLOCK_COLS), jnp.uint16),
-            jax.ShapeDtypeStruct((ncells, NSUB, 1), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (ncells, NSUB, nseg, wrows, BLOCK_COLS), jnp.uint16
+            ),
+            jax.ShapeDtypeStruct((ncells, nseg, NSUB, 1), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(syms, lens, fc)
+    )(*inputs)
+    # counts come out (cell, seg, sub); reorder to block-major (block, seg)
+    counts_bm = jnp.transpose(counts, (0, 2, 1, 3))
     return (
-        states[:nblocks],
-        words[:nblocks],
-        counts.reshape(ncells * NSUB, 1, 1)[:nblocks],
+        states.reshape(nb_pad, BLOCK_ROWS, BLOCK_COLS)[:nblocks],
+        words.reshape(nb_pad * nseg, wrows, BLOCK_COLS)[: nblocks * nseg],
+        counts_bm.reshape(nb_pad * nseg, 1, 1)[: nblocks * nseg],
     )
 
 
@@ -556,12 +659,12 @@ def encode_pallas(
     ),
 )
 def decode_pallas(
-    counts: jax.Array,  # [nblocks, 1, 1] i32
+    counts: jax.Array,  # [ngroups, 1, 1] i32 (ngroups = nblocks * nseg)
     states: jax.Array,  # [nblocks, 8, 128] u32
     lens: jax.Array,  # [nblocks, 8, 128] i32
     sym_tab: jax.Array,  # [8, 128] u32
     fc: jax.Array,  # [R, 128] u32
-    words: jax.Array,  # [nblocks, Wrows, 128] u32
+    words: jax.Array,  # [ngroups, Wrows, 128] u32
     chunk_len: int,
     nblocks: int,
     interpret: bool = False,
@@ -571,14 +674,19 @@ def decode_pallas(
     """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128])."""
     interpret = _auto_interpret(interpret)
     k = chunk_len
+    kseg = min(k, SEG_LEN)
+    nseg = num_segments(k)
+    if nseg * kseg != k:
+        raise ValueError("chunk_len > SEG_LEN must be a SEG_LEN multiple")
     wrows = words.shape[1]
     kernel = functools.partial(
-        _decode_kernel, chunk_len=k, prob_bits=prob_bits, ctx_mode=ctx_mode
+        _decode_kernel, chunk_len=k, kseg=kseg, nseg=nseg,
+        prob_bits=prob_bits, ctx_mode=ctx_mode,
     )
     npad = (-nblocks) % NSUB
     if npad:
         counts = jnp.concatenate(
-            [counts, jnp.zeros((npad, 1, 1), counts.dtype)]
+            [counts, jnp.zeros((npad * nseg, 1, 1), counts.dtype)]
         )
         states = jnp.concatenate(
             [states,
@@ -588,46 +696,64 @@ def decode_pallas(
             [lens, jnp.zeros((npad, BLOCK_ROWS, BLOCK_COLS), lens.dtype)]
         )
         words = jnp.concatenate(
-            [words, jnp.zeros((npad, wrows, BLOCK_COLS), words.dtype)]
+            [words, jnp.zeros((npad * nseg, wrows, BLOCK_COLS), words.dtype)]
         )
-    ncells = (nblocks + npad) // NSUB
+    nb_pad = nblocks + npad
+    ncells = nb_pad // NSUB
+    # counts arrive block-major (block, seg); the SMEM spec needs NSUB last
+    counts4 = jnp.transpose(
+        counts.reshape(ncells, NSUB, nseg, 1), (0, 2, 1, 3)
+    )
+    states4 = states.reshape(ncells, NSUB, BLOCK_ROWS, BLOCK_COLS)
+    lens4 = lens.reshape(ncells, NSUB, BLOCK_ROWS, BLOCK_COLS)
+    words5 = words.reshape(ncells, NSUB, nseg, wrows, BLOCK_COLS)
     syms, ok = pl.pallas_call(
         kernel,
-        grid=(ncells,),
+        grid=(ncells, nseg),
         in_specs=[
-            pl.BlockSpec((None, NSUB, 1), lambda m: (m, 0, 0),
+            pl.BlockSpec((None, None, NSUB, 1), lambda m, g: (m, g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+                         lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+                         lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda m, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((fc.shape[0], 128), lambda m, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((fc.shape[0], 128), lambda m: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB, wrows, BLOCK_COLS), lambda m: (m, 0, 0),
+            pl.BlockSpec((None, NSUB, None, wrows, BLOCK_COLS),
+                         lambda m, g: (m, 0, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((NSUB, k, BLOCK_ROWS, BLOCK_COLS),
-                         lambda m: (m, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NSUB, BLOCK_ROWS, BLOCK_COLS), lambda m: (m, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (None, NSUB, None, kseg // 4, BLOCK_ROWS, BLOCK_COLS),
+                lambda m, g: (m, 0, g, 0, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+                         lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
-                (ncells * NSUB, k // 4, BLOCK_ROWS, BLOCK_COLS), jnp.uint32
+                (ncells, NSUB, nseg, kseg // 4, BLOCK_ROWS, BLOCK_COLS),
+                jnp.uint32,
             ),
             jax.ShapeDtypeStruct(
-                (ncells * NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.int32
+                (ncells, NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.int32
             ),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.uint32),
+            pltpu.SMEM((NSUB, 1), jnp.int32),
+            pltpu.VMEM((NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(counts.reshape(ncells, NSUB, 1), states, lens, sym_tab, fc, words)
+    )(counts4, states4, lens4, sym_tab, fc, words5)
     # unpack 4 symbols per u32: byte b of packed word w is symbol j = 4w + b
-    packed = syms[:nblocks]
+    packed = syms.reshape(nb_pad, k // 4, BLOCK_ROWS, BLOCK_COLS)[:nblocks]
     parts = [((packed >> (8 * b)) & 0xFF).astype(jnp.int32) for b in range(4)]
     un = jnp.stack(parts, axis=2).reshape(nblocks, k, BLOCK_ROWS, BLOCK_COLS)
-    return un, ok[:nblocks]
+    return un, ok.reshape(nb_pad, BLOCK_ROWS, BLOCK_COLS)[:nblocks]

@@ -244,6 +244,103 @@ def test_pallas_kernels_match_numpy_engine():
     np.testing.assert_array_equal(out_np[mask], symbols[mask])
 
 
+def test_segmented_chunks_kernel_matches_numpy():
+    """chunk_len > SEG_LEN: the segmented Pallas kernels (state carry across
+    grid steps) are bit-exact vs the numpy engine, and roundtrip."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy.plane_codec import _interleave_np
+    from fpv_tpu.ops import rans_pallas as rp
+    from fpv_tpu.ops.rans_layout import SEG_LEN, num_segments
+
+    rng = np.random.default_rng(5)
+    B, S, K = 2, 600_000, 2 * SEG_LEN
+    nseg = num_segments(K)
+    assert nseg == 2
+    data = rng.normal(100, 25, size=(B, S)).astype(np.uint8)
+    lens = chunk_lens(B, S, K)
+    c_pad = len(lens)
+    nblocks = c_pad // BLOCK_LANES
+    symbols = _interleave_np(data, K, nblocks)
+    freq = normalize_freqs(np.bincount(data.reshape(-1), minlength=256))
+
+    states, counts, payload = rn.encode_blocks(symbols, lens, freq)
+    assert len(counts) == nblocks * nseg
+
+    fc, finv, symtab = rp.table_arrays(freq)
+    syms_dev = jnp.asarray(
+        symbols.reshape(nblocks, BLOCK_LANES, K)
+        .transpose(0, 2, 1)
+        .reshape(nblocks, K, 8, 128)
+        .astype(np.int32)
+    )
+    lens_dev = jnp.asarray(lens.reshape(nblocks, 8, 128))
+    st, words, cnts = rp.encode_pallas(
+        syms_dev, lens_dev, jnp.asarray(fc), K, nblocks, interpret=True,
+    )
+    cn = np.asarray(cnts).reshape(-1)
+    np.testing.assert_array_equal(cn, counts.astype(cn.dtype))
+    np.testing.assert_array_equal(np.asarray(st).reshape(-1), states)
+    ngroups = nblocks * nseg
+    w_np = np.asarray(words).reshape(ngroups, -1)
+    pl_payload = np.concatenate(
+        [w_np[g, : cn[g]] for g in range(ngroups)]
+    ).astype(np.uint16)
+    np.testing.assert_array_equal(pl_payload, payload)
+
+    wrows = rp.words_rows(K)
+    words_padded = np.zeros((ngroups, wrows * 128), np.uint32)
+    off = 0
+    for g in range(ngroups):
+        words_padded[g, : cn[g]] = payload[off : off + cn[g]]
+        off += cn[g]
+    out, ok = rp.decode_pallas(
+        jnp.asarray(cn.reshape(ngroups, 1, 1).astype(np.int32)),
+        jnp.asarray(states.reshape(nblocks, 8, 128)),
+        lens_dev,
+        jnp.asarray(symtab),
+        jnp.asarray(fc),
+        jnp.asarray(words_padded.reshape(ngroups, wrows, 128)),
+        K, nblocks, interpret=True,
+    )
+    assert np.asarray(ok).all()
+    out_np = (
+        np.asarray(out)
+        .reshape(nblocks, K, BLOCK_LANES)
+        .transpose(0, 2, 1)
+        .reshape(c_pad, K)
+        .astype(np.uint8)
+    )
+    mask = np.arange(K)[None, :] < lens[:, None]
+    np.testing.assert_array_equal(out_np[mask], symbols[mask])
+
+
+def test_segmented_chunks_plane_roundtrip_both_engines():
+    """Long chunks through the public plane codec, both engines, both
+    codings — fewer stored states, same pixels."""
+    from fpv_tpu.ops.rans_layout import CODING_CTX16, SEG_LEN
+
+    rng = np.random.default_rng(6)
+    B, K = 2, 2 * SEG_LEN
+    planes = rng.normal(120, 12, size=(B, 1200, 1024)).astype(np.uint8)
+    hist = np.bincount(planes.reshape(-1), minlength=256)
+    for engine in ("numpy", "pallas"):
+        stream = encode_plane_batch(
+            planes.reshape(B, -1), hist, chunk_len=K, engine=engine
+        )
+        out = np.asarray(decode_plane_batch(stream, engine=engine))
+        np.testing.assert_array_equal(out, planes.reshape(B, -1))
+    # ctx coding (nibble data: bottom nibble zero)
+    nib = (planes & 0xF0).astype(np.uint8)
+    for engine in ("numpy", "pallas"):
+        stream = encode_plane_batch(
+            nib.reshape(B, -1), None, chunk_len=K, engine=engine,
+            coding=CODING_CTX16,
+        )
+        out = np.asarray(decode_plane_batch(stream, engine=engine))
+        np.testing.assert_array_equal(out, nib.reshape(B, -1))
+
+
 def test_ctx_mode_numpy_roundtrip_and_gain():
     """Context-coded low-plane mode (coding=1): numpy engine roundtrips and
     beats the order-0 entropy on correlated nibble data."""
