@@ -346,6 +346,53 @@ def main() -> None:
     log(f"vs reference encode: device single-dispatch "
         f"{dev_enc_1shot/ref_mps:.2f}x, e2e {e2e_enc/ref_mps:.2f}x")
 
+    # ---- compression-ratio parity across corpus types (size vs the live
+    # reference binary; one shape so all corpora share compiled programs)
+    corpus_ratios = {}
+    ref_enc_bin = REFBIN.parent / "ref_encode"
+    if not ref_enc_bin.exists() and pathlib.Path("/root/reference").exists():
+        try:
+            subprocess.run(
+                f"g++ -O3 -std=c++14 -I{REPO}/native/brotli_shim "
+                f"/root/reference/fusion_power_video.cc "
+                f"/root/reference/encode.cc "
+                "-l:libbrotlienc.so.1 -l:libbrotlidec.so.1 "
+                f"-l:libbrotlicommon.so.1 -lpthread -o {ref_enc_bin}",
+                shell=True, check=True, capture_output=True,
+            )
+        except subprocess.CalledProcessError:
+            pass
+    if ref_enc_bin.exists():
+        sweep = [
+            ("plasma12s", testdata.plasma_frames(16, 512, 512, bits=12,
+                                                 seed=5), 4),
+            ("noise16", testdata.noise_frames(16, 512, 512, bits=16), 0),
+            ("ramp12s", np.tile(
+                (np.arange(512 * 512) % 4096).astype(np.uint16)
+                .reshape(1, 512, 512), (16, 1, 1)), 4),
+        ]
+        from fpv_tpu.api.fpvt_codec import encode_file_fpvt
+
+        for cname, cframes, cshift in sweep:
+            import subprocess as _sp
+
+            rr = _sp.run(
+                [str(ref_enc_bin), "512", "512", "0", str(cshift), "4"],
+                input=testdata.to_raw_bytes(cframes), capture_output=True,
+            )
+            ours_c = encode_file_fpvt(
+                cframes, shift=cshift, frames_per_batch=16
+            )
+            ok_c = bool(
+                (decode_file_fpvt(ours_c)
+                 == (cframes.astype(np.uint16) << cshift)).all()
+            )
+            ratio = len(ours_c) / max(len(rr.stdout), 1)
+            corpus_ratios[cname] = round(ratio, 4)
+            log(f"corpus {cname}: fpvt {8*len(ours_c)/cframes.size:.4f} bpp"
+                f" vs ref {8*len(rr.stdout)/cframes.size:.4f} bpp"
+                f" ({ratio:.4f}x, lossless={ok_c})")
+
     # headline = the honest single-dispatch device number (one fused
     # program, one host round trip); the marginal-cost "sustained" figure
     # is reported as a secondary field
@@ -364,6 +411,7 @@ def main() -> None:
         "fpv1_vs_baseline": round(fpv1_mps / ref_mps, 3),
         "fpv1_lossless_roundtrip": fpv1_ok,
         "low_plane_vs_brotli": round(low_coded / br_low, 4),
+        "corpus_size_ratios_vs_ref": corpus_ratios,
         "baseline_mpix_s": round(ref_mps, 2),
     }))
 

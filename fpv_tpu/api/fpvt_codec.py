@@ -76,6 +76,29 @@ def _residual_cost(plane: jax.Array) -> jax.Array:
     return jnp.sum(mag, axis=1)
 
 
+@jax.jit
+def _residual_cost_exact(plane: jax.Array) -> jax.Array:
+    """Exact (unsampled) wraparound-magnitude cost of a residual plane."""
+    s = plane.reshape(-1).astype(jnp.int32)
+    return jnp.sum(jnp.minimum(s, 256 - s))
+
+
+def _decode_delta_planes(dflags, dh_stream, dl_stream, h, w):
+    """Decode the delta-section planes, inverting the high plane's spatial
+    prediction recorded in dflags bits 1-2 (see FpvtWriter.init)."""
+    dh = decode_plane_batch(dh_stream).reshape(1, h, w)
+    spatial = (dflags >> F_SPATIAL_SHIFT) & 3
+    if spatial == SPATIAL_UP:
+        dh = up_decode(dh)
+    elif spatial == SPATIAL_CG2D:
+        dh = cg2d_decode(dh)
+    if dl_stream is not None:
+        dl = decode_plane_batch(dl_stream).reshape(h, w)
+    else:
+        dl = jnp.zeros((h, w), jnp.uint8)
+    return dh.reshape(h, w), dl
+
+
 def _support_mask(plane: jax.Array) -> jax.Array:
     """[256] 0/1 exact-support superset of a u8 plane batch.
 
@@ -332,7 +355,11 @@ def fused_encode_batch(
             )[:, : sampled.shape[1]]
             idx_s = ctx_combine_device(prev_s, sampled)
             hist = _hist_flat(idx_s.reshape(-1), CTX_NIDX)
-            freq = normalize_freqs_ctx_device(hist)
+            # exact (ctx, sym) presence: floors only pairs that occur
+            from fpv_tpu.entropy.plane_codec import ctx_presence_device
+
+            mask = ctx_presence_device(sym4)
+            freq = normalize_freqs_ctx_device(hist, mask)
             fc = encode_tables_ctx_device(freq)
             states, words, counts = rp.encode_pallas(
                 sym4, lens_dev, fc, chunk_len, nblocks,
@@ -656,6 +683,7 @@ class FpvtWriter:
         frames_per_batch: int = 16,
         chunk_log2: int = 12,
         device=None,
+        delta_is_frame0: bool = False,
     ) -> None:
         self._device = device  # optional jax.Device pinning this stream
         self.header = Header(
@@ -665,6 +693,7 @@ class FpvtWriter:
             big_endian=big_endian,
             chunk_log2=chunk_log2,
             frames_per_batch=frames_per_batch,
+            delta_is_frame0=delta_is_frame0,
         )
         self._chunk_len = 1 << chunk_log2
         # shift >= 4 guarantees the low plane's bottom nibble is zero
@@ -697,23 +726,37 @@ class FpvtWriter:
         self._delta_high = high[0]
         self._delta_low = low[0]
         has_low = bool(np.asarray(nonzero_low)[0])
+        # spatially predict the delta-section high plane (smooth delta
+        # frames would otherwise pay full order-0 entropy; the reference's
+        # delta chunk likewise goes through CG prediction + brotli,
+        # fusion_power_video.cc:1097-1100).  Exact full-plane costs -- one
+        # frame, cheap.
+        cands = [high, up_encode(high), cg2d_encode(high)]
+        costs = [int(_residual_cost_exact(c)) for c in cands]
+        spatial = int(np.argmin(costs))
+        hres = cands[spatial]
         hs = encode_plane_batch(
-            high.reshape(1, -1),
-            np.asarray(_batch_hist(high)),
+            hres.reshape(1, -1),
+            np.asarray(_batch_hist(hres)),
             self._chunk_len,
-            mask=np.asarray(_support_mask(high)),
+            mask=np.asarray(_support_mask(hres)),
         )
         ls = (
             encode_plane_batch(
                 low.reshape(1, -1),
-                np.asarray(_batch_hist(low)),
+                None if self._low_coding else np.asarray(_batch_hist(low)),
                 self._chunk_len,
-                mask=np.asarray(_support_mask(low)),
+                coding=self._low_coding,
+                mask=(
+                    None
+                    if self._low_coding
+                    else np.asarray(_support_mask(low))
+                ),
             )
             if has_low
             else None
         )
-        dflags = 0 if has_low else F_NO_LOW
+        dflags = (0 if has_low else F_NO_LOW) | (spatial << F_SPATIAL_SHIFT)
         out = self.header.serialize() + fpvt.serialize_delta_section(dflags, hs, ls)
         self._bytes_written = len(out)
         return out
@@ -883,17 +926,27 @@ class FpvtReader:
         # delta section follows the header
         dflags, dh_stream, dl_stream = fpvt.parse_delta_section(data, fpvt.HEADER_SIZE)
         h, w = self.header.ysize, self.header.xsize
-        self._delta_high = decode_plane_batch(dh_stream).reshape(h, w)
-        if dl_stream is not None:
-            self._delta_low = decode_plane_batch(dl_stream).reshape(h, w)
-        else:
-            self._delta_low = jnp.zeros((h, w), jnp.uint8)
+        self._delta_high, self._delta_low = _decode_delta_planes(
+            dflags, dh_stream, dl_stream, h, w
+        )
         self._batches = fpvt.parse_footer(data)
         self._frame_to_batch: list[tuple[int, int]] = []
+        if self.header.delta_is_frame0:
+            # frame 0 is the delta frame itself (HDR_F_DELTA_IS_FRAME0)
+            self._frame_to_batch.append((-1, 0))
         for bi, (_off, n) in enumerate(self._batches):
             for j in range(n):
                 self._frame_to_batch.append((bi, j))
         self._cache: tuple[int, np.ndarray] | None = None
+
+    def frame0(self) -> np.ndarray:
+        """The synthesized first frame when the header declares the delta
+        frame doubles as frame 0 (left-aligned u16, like decode_batch)."""
+        return np.asarray(
+            combine_planes(
+                self._delta_high[None], self._delta_low[None]
+            )[0]
+        )
 
     @property
     def numframes(self) -> int:
@@ -1027,6 +1080,8 @@ class FpvtReader:
         from fpv_tpu.entropy.plane_codec import engine_name
 
         bi, j = self._frame_to_batch[index]
+        if bi == -1:
+            return self.frame0()
         if self._cache is not None and self._cache[0] == bi:
             return self._cache[1][j]
         off, b = self._batches[bi]
@@ -1118,6 +1173,20 @@ class FpvtReader:
             imgs, pv = self._decode_batch_fused(pb, b, decode_preview=True)
             return imgs, pv
         return self.decode_batch(index), self.decode_previews(index)
+
+    def preview_frame(self, index: int) -> np.ndarray:
+        """Preview of ONE frame by global frame index -> [H//4, W//4] u8.
+
+        The per-frame analog of RandomAccessDecoder::DecodePreview
+        (fusion_power_video.cc:1038-1070).  When the header declares the
+        delta frame doubles as frame 0, its preview is synthesized from
+        the delta high plane (no preview stream exists for it)."""
+        bi, j = self._frame_to_batch[index]
+        if bi == -1:
+            return np.asarray(
+                generate_preview(self._delta_high[None])[0]
+            )
+        return self.decode_previews(bi)[j]
 
     def decode_previews(self, index: int) -> np.ndarray:
         """Decode batch ``index`` previews -> [B, H//4, W//4] uint8."""
@@ -1217,12 +1286,16 @@ class FpvtStreamingReader:
                 bytes(buf), fpvt.HEADER_SIZE
             )
             h, w = header.ysize, header.xsize
-            self._inner._delta_high = decode_plane_batch(dh_stream).reshape(h, w)
-            if dl_stream is not None:
-                self._inner._delta_low = decode_plane_batch(dl_stream).reshape(h, w)
-            else:
-                self._inner._delta_low = jnp.zeros((h, w), jnp.uint8)
+            (
+                self._inner._delta_high,
+                self._inner._delta_low,
+            ) = _decode_delta_planes(dflags, dh_stream, dl_stream, h, w)
             self._pos = fpvt.HEADER_SIZE + dsize
+            if header.delta_is_frame0:
+                self._callback(
+                    self._inner.frame0()[None],
+                    np.full(1, -1, dtype=np.int64),
+                )
         import struct as _s
 
         while len(buf) - self._pos >= 9:
@@ -1264,22 +1337,33 @@ def encode_file_fpvt(
     """One-shot FPVT encode of [N, H, W] uint16 frames."""
     frames = np.asarray(frames, dtype=np.uint16)
     n, h, w = frames.shape
-    if delta_frame is None:
+    delta_is_frame0 = delta_frame is None
+    if delta_is_frame0:
+        # frame 0 is stored once as the delta section and synthesized on
+        # decode (HDR_F_DELTA_IS_FRAME0) -- coding it again in batch 0
+        # would mix its all-zero delta residuals into the shared tables
         delta_frame = frames[0]
-    wri = FpvtWriter(w, h, shift, big_endian, frames_per_batch, chunk_log2)
+        body = frames[1:]
+    else:
+        body = frames
+    wri = FpvtWriter(
+        w, h, shift, big_endian, frames_per_batch, chunk_log2,
+        delta_is_frame0=delta_is_frame0,
+    )
     parts = [wri.init(delta_frame)]
     # two-deep pipeline: batch n+1's upload/dispatch overlaps batch n's
     # host packaging / readbacks
     from concurrent.futures import ThreadPoolExecutor
 
-    starts = list(range(0, n, frames_per_batch))
+    nb_total = body.shape[0]
+    starts = list(range(0, nb_total, frames_per_batch))
     with ThreadPoolExecutor(max_workers=2) as pool:
         futures = [
-            pool.submit(wri.encode_batch_bytes, frames[s : s + frames_per_batch])
+            pool.submit(wri.encode_batch_bytes, body[s : s + frames_per_batch])
             for s in starts
         ]
         for s, f in zip(starts, futures):
-            nb = min(frames_per_batch, n - s)
+            nb = min(frames_per_batch, nb_total - s)
             parts.append(wri.add_batch(f.result(), nb))
     parts.append(wri.finish())
     return b"".join(parts)
@@ -1292,4 +1376,6 @@ def decode_file_fpvt(data: bytes) -> np.ndarray:
     r = FpvtReader(data)
     with ThreadPoolExecutor(max_workers=2) as pool:
         outs = list(pool.map(r.decode_batch, range(r.num_batches)))
+    if r.header.delta_is_frame0:
+        outs.insert(0, r.frame0()[None])
     return np.concatenate(outs)

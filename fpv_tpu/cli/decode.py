@@ -43,6 +43,14 @@ def main(argv: list[str] | None = None) -> int:
         from fpv_tpu.api.frame import unextract_frame
 
         r = FpvtReader(data)
+        if r.header.delta_is_frame0:
+            stdout.write(
+                unextract_frame(
+                    r.frame0(), shift, bool(big_endian)
+                ).tobytes()
+            )
+            sys.stderr.write(f"extracted frame {count}\n")
+            count += 1
         for bi in range(r.num_batches):
             imgs = r.decode_batch(bi)
             for i in range(imgs.shape[0]):

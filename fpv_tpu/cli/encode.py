@@ -55,13 +55,19 @@ def main(argv: list[str] | None = None) -> int:
     if profile == "fpvt":
         from fpv_tpu.api.fpvt_codec import FpvtWriter
 
-        writer = FpvtWriter(xsize, ysize, shift=shift, big_endian=bool(big_endian))
+        writer = FpvtWriter(
+            xsize, ysize, shift=shift, big_endian=bool(big_endian),
+            delta_is_frame0=True,
+        )
         batch: list[np.ndarray] = []
         initialized = False
         while (img := read_frame()) is not None:
             if not initialized:
+                # first frame IS the delta frame (HDR_F_DELTA_IS_FRAME0):
+                # stored once; the decoder synthesizes it as frame 0
                 stdout.write(writer.init(img))
                 initialized = True
+                continue
             batch.append(img)
             if len(batch) == writer.header.frames_per_batch:
                 stdout.write(writer.encode_batch(np.stack(batch)))

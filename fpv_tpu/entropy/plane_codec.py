@@ -146,6 +146,36 @@ def ctx_indices_device(sym4: jax.Array) -> jax.Array:
     return ctx_combine_device(prev, s)
 
 
+def ctx_presence_device(sym4: jax.Array) -> jax.Array:
+    """[512] 0/1 exact presence of (ctx, sym) pairs over ALL symbols.
+
+    Bitmap OR-reduction (16 u32 words of 32 bits): ~32 vector ops/element,
+    one streaming pass — the whole expression (prev shift, lane rolls, ctx
+    combine, select, OR-reduce) fuses, so no full-size index array
+    materializes.  Exactness lets ctx-table floors skip absent pairs
+    (tables.normalize_freqs_ctx floor_mask): a blanket 16-symbol floor at
+    scale 128 costs 0.18 bits/symbol on deterministic conditionals."""
+    idx = ctx_indices_device(sym4)
+    v = idx.reshape(-1).astype(jnp.uint32)
+    pad = (-v.shape[0]) % 512
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint32)])
+        # padding contributes idx 0 = (ctx 0, sym 0), which real step-0
+        # zero-padding already makes present; harmless superset either way
+    v2 = v.reshape(-1, 512)
+    bit = jnp.left_shift(jnp.uint32(1), v2 & 31)
+    word = v2 >> 5  # 0..15
+    rows = []
+    for w in range(CTX_NIDX // 32):
+        m = jnp.where(word == w, bit, jnp.uint32(0))
+        rows.append(
+            jax.lax.reduce(m, jnp.uint32(0), jax.lax.bitwise_or, (0, 1))
+        )
+    words = jnp.stack(rows)  # [16] u32
+    bits = (words[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :]) & 1
+    return bits.reshape(CTX_NIDX).astype(jnp.int32)
+
+
 def _interleave_np(plane_np: np.ndarray, chunk_len: int, nblocks: int):
     """Host-side [B, S] u8 -> [C, K] per-lane symbols for the numpy engine."""
     flat = plane_np.reshape(-1)
@@ -401,7 +431,8 @@ def encode_plane_batch(
             idx = rn.encode_ctx_indices(sym4, lens)
             mask = np.arange(chunk_len)[None, :] < lens[:, None]
             jhist = np.bincount(idx[mask].reshape(-1), minlength=CTX_NIDX)
-            freq = normalize_freqs_ctx(jhist)
+            # lens-masked hist is exact: floor only pairs that occur
+            freq = normalize_freqs_ctx(jhist, floor_mask=jhist > 0)
             _f32, cum, _sos = rn.ctx_tables(freq)
             states, counts, payload = rn.encode_blocks(
                 idx, lens, freq, prob_bits=CTX_PROB_BITS, cum=cum
@@ -418,7 +449,9 @@ def encode_plane_batch(
         )
         idx = ctx_indices_device(sym4)
         jhist = np.asarray(_hist_flat(idx.reshape(-1), CTX_NIDX))
-        freq = normalize_freqs_ctx(jhist)
+        # full-index hist is an exact-support superset (padding included):
+        # floor only pairs that can occur
+        freq = normalize_freqs_ctx(jhist, floor_mask=jhist > 0)
         fc, _symtab = rp.ctx_table_arrays(freq)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         states_d, words_d, counts_d = rp.encode_pallas(

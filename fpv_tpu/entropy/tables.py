@@ -14,16 +14,36 @@ PROB_SCALE = 1 << PROB_BITS  # 4096
 RANS_L = 1 << 15  # state lower bound; state in [2^15, 2^31)
 
 
-def normalize_freqs_ctx(hist: np.ndarray) -> np.ndarray:
+def normalize_freqs_ctx(
+    hist: np.ndarray, floor_mask: np.ndarray | None = None
+) -> np.ndarray:
     """[NCTX*ALPHA] joint histogram -> per-context tables, each summing to
-    CTX_PROB_SCALE with every symbol >= 1 (sampled-histogram safety)."""
+    CTX_PROB_SCALE.
+
+    Without ``floor_mask`` every symbol gets >= 1 (sampled-histogram
+    safety).  With a mask (an exact-support superset per (ctx, sym) pair)
+    only masked pairs are floored: provably-absent pairs get frequency 0,
+    which matters enormously for deterministic conditionals (a 16-symbol
+    blanket floor at scale 128 costs log2(128/113) = 0.18 bits/symbol even
+    when H(sym|ctx) = 0)."""
     from fpv_tpu.ops.rans_layout import CTX_ALPHA, CTX_NCTX, CTX_PROB_SCALE
 
     hist = np.asarray(hist, dtype=np.int64).reshape(CTX_NCTX, CTX_ALPHA)
+    if floor_mask is not None:
+        floor_mask = np.asarray(floor_mask, dtype=bool).reshape(
+            CTX_NCTX, CTX_ALPHA
+        )
     out = np.empty((CTX_NCTX, CTX_ALPHA), np.uint16)
     for c in range(CTX_NCTX):
+        if floor_mask is not None and not floor_mask[c].any():
+            # context never occurs: any valid row decodes (nothing coded)
+            out[c] = np.full(CTX_ALPHA, CTX_PROB_SCALE // CTX_ALPHA, np.uint16)
+            continue
         out[c] = normalize_freqs(
-            hist[c], scale=CTX_PROB_SCALE, ensure_all=True
+            hist[c],
+            scale=CTX_PROB_SCALE,
+            ensure_all=True,
+            floor_mask=None if floor_mask is None else floor_mask[c],
         )
     return out.reshape(-1)
 

@@ -66,27 +66,47 @@ def normalize_freqs_device(
     return freq.astype(jnp.uint32)
 
 
-def normalize_freqs_ctx_device(hist: jax.Array) -> jax.Array:
+def normalize_freqs_ctx_device(
+    hist: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
     """[NCTX*ALPHA] joint histogram -> per-context tables on device.
 
-    Vectorized largest-remainder apportionment per context row: every
-    symbol gets a floor of 1, the remaining CTX_PROB_SCALE-ALPHA units go
-    by remainder rank (ties by symbol index)."""
+    Vectorized largest-remainder apportionment per context row.  Without
+    ``mask`` every symbol gets a floor of 1 (sampled-histogram safety);
+    with a mask (exact (ctx, sym) support superset, 0/1) only masked pairs
+    are floored and absent pairs get frequency 0 — see normalize_freqs_ctx.
+    A context with an all-zero mask row gets a uniform table (nothing is
+    ever coded against it)."""
     from fpv_tpu.ops.rans_layout import CTX_ALPHA, CTX_NCTX, CTX_PROB_SCALE
 
     h = hist.astype(jnp.float32).reshape(CTX_NCTX, CTX_ALPHA)
+    if mask is None:
+        maskf = jnp.ones((CTX_NCTX, CTX_ALPHA), jnp.float32)
+    else:
+        maskf = mask.astype(jnp.float32).reshape(CTX_NCTX, CTX_ALPHA)
+    nfloor = jnp.sum(maskf, axis=1, keepdims=True)
+    empty_row = nfloor < 0.5  # context never occurs
+    h = h * maskf
     total = jnp.maximum(jnp.sum(h, axis=1, keepdims=True), 1.0)
-    scale = jnp.float32(CTX_PROB_SCALE - CTX_ALPHA)
+    scale = jnp.float32(CTX_PROB_SCALE) - nfloor
     ideal = h * (scale / total)
     base = jnp.maximum(jnp.floor(ideal * (1.0 - 1e-6)).astype(jnp.int32), 0)
     rem = ideal - base.astype(jnp.float32)
-    d = (CTX_PROB_SCALE - CTX_ALPHA) - jnp.sum(base, axis=1, keepdims=True)
-    key = rem * 512.0 - jnp.arange(CTX_ALPHA, dtype=jnp.float32) / 256.0
+    d = scale.astype(jnp.int32) - jnp.sum(base, axis=1, keepdims=True)
+    key = (
+        rem * 512.0
+        - jnp.arange(CTX_ALPHA, dtype=jnp.float32) / 256.0
+        - (1.0 - maskf) * 1e9
+    )
     rank = jnp.argsort(jnp.argsort(-key, axis=1), axis=1).astype(jnp.int32)
     extra = (rank < d).astype(jnp.int32) + (rank < d - CTX_ALPHA).astype(
         jnp.int32
     )
-    freq = 1 + base + extra
+    freq = (1 + base + extra) * maskf.astype(jnp.int32)
+    uniform = jnp.full(
+        (CTX_NCTX, CTX_ALPHA), CTX_PROB_SCALE // CTX_ALPHA, jnp.int32
+    )
+    freq = jnp.where(empty_row, uniform, freq)
     resid = CTX_PROB_SCALE - jnp.sum(freq, axis=1, keepdims=True)
     amax = jnp.argmax(freq, axis=1)
     onehot = (

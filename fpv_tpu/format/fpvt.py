@@ -35,6 +35,17 @@ SPATIAL_UP = 1
 SPATIAL_CG2D = 2
 
 
+HDR_F_BIG_ENDIAN = 1
+# frame 0 of the sequence IS the delta frame: it is stored once (the delta
+# section) and batch sections start at frame 1; decoders synthesize frame 0
+# from the delta planes.  Avoids coding the first frame twice — without it
+# frame 0's all-zero delta residuals mix into the batch's shared tables,
+# which costs real mass on incompressible content (the reference gets the
+# same refund implicitly: its frame 0 delta-predicts against itself to zero,
+# fusion_power_video.cc:517-544 + encode.cc:86-92).
+HDR_F_DELTA_IS_FRAME0 = 2
+
+
 @dataclasses.dataclass
 class Header:
     xsize: int
@@ -44,9 +55,12 @@ class Header:
     chunk_log2: int = 9
     frames_per_batch: int = 16
     profile: int = PROFILE_RANS12
+    delta_is_frame0: bool = False
 
     def serialize(self) -> bytes:
-        flags = 1 if self.big_endian else 0
+        flags = (HDR_F_BIG_ENDIAN if self.big_endian else 0) | (
+            HDR_F_DELTA_IS_FRAME0 if self.delta_is_frame0 else 0
+        )
         return struct.pack(
             "<4sBBHIIBBHIQ",
             MAGIC,
@@ -83,10 +97,11 @@ class Header:
             xsize=xsize,
             ysize=ysize,
             shift=shift,
-            big_endian=bool(flags & 1),
+            big_endian=bool(flags & HDR_F_BIG_ENDIAN),
             chunk_log2=chunk_log2,
             frames_per_batch=fpb,
             profile=profile,
+            delta_is_frame0=bool(flags & HDR_F_DELTA_IS_FRAME0),
         )
 
 

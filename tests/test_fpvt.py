@@ -37,7 +37,10 @@ def test_fpvt_random_access():
     data = encode_file_fpvt(frames, frames_per_batch=4, chunk_log2=8)
     r = FpvtReader(data)
     assert r.numframes == 9
-    assert r.num_batches == 3
+    # frame 0 is the delta frame itself (HDR_F_DELTA_IS_FRAME0): batches
+    # hold the remaining 8 frames
+    assert r.header.delta_is_frame0
+    assert r.num_batches == 2
     for i in (8, 0, 5, 3):
         np.testing.assert_array_equal(r.decode_frame(i), frames[i])
 
@@ -46,13 +49,17 @@ def test_fpvt_previews():
     frames = testdata.plasma_frames(4, 64, 64)
     data = encode_file_fpvt(frames, frames_per_batch=4, chunk_log2=8)
     r = FpvtReader(data)
-    pv = r.decode_previews(0)
-    assert pv.shape == (4, 16, 16)
     high = (frames >> 8).astype(np.uint32)
     expect = (
         high.reshape(4, 16, 4, 16, 4).sum(axis=(2, 4)) // 16
     ).astype(np.uint8) & 0xFE
-    np.testing.assert_array_equal(pv, expect)
+    # frames 1..3 live in batch 0 (frame 0 is the delta frame)
+    pv = r.decode_previews(0)
+    assert pv.shape == (3, 16, 16)
+    np.testing.assert_array_equal(pv, expect[1:])
+    # per-frame accessor covers every frame incl. the synthesized frame 0
+    for i in range(4):
+        np.testing.assert_array_equal(r.preview_frame(i), expect[i])
 
 
 def test_fpvt_compression_beats_raw():
@@ -142,8 +149,9 @@ def test_fpvt_streaming_reader():
     got_frames.clear()
     r2 = FpvtStreamingReader(cb)
     r2.decode(data[:cut])
-    assert len(got_frames) == 1
-    np.testing.assert_array_equal(got_frames[0], frames[:3])
+    # frame 0 (synthesized from the delta section) + the first batch
+    assert len(got_frames) == 2
+    np.testing.assert_array_equal(np.concatenate(got_frames), frames[:4])
 
 
 def test_fpvt_malformed_inputs_rejected():
@@ -188,7 +196,8 @@ def test_fpvt_tiny_dims_roundtrip():
     off, _b = r._batches[0]
     pb = fpvt.parse_batch_section(data, off)
     assert pb.preview is None
-    assert r.decode_previews(0).shape == (2, 0, 0)
+    # batch 0 holds one frame (frame 0 is the delta frame)
+    assert r.decode_previews(0).shape == (1, 0, 0)
 
 
 def test_fpvt_footer_o1_and_magic_collision():
