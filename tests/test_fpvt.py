@@ -200,6 +200,39 @@ def test_fpvt_tiny_dims_roundtrip():
     assert r.decode_previews(0).shape == (1, 0, 0)
 
 
+def test_fpvt_single_frame_file():
+    """A 1-frame sequence stores ONLY the delta section (delta_is_frame0):
+    zero batch sections, frame synthesized on decode, all readers agree."""
+    from fpv_tpu.api.fpvt_codec import FpvtStreamingReader
+
+    frames = testdata.plasma_frames(1, 32, 32, bits=12)
+    data = encode_file_fpvt(frames, shift=4)
+    out = decode_file_fpvt(data)
+    np.testing.assert_array_equal(out, (frames.astype(np.uint16) << 4))
+    r = FpvtReader(data)
+    assert r.numframes == 1 and r.num_batches == 0
+    np.testing.assert_array_equal(r.decode_frame(0), out[0])
+    got = []
+    sr = FpvtStreamingReader(lambda imgs, ts: got.append(imgs))
+    sr.decode(data)
+    np.testing.assert_array_equal(np.concatenate(got), out)
+
+
+def test_fpvt_explicit_delta_keeps_all_frames_in_batches():
+    """Passing delta_frame explicitly keeps the legacy layout (no header
+    flag, every input frame coded in batches)."""
+    frames = testdata.plasma_frames(4, 32, 32, bits=12)
+    ref = frames[0] // 2  # distinct delta frame
+    data = encode_file_fpvt(frames, shift=4, delta_frame=ref,
+                            frames_per_batch=4)
+    r = FpvtReader(data)
+    assert not r.header.delta_is_frame0
+    assert r.numframes == 4
+    np.testing.assert_array_equal(
+        decode_file_fpvt(data), (frames.astype(np.uint16) << 4)
+    )
+
+
 def test_fpvt_footer_o1_and_magic_collision():
     """Footer is located from the fixed-size tail, not a backward scan — a
     fake magic+size pattern in the last batch's payload must not confuse it."""
