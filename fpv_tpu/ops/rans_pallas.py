@@ -400,6 +400,12 @@ def _decode_kernel(
                 )
 
     def one(u, jl, x, ptr, prev):
+        # the word window depends ONLY on the carried ptr: load it first so
+        # the VMEM read overlaps the whole lookup + rank dependency chain.
+        # This step consumes at most 1024 words (8 rows), so rows
+        # [(ptr>>7)-8, (ptr>>7)+8) cover every consumed position.
+        al = jnp.maximum((ptr >> 7) - 8, 0)
+        win = words_ref[u, pl.ds(al, 16), :]
         active = (seg_lo + jl) < lens[u]
         slot = (x & (scale - 1)).astype(jnp.int32)
         if ctx_mode:
@@ -422,9 +428,7 @@ def _decode_kernel(
         cnt = jnp.sum(renorm.astype(jnp.int32))
         base = ptr - cnt
         pos = base + rank
-        row0 = base >> 7
-        win = words_ref[u, pl.ds(row0, 16), :]
-        rel = (pos >> 7) - row0
+        rel = (pos >> 7) - al
         col = pos & 127
         w = jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32)
         for r in range(9):
