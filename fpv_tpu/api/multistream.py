@@ -122,3 +122,70 @@ class MultiStreamEncoder:
     def _check_error(self) -> None:
         if self._error is not None:
             raise RuntimeError("encoder worker failed") from self._error
+
+
+class MultiStreamDecoder:
+    """Decode-side twin of :class:`MultiStreamEncoder`: many FPVT byte
+    streams multiplexed onto one accelerator.
+
+    Per stream, an incremental :class:`FpvtStreamingReader` consumes byte
+    chunks; complete batches decode on a single worker thread (a bounded
+    queue applies backpressure to fast producers) and are delivered as
+    ``sink(stream_id, frames u16 [B,H,W], timestamps i64 [B])`` in
+    per-stream order.  Same-geometry streams share compiled executables.
+
+        hub = MultiStreamDecoder(sink=on_frames)
+        hub.add_stream("cam0")
+        hub.feed("cam0", chunk)     # any chunking, any interleaving
+        ...
+        hub.close()
+    """
+
+    def __init__(self, sink=None) -> None:
+        self._sink = sink or (lambda sid, frames, ts: None)
+        self._readers: dict[str, object] = {}
+        self._queue: queue.Queue = queue.Queue(maxsize=4)  # backpressure
+        self._error: BaseException | None = None
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def add_stream(self, stream_id: str) -> None:
+        from fpv_tpu.api.fpvt_codec import FpvtStreamingReader
+
+        if stream_id in self._readers:
+            raise ValueError(f"stream {stream_id!r} already exists")
+
+        def cb(frames, ts, sid=stream_id):
+            self._sink(sid, frames, ts)
+
+        self._readers[stream_id] = FpvtStreamingReader(cb)
+
+    def feed(self, stream_id: str, data: bytes) -> None:
+        """Queue a byte chunk for ``stream_id`` (blocks when 4 deep)."""
+        self._check_error()
+        if stream_id not in self._readers:
+            raise KeyError(f"unknown stream {stream_id!r}")
+        self._queue.put((stream_id, bytes(data)))
+
+    def close(self) -> None:
+        """Drain the queue and stop the worker."""
+        self._check_error()
+        self._queue.put(None)
+        self._worker.join(timeout=600)
+        self._check_error()
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            sid, data = item
+            try:
+                self._readers[sid].decode(data)
+            except BaseException as e:  # pragma: no cover
+                self._error = e
+                return
+
+    def _check_error(self) -> None:
+        if self._error is not None:
+            raise RuntimeError("decoder worker failed") from self._error

@@ -302,6 +302,50 @@ def test_multistream_encoder():
         np.testing.assert_array_equal(decode_file_fpvt(data), fr)
 
 
+def test_multistream_decoder():
+    """Encode hub -> decode hub roundtrip with interleaved chunked feeds."""
+    from fpv_tpu.api.multistream import MultiStreamDecoder, MultiStreamEncoder
+
+    streams = {
+        "a": testdata.plasma_frames(6, 32, 32, seed=2),
+        "b": testdata.noise_frames(4, 32, 32),
+    }
+    enc_out: dict[str, list] = {k: [] for k in streams}
+    hub = MultiStreamEncoder(32, 32, frames_per_batch=2, chunk_log2=8,
+                             sink=lambda sid, d: enc_out[sid].append(d))
+    for sid, fr in streams.items():
+        hub.add_stream(sid, fr[0])
+    for i in range(6):
+        for sid, fr in streams.items():
+            if i < len(fr):
+                hub.push_frame(sid, 100 + i, fr[i])
+    hub.close()
+
+    got: dict[str, list] = {k: [] for k in streams}
+    got_ts: dict[str, list] = {k: [] for k in streams}
+    dec = MultiStreamDecoder(
+        sink=lambda sid, frames, ts: (got[sid].append(frames),
+                                      got_ts[sid].append(ts))
+    )
+    for sid in streams:
+        dec.add_stream(sid)
+    # interleave 97-byte chunks across streams
+    data = {sid: b"".join(enc_out[sid]) for sid in streams}
+    pos = 0
+    while any(pos < len(d) for d in data.values()):
+        for sid, d in data.items():
+            if pos < len(d):
+                dec.feed(sid, d[pos : pos + 97])
+        pos += 97
+    dec.close()
+    for sid, fr in streams.items():
+        np.testing.assert_array_equal(np.concatenate(got[sid]), fr)
+        # hub streams code every pushed frame (no delta_is_frame0 flag)
+        np.testing.assert_array_equal(
+            np.concatenate(got_ts[sid]), 100 + np.arange(len(fr))
+        )
+
+
 def test_multistream_multi_device_assignment():
     """Streams round-robin across devices; results stay correct."""
     import jax
