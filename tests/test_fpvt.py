@@ -185,10 +185,12 @@ def test_fpvt_per_block_random_access(monkeypatch):
         assert r._cache is None  # block path, not batch decode
 
 
-def test_fpvt_tiny_dims_roundtrip():
+@pytest.mark.parametrize("engine", ["numpy", "pallas"])
+def test_fpvt_tiny_dims_roundtrip(engine, monkeypatch):
     """H<4 / W<4 frames have zero-pixel previews: the preview stream is
     skipped and both engines roundtrip (advisor finding: the numpy engine
     used to crash on the empty preview histogram)."""
+    monkeypatch.setenv("FPV_TPU_RANS_ENGINE", engine)
     frames = testdata.noise_frames(2, 3, 3)
     data = encode_file_fpvt(frames, frames_per_batch=2, chunk_log2=4)
     np.testing.assert_array_equal(decode_file_fpvt(data), frames)
