@@ -36,24 +36,29 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def build_reference() -> pathlib.Path | None:
-    if REFBIN.exists():
-        return REFBIN
+def _build_ref_tool(tool_cc: str, out: pathlib.Path) -> pathlib.Path | None:
+    """Compile one reference tool (fusion_power_video.cc + tool_cc)."""
+    if out.exists():
+        return out
     src = pathlib.Path("/root/reference")
     if not src.exists():
         return None
-    REFBIN.parent.mkdir(exist_ok=True)
+    out.parent.mkdir(exist_ok=True)
     cmd = (
         f"g++ -O3 -std=c++14 -I{REPO}/native/brotli_shim "
-        f"{src}/fusion_power_video.cc {src}/benchmark.cc "
+        f"{src}/fusion_power_video.cc {src}/{tool_cc} "
         "-l:libbrotlienc.so.1 -l:libbrotlidec.so.1 -l:libbrotlicommon.so.1 "
-        f"-lpthread -o {REFBIN}"
+        f"-lpthread -o {out}"
     )
     try:
         subprocess.run(cmd, shell=True, check=True, capture_output=True)
-        return REFBIN
+        return out
     except subprocess.CalledProcessError:
         return None
+
+
+def build_reference() -> pathlib.Path | None:
+    return _build_ref_tool("benchmark.cc", REFBIN)
 
 
 def measure_reference(raw_path: str) -> float | None:
@@ -349,20 +354,8 @@ def main() -> None:
     # ---- compression-ratio parity across corpus types (size vs the live
     # reference binary; one shape so all corpora share compiled programs)
     corpus_ratios = {}
-    ref_enc_bin = REFBIN.parent / "ref_encode"
-    if not ref_enc_bin.exists() and pathlib.Path("/root/reference").exists():
-        try:
-            subprocess.run(
-                f"g++ -O3 -std=c++14 -I{REPO}/native/brotli_shim "
-                f"/root/reference/fusion_power_video.cc "
-                f"/root/reference/encode.cc "
-                "-l:libbrotlienc.so.1 -l:libbrotlidec.so.1 "
-                f"-l:libbrotlicommon.so.1 -lpthread -o {ref_enc_bin}",
-                shell=True, check=True, capture_output=True,
-            )
-        except subprocess.CalledProcessError:
-            pass
-    if ref_enc_bin.exists():
+    ref_enc_bin = _build_ref_tool("encode.cc", REFBIN.parent / "ref_encode")
+    if ref_enc_bin is not None:
         sweep = [
             ("plasma12s", testdata.plasma_frames(16, 512, 512, bits=12,
                                                  seed=5), 4),
@@ -374,12 +367,14 @@ def main() -> None:
         from fpv_tpu.api.fpvt_codec import encode_file_fpvt
 
         for cname, cframes, cshift in sweep:
-            import subprocess as _sp
-
-            rr = _sp.run(
+            rr = subprocess.run(
                 [str(ref_enc_bin), "512", "512", "0", str(cshift), "4"],
                 input=testdata.to_raw_bytes(cframes), capture_output=True,
             )
+            if rr.returncode != 0 or not rr.stdout:
+                log(f"corpus {cname}: reference encoder failed "
+                    f"(rc={rr.returncode}); skipping ratio")
+                continue
             ours_c = encode_file_fpvt(
                 cframes, shift=cshift, frames_per_batch=16
             )
@@ -387,7 +382,7 @@ def main() -> None:
                 (decode_file_fpvt(ours_c)
                  == (cframes.astype(np.uint16) << cshift)).all()
             )
-            ratio = len(ours_c) / max(len(rr.stdout), 1)
+            ratio = len(ours_c) / len(rr.stdout)
             corpus_ratios[cname] = round(ratio, 4)
             log(f"corpus {cname}: fpvt {8*len(ours_c)/cframes.size:.4f} bpp"
                 f" vs ref {8*len(rr.stdout)/cframes.size:.4f} bpp"

@@ -30,6 +30,19 @@ import numpy as np
 from fpv_tpu.api.fpvt_codec import FpvtWriter
 
 
+def _safe_put(q: queue.Queue, item, check_error) -> None:
+    """Bounded put that cannot hang on a dead worker: re-check the hub
+    error between timeouts (a worker that died never drains the queue, so
+    a plain blocking put would wait forever)."""
+    while True:
+        check_error()
+        try:
+            q.put(item, timeout=1.0)
+            return
+        except queue.Full:
+            continue
+
+
 class MultiStreamEncoder:
     def __init__(
         self,
@@ -83,20 +96,20 @@ class MultiStreamEncoder:
             if ready:
                 batch, self._pending[stream_id] = pend, []
         if ready:
-            self._queue.put((stream_id, batch))  # blocks when 4 batches deep
+            _safe_put(self._queue, (stream_id, batch), self._check_error)
 
     def _flush_stream(self, stream_id: str) -> None:
         with self._lock:
             batch, self._pending[stream_id] = self._pending[stream_id], []
         if batch:
-            self._queue.put((stream_id, batch))
+            _safe_put(self._queue, (stream_id, batch), self._check_error)
 
     def close(self) -> None:
         """Flush all partial batches, emit footers, stop the worker."""
         self._check_error()
         for sid in list(self._writers):
             self._flush_stream(sid)
-        self._queue.put(None)
+        _safe_put(self._queue, None, self._check_error)
         self._worker.join(timeout=600)
         self._check_error()
         for sid, w in self._writers.items():
@@ -165,12 +178,12 @@ class MultiStreamDecoder:
         self._check_error()
         if stream_id not in self._readers:
             raise KeyError(f"unknown stream {stream_id!r}")
-        self._queue.put((stream_id, bytes(data)))
+        _safe_put(self._queue, (stream_id, bytes(data)), self._check_error)
 
     def close(self) -> None:
         """Drain the queue and stop the worker."""
         self._check_error()
-        self._queue.put(None)
+        _safe_put(self._queue, None, self._check_error)
         self._worker.join(timeout=600)
         self._check_error()
 

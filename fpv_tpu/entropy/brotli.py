@@ -46,6 +46,10 @@ def reload_native() -> bool:
             import fpv_native as _m  # type: ignore
 
             _native = _m
+            # other modules bind fpv_native at import time too
+            from fpv_tpu.models import predictors as _pred
+
+            _pred._native = _m
         except Exception:
             _native = None
     return _native is not None

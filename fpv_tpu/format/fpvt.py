@@ -16,7 +16,8 @@ from fpv_tpu.entropy.plane_codec import PlaneStream
 from fpv_tpu.ops.rans_layout import CODING_CTX16, CODING_ORDER0
 
 MAGIC = b"FPVT"
-VERSION = 2
+VERSION = 3  # v3: segmented block_counts (K>512), delta-section spatial
+# prediction flags, HDR_F_DELTA_IS_FRAME0 -- older decoders must reject
 PROFILE_RANS12 = 1
 
 SECTION_BATCH = 0
