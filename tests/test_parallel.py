@@ -39,6 +39,30 @@ def test_sharded_model_step_matches_single_device():
                                   np.asarray(out_single["use_delta"]))
 
 
+def test_sharded_model_step_space_axis():
+    """Rows sharded over 'space' (large-frame mode): GSPMD must insert the
+    halo exchanges the predictors' row rolls and the preview box filter
+    need across row shards — outputs stay identical to single-device."""
+    from fpv_tpu.api.fpvt_codec import encode_model_step
+    from fpv_tpu.utils import testdata
+
+    frames = testdata.plasma_frames(4, 64, 32, bits=12)
+    delta = frames[0]
+    dh = np.asarray(((delta.astype(np.uint16) << 4) >> 8)).astype(np.uint8)
+    dl = np.asarray((delta.astype(np.uint16) << 4) & 0xFF).astype(np.uint8)
+
+    m = pmesh.make_mesh(4, data=2, space=2)
+    step = pmesh.sharded_encode_model_step(m, shift=4)
+    out_sharded = step(pmesh.shard_frames(frames, m), dh, dl)
+    out_single = encode_model_step(
+        jax.numpy.asarray(frames), jax.numpy.asarray(dh), jax.numpy.asarray(dl),
+        4, False,
+    )
+    for k in ("high", "low", "preview", "hist_high", "mask_high", "spatial"):
+        np.testing.assert_array_equal(np.asarray(out_sharded[k]),
+                                      np.asarray(out_single[k]))
+
+
 def test_sharded_fused_encode_bitexact_vs_single_device():
     """shard_map of the production fused encode program produces streams
     bit-identical to encoding each device's frame slice on one device."""
