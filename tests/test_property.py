@@ -43,7 +43,7 @@ def test_fpv1_roundtrip_random(n, h, w, shift, big_endian, seed):
     w=st.integers(4, 20).map(lambda x: x * 4),
     shift=st.sampled_from([0, 4]),
     fpb=st.integers(1, 4),
-    klog=st.sampled_from([6, 8, 9, 11, 12]),  # 11/12: segmented chunks
+    klog=st.sampled_from([6, 8, 9, 11, 12, 13]),  # >9: segmented chunks
     seed=st.integers(0, 2**31 - 1),
 )
 def test_fpvt_roundtrip_random(n, h, w, shift, fpb, klog, seed):
