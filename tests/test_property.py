@@ -43,7 +43,9 @@ def test_fpv1_roundtrip_random(n, h, w, shift, big_endian, seed):
     w=st.integers(4, 20).map(lambda x: x * 4),
     shift=st.sampled_from([0, 4]),
     fpb=st.integers(1, 4),
-    klog=st.sampled_from([6, 8, 9, 11, 12, 13]),  # >9: segmented chunks
+    klog=st.sampled_from([6, 8, 9, 10]),  # 10: segmented (2 segments); deeper
+    # K is covered by test_segmented_chunks_* (interpret mode iterates all
+    # K steps, so large K on tiny shapes explodes suite time)
     seed=st.integers(0, 2**31 - 1),
 )
 def test_fpvt_roundtrip_random(n, h, w, shift, fpb, klog, seed):
@@ -60,7 +62,7 @@ def test_fpvt_roundtrip_random(n, h, w, shift, fpb, klog, seed):
 @given(
     b=st.integers(1, 3),
     s=st.integers(1, 3000),
-    k=st.sampled_from([32, 64, 257, 512, 1024, 2048]),  # >512: segmented
+    k=st.sampled_from([32, 64, 257, 512, 1024]),  # 1024: segmented
     loc=st.integers(0, 255),
     scale=st.integers(1, 80),
     seed=st.integers(0, 2**31 - 1),
