@@ -73,14 +73,20 @@ def _residual_cost(plane: jax.Array) -> jax.Array:
     b = plane.shape[0]
     s = _sample_rows(plane, _DECISION_STRIDE).reshape(b, -1).astype(jnp.int32)
     mag = jnp.minimum(s, 256 - s)  # wraparound distance of the mod-256 residual
-    return jnp.sum(mag, axis=1)
+    # float32 accumulation: costs are only compared, and int32 would wrap on
+    # 65536x65536-frame headers (worst case 128/px * 2^32/16 samples)
+    return jnp.sum(mag.astype(jnp.float32), axis=1)
 
 
 @jax.jit
 def _residual_cost_exact(plane: jax.Array) -> jax.Array:
-    """Exact (unsampled) wraparound-magnitude cost of a residual plane."""
+    """Exact (unsampled) wraparound-magnitude cost of a residual plane.
+
+    Accumulates in float32 (the cost is only ever compared): headers allow
+    65536x65536 frames and worst-case magnitude 128/px overflows int32
+    beyond ~16.7M pixels."""
     s = plane.reshape(-1).astype(jnp.int32)
-    return jnp.sum(jnp.minimum(s, 256 - s))
+    return jnp.sum(jnp.minimum(s, 256 - s).astype(jnp.float32))
 
 
 def _decode_delta_planes(dflags, dh_stream, dl_stream, h, w):
@@ -189,7 +195,9 @@ def encode_model_step(
 
     def _cost(x):
         xi = x.astype(jnp.int32).reshape(x.shape[0], -1)
-        return jnp.sum(jnp.minimum(xi, 256 - xi), axis=1)
+        # float32 accumulation (comparison-only cost; int32 wraps on
+        # maximum-dimension frames)
+        return jnp.sum(jnp.minimum(xi, 256 - xi).astype(jnp.float32), axis=1)
 
     ent = jnp.stack([_cost(cur_rows), _cost(up_s), _cost(cg_s)])
     spatial = jnp.argmin(ent, axis=0).astype(jnp.int32)  # [B] in {0,1,2}
@@ -484,12 +492,16 @@ def fused_decode_batch(
         wrows = rows_alloc or rp.words_rows(chunk_len)
         win = wrows * BLOCK_COLS
         base = plane_offs[pi]
-        blocks = [
-            jax.lax.dynamic_slice(payload, (base + cum[mb],), (win,))
-            for mb in range(ngroups)
-        ]
-        words = jnp.stack(blocks).astype(jnp.uint32).reshape(
-            ngroups, wrows, BLOCK_COLS
+        # one batched window gather over a start-index vector — an unrolled
+        # dynamic_slice chain inflates trace/compile size 8x at chunk_log2 12
+        # (ngroups = nblocks * nseg)
+        starts = base + cum[:ngroups]
+        words = (
+            jax.vmap(lambda c: jax.lax.dynamic_slice(payload, (c,), (win,)))(
+                starts
+            )
+            .astype(jnp.uint32)
+            .reshape(ngroups, wrows, BLOCK_COLS)
         )
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         ctx = low_ctx and pi == 1

@@ -128,7 +128,10 @@ class MultiStreamEncoder:
                 section = w.encode_batch_bytes(imgs, ts)
                 w.add_batch(section, len(batch))
                 self._sink(sid, section)
-            except BaseException as e:  # pragma: no cover
+            except Exception as e:  # pragma: no cover
+                # Exception, not BaseException: KeyboardInterrupt/SystemExit
+                # must keep interpreter-shutdown semantics, not become a
+                # stored "worker failed" error
                 self._error = e
                 return
 
@@ -195,7 +198,10 @@ class MultiStreamDecoder:
             sid, data = item
             try:
                 self._readers[sid].decode(data)
-            except BaseException as e:  # pragma: no cover
+            except Exception as e:  # pragma: no cover
+                # Exception, not BaseException: KeyboardInterrupt/SystemExit
+                # must keep interpreter-shutdown semantics, not become a
+                # stored "worker failed" error
                 self._error = e
                 return
 

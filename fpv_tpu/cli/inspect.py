@@ -1,0 +1,110 @@
+"""``fpv-inspect``: byte-level accounting of an FPVT file.
+
+Prints where every byte goes — per section, per plane stream, split into
+tables / chunk states / group counts / rANS payload — so compression-ratio
+regressions can be attributed to a component instead of guessed at.  The
+observability counterpart of the reference's per-frame stat prints
+(/root/reference/benchmark.cc:68-85), at sub-stream granularity.
+
+Usage: python -m fpv_tpu.cli.inspect file.fpvt  (or inspect_bytes(data))
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+from fpv_tpu.format import fpvt
+
+
+def _stream_breakdown(ps) -> dict:
+    """Byte accounting of one serialized plane stream (v4 layout)."""
+    return fpvt.plane_stream_accounting(ps)
+
+
+def inspect_bytes(data: bytes) -> dict:
+    """Full-file accounting -> nested dict (also printable via main)."""
+    header = fpvt.Header.parse(data)
+    out = {
+        "file_bytes": len(data),
+        "header_bytes": fpvt.HEADER_SIZE,
+        "sections": [],
+    }
+    pos = fpvt.HEADER_SIZE
+    while pos < len(data):
+        size, stype = struct.unpack_from("<QB", data, pos)
+        if stype == fpvt.SECTION_DELTA:
+            dflags, hs, ls = fpvt.parse_delta_section(data, pos)
+            entry = {
+                "type": "delta",
+                "bytes": size,
+                "planes": {"high": _stream_breakdown(hs)},
+            }
+            if ls is not None:
+                entry["planes"]["low"] = _stream_breakdown(ls)
+            out["sections"].append(entry)
+        elif stype == fpvt.SECTION_BATCH:
+            pb = fpvt.parse_batch_section(data, pos)
+            entry = {
+                "type": "batch",
+                "bytes": size,
+                "nframes": len(pb.frame_flags),
+                "flags_ts_bytes": 9 * len(pb.frame_flags),
+                "planes": {"high": _stream_breakdown(pb.high)},
+            }
+            if pb.low is not None:
+                entry["planes"]["low"] = _stream_breakdown(pb.low)
+            if pb.preview is not None:
+                entry["planes"]["preview"] = _stream_breakdown(pb.preview)
+            out["sections"].append(entry)
+        elif stype == fpvt.SECTION_INDEX:
+            out["sections"].append({"type": "index", "bytes": size})
+        else:
+            raise ValueError(f"unknown section type {stype}")
+        pos += size
+    # totals by component across all plane streams
+    totals = {"tables": 0, "states": 0, "counts": 0, "payload": 0,
+              "stream_headers": 0}
+    for sec in out["sections"]:
+        for br in sec.get("planes", {}).values():
+            for k in totals:
+                totals[k] += br[k]
+    out["totals"] = totals
+    out["npixels_hint"] = header.xsize * header.ysize
+    return out
+
+
+def format_report(info: dict) -> str:
+    lines = [f"file: {info['file_bytes']} B"]
+    for sec in info["sections"]:
+        extra = f" x{sec['nframes']}" if "nframes" in sec else ""
+        lines.append(f"  [{sec['type']}{extra}] {sec['bytes']} B")
+        for name, br in sec.get("planes", {}).items():
+            lines.append(
+                f"    {name:8s} {br['total']:>10d} B  "
+                f"(tables {br['tables']}, states {br['states']}, "
+                f"counts {br['counts']}, payload {br['payload']}, "
+                f"hdr {br['stream_headers']}, coding {br['coding']})"
+            )
+    t = info["totals"]
+    lines.append(
+        f"  totals: tables {t['tables']}  states {t['states']}  "
+        f"counts {t['counts']}  payload {t['payload']}  "
+        f"stream-hdrs {t['stream_headers']}"
+    )
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 1:
+        print("usage: fpv-inspect file.fpvt", file=sys.stderr)
+        return 2
+    with open(argv[0], "rb") as f:
+        data = f.read()
+    print(format_report(inspect_bytes(data)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

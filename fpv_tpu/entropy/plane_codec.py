@@ -269,10 +269,10 @@ def _expand_payload(
     """
     nblocks = counts.shape[0]
     win = rows * BLOCK_COLS
-    blocks = [
-        jax.lax.dynamic_slice(payload, (cum[m],), (win,)) for m in range(nblocks)
-    ]
-    w = jnp.stack(blocks).astype(jnp.uint32)
+    starts = cum[:nblocks]
+    w = jax.vmap(lambda c: jax.lax.dynamic_slice(payload, (c,), (win,)))(
+        starts
+    ).astype(jnp.uint32)
     return w.reshape(nblocks, rows, BLOCK_COLS)
 
 

@@ -56,7 +56,12 @@ def normalize_freqs_device(
     )
     # rank via double argsort — a 256-element scatter costs ~18 ms on TPU
     rank = jnp.argsort(jnp.argsort(-key)).astype(jnp.int32)
-    extra = (rank < d).astype(jnp.int32) + (rank < d - 256).astype(jnp.int32)
+    # second +1 round wraps after nfloor (the number of masked symbols), not
+    # 256 — with a small mask a 256 threshold would land rounds on
+    # out-of-mask symbols (zeroed by maskf, dumping slack on the argmax bin)
+    extra = (rank < d).astype(jnp.int32) + (
+        rank < d - nfloor.astype(jnp.int32)
+    ).astype(jnp.int32)
     freq = (1 + base + extra) * maskf.astype(jnp.int32)
     # exact-sum safety net: absorb any residual rounding slack into the
     # largest bin (always big enough to take a few +/-1 units)
@@ -99,9 +104,11 @@ def normalize_freqs_ctx_device(
         - (1.0 - maskf) * 1e9
     )
     rank = jnp.argsort(jnp.argsort(-key, axis=1), axis=1).astype(jnp.int32)
-    extra = (rank < d).astype(jnp.int32) + (rank < d - CTX_ALPHA).astype(
-        jnp.int32
-    )
+    # per-row masked-symbol count bounds the second +1 round (see the
+    # order-0 normalizer above)
+    extra = (rank < d).astype(jnp.int32) + (
+        rank < d - nfloor.astype(jnp.int32)
+    ).astype(jnp.int32)
     freq = (1 + base + extra) * maskf.astype(jnp.int32)
     uniform = jnp.full(
         (CTX_NCTX, CTX_ALPHA), CTX_PROB_SCALE // CTX_ALPHA, jnp.int32

@@ -5,7 +5,6 @@ import pytest
 
 from fpv_tpu.api import frame as frame_ops
 from fpv_tpu.models import heuristics, predictors
-from fpv_tpu.ops import heuristics as jheur
 from fpv_tpu.ops import planes as jplanes
 from fpv_tpu.ops import predict as jpredict
 from fpv_tpu.ops import preview as jpreview
@@ -104,9 +103,3 @@ def test_decide_delta_near_constant_plane():
     small[0, 0] = 200
     assert heuristics.decide_delta(small)
 
-
-def test_histogram256():
-    planes = (testdata.noise_frames(2, 16, 16) >> 8).astype(np.uint8)
-    h = np.asarray(jheur.histogram256(planes))
-    for i in range(2):
-        np.testing.assert_array_equal(h[i], np.bincount(planes[i].ravel(), minlength=256))
