@@ -166,14 +166,20 @@ def main() -> None:
 
     # ---- FPV1 compat path (byte-exact reference format): whole-frame
     # native pipeline (split+heuristics+prediction+brotli in one C call,
-    # native/fpv_native.cc) on the same host CPU the reference uses
+    # native/fpv_native.cc) on the same host CPU the reference uses.
+    # Measured like every other metric: best-of-3 over >=64 frames, with
+    # the threaded encoder (4 workers, matching the reference's 4 threads
+    # above).
     import fpv_tpu
 
-    sub = frames[:32]
-    fpv1_data = fpv_tpu.encode_file(sub, shift=SHIFT, num_threads=0)
-    t0 = time.time()
-    fpv_tpu.encode_file(sub, shift=SHIFT, num_threads=0)
-    fpv1_mps = sub.size / 1e6 / (time.time() - t0)
+    sub = frames[:64]
+    fpv1_data = fpv_tpu.encode_file(sub, shift=SHIFT, num_threads=4)
+    fpv1_times = []
+    for _ in range(3):
+        t0 = time.time()
+        fpv_tpu.encode_file(sub, shift=SHIFT, num_threads=4)
+        fpv1_times.append(time.time() - t0)
+    fpv1_mps = sub.size / 1e6 / min(fpv1_times)
     fpv1_ok = bool(
         (fpv_tpu.decode_file(fpv1_data) >> SHIFT == sub).all()
     )
@@ -302,9 +308,10 @@ def main() -> None:
         jnp.asarray(payload), jnp.asarray(plane_offs), jnp.asarray(counts),
         jnp.asarray(states), jnp.asarray(pb.frame_flags.astype(np.uint32)),
         sym_tabs, fcs, rdr._delta_high, rdr._delta_low,
+        jnp.asarray(np.zeros(3, np.uint32)),
     )
     jax.block_until_ready(dec_args)
-    from fpv_tpu.format.fpvt import F_PV_SPATIAL_SHIFT
+    from fpv_tpu.format.fpvt import F_PV_SPATIAL_SHIFT, F_PV_USE_DELTA
     pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
     # full-fidelity decode: previews decode in the same fused program
     dec_kw = dict(chunk_len=chunk_len, b=b0, h=H, w=W,
@@ -313,7 +320,8 @@ def main() -> None:
                   pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
                   pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
                   decode_preview=True, rows_alloc=_rows_alloc,
-                  low_ctx=bool(pb.low.coding))
+                  low_ctx=bool(pb.low.coding == 1),
+                  any_pv_delta=bool((pb.frame_flags & F_PV_USE_DELTA).any()))
 
     def decode_device_batch():
         imgs, ok, _pv = fused_decode_batch(*dec_args, **dec_kw)
@@ -328,6 +336,32 @@ def main() -> None:
     dev_dec = b0 * H * W / 1e6 / min(times)
     log(f"device-resident decode (frames+previews): {dev_dec:.1f} Mpix/s"
         f" ({min(times)*1000:.0f} ms / {b0} frames)")
+
+    # ---- serving hub: MultiStreamDecoder throughput (bytes in -> frames
+    # out through the fused per-batch decode program).  Includes the
+    # host<->device transfers a serving process actually pays — on this
+    # tunneled dev harness those dominate; on PCIe hosts this approaches
+    # the device decode number.
+    from fpv_tpu.api.multistream import MultiStreamDecoder
+
+    def _hub_run():
+        pixels = [0]
+
+        def _sink(sid, frames_out, ts):
+            pixels[0] += frames_out.size
+
+        hub = MultiStreamDecoder(sink=_sink)
+        hub.add_stream("bench")
+        t0 = time.time()
+        hub.feed("bench", data)
+        hub.close()
+        return pixels[0], time.time() - t0
+
+    _hub_run()  # compile warmup (decode_preview=False specialization)
+    hub_px, hub_dt = _hub_run()
+    hub_dec = hub_px / 1e6 / hub_dt
+    log(f"multistream hub decode: {hub_dec:.1f} Mpix/s"
+        f" ({hub_px/1e6:.0f} Mpix in {hub_dt:.1f}s)")
 
     # ---- low-plane ratio vs brotli-q1 (the reference's entropy coder):
     # the context-coded nibble mode should win on the residual low plane
@@ -400,6 +434,7 @@ def main() -> None:
         "e2e_encode_mpix_s": round(e2e_enc, 2),
         "e2e_decode_mpix_s": round(e2e_dec, 2),
         "device_decode_mpix_s": round(dev_dec, 2),
+        "multistream_decode_mpix_s": round(hub_dec, 2),
         "bits_per_pixel": round(8 * len(data) / npix, 3),
         "lossless_roundtrip": True,
         "fpv1_encode_mpix_s": round(fpv1_mps, 2),

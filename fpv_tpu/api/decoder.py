@@ -178,11 +178,18 @@ class RandomAccessDecoder:
 
         Per fusion_power_video.cc:1038-1070: the preview bitstream is decoded
         as a (xsize/4, ysize/4) image and the high bytes are returned.
+
+        Tolerates the reference's grown CG previews at dimensions that are
+        not multiples of 4 (the encoder-side UB at
+        fusion_power_video.cc:575-586 codes ``xsize*ysize/16`` entries; see
+        container.parse_image grown_size) — every reference-produced file
+        decodes, previews included.
         """
         chunk = container.parse_frame_chunk(self._data, self._frame_offsets[index])
         pdata = self._data[chunk.preview_start : chunk.preview_start + chunk.preview_size]
         img16 = container.decompress_image(
-            pdata, self.preview_xsize, self.preview_ysize, self._delta
+            pdata, self.preview_xsize, self.preview_ysize, self._delta,
+            grown_size=(self._xsize * self._ysize) // 16,
         )
         return (img16 >> 8).astype(np.uint8)
 

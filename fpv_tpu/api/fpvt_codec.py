@@ -63,6 +63,24 @@ def _sample_rows(plane: jax.Array, stride: int) -> jax.Array:
     return plane[:, ::stride, :]
 
 
+def _sample_rows_rotating(plane: jax.Array, stride: int) -> jax.Array:
+    """Row sample with a per-frame phase: frame i samples rows
+    ``(i % stride) + stride*j``.
+
+    A fixed phase lets adversarial content hide on the never-sampled rows
+    and systematically flip per-frame decisions; rotating the phase bounds
+    the damage to isolated frames (any single decision is still lossless —
+    only its coded size suffers).  One batched row gather of 1/stride of
+    the plane.
+    """
+    b, h, w = plane.shape
+    nr = max(h // stride, 1)
+    offs = jnp.arange(b, dtype=jnp.int32) % stride
+    offs = jnp.minimum(offs, max(h - 1 - (nr - 1) * stride, 0))
+    idx = offs[:, None] + stride * jnp.arange(nr, dtype=jnp.int32)[None, :]
+    return jnp.take_along_axis(plane, idx[:, :, None], axis=1)
+
+
 def _residual_cost(plane: jax.Array) -> jax.Array:
     """Per-frame predictor-choice proxy: sum of |signed residual| on samples.
 
@@ -71,7 +89,11 @@ def _residual_cost(plane: jax.Array) -> jax.Array:
     comparison would — with pure elementwise ops (no on-device scatters).
     """
     b = plane.shape[0]
-    s = _sample_rows(plane, _DECISION_STRIDE).reshape(b, -1).astype(jnp.int32)
+    s = (
+        _sample_rows_rotating(plane, _DECISION_STRIDE)
+        .reshape(b, -1)
+        .astype(jnp.int32)
+    )
     mag = jnp.minimum(s, 256 - s)  # wraparound distance of the mod-256 residual
     # float32 accumulation: costs are only compared, and int32 would wrap on
     # 65536x65536-frame headers (worst case 128/px * 2^32/16 samples)
@@ -103,6 +125,32 @@ def _decode_delta_planes(dflags, dh_stream, dl_stream, h, w):
     else:
         dl = jnp.zeros((h, w), jnp.uint8)
     return dh.reshape(h, w), dl
+
+
+def _exact_hist_256(plane: jax.Array) -> jax.Array:
+    """[256] int32 EXACT (unsampled) byte histogram of a plane batch.
+
+    Compare-and-sum reduce (the :func:`_batch_hist` pattern without the row
+    sampling) — heavier per element than interval bounds (~256 fused
+    compare+adds vs 2 ops) but exact, so ``hist > 0`` is the true support.
+    Used for the preview plane: it is 1/16 of the pixels, and its values
+    are structurally even ((sum/16) & 0xfe, fpv_tpu.ops.preview) — an
+    interval mask would floor 128 never-occurring odd symbols, ~3% of
+    table mass.  Sum-reductions only, so GSPMD can partition it (a custom
+    bitwise-OR reduce cannot be).
+    """
+    if plane.size == 0:
+        return jnp.zeros(256, jnp.int32)
+    flat = plane.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    width = 512
+    pad = (-n) % width
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full(pad, -1, jnp.int32)])
+    x = flat.reshape(-1, width)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    eq = x[:, :, None] == bins[None, None, :]
+    return jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)
 
 
 def _support_mask(plane: jax.Array) -> jax.Array:
@@ -181,13 +229,24 @@ def encode_model_step(
         high2, low2 = high, low
 
     # spatial decision from sampled row PAIRS (true neighbor statistics at a
-    # fraction of the cost), then compute only the predictors some frame
+    # fraction of the cost) with a per-frame rotating phase (see
+    # _sample_rows_rotating), then compute only the predictors some frame
     # actually chose (lax.cond skips the unused full-plane transforms)
     from fpv_tpu.ops.predict import clamped_gradient
 
-    prev_rows = high2[:, 0 :: _DECISION_STRIDE, :]
-    cur_rows = high2[:, 1 :: _DECISION_STRIDE, :]
-    nr = prev_rows[:, : cur_rows.shape[1], :]
+    bsz, hh, _ww = high2.shape
+    nrp = max((hh - 1) // _DECISION_STRIDE, 1)
+    offs = jnp.arange(bsz, dtype=jnp.int32) % _DECISION_STRIDE
+    offs = jnp.minimum(
+        offs, max(hh - 2 - (nrp - 1) * _DECISION_STRIDE, 0)
+    )
+    pidx = offs[:, None] + _DECISION_STRIDE * jnp.arange(
+        nrp, dtype=jnp.int32
+    )[None, :]
+    nr = jnp.take_along_axis(high2, pidx[:, :, None], axis=1)
+    cur_rows = jnp.take_along_axis(
+        high2, jnp.minimum(pidx + 1, hh - 1)[:, :, None], axis=1
+    )
     up_s = cur_rows - nr
     w_s = jnp.roll(cur_rows, 1, axis=2)
     nw_s = jnp.roll(nr, 1, axis=2)
@@ -211,16 +270,29 @@ def encode_model_step(
     )
     high3 = jnp.where(s1, c_up, jnp.where(s2, c_cg, high2))
 
-    p_up = up_encode(pv)
-    p_cg = cg2d_encode(pv)
+    # preview delta prediction (F_PV_USE_DELTA): the delta frame's preview
+    # is computable on both sides, so temporally-correlated previews pay
+    # only their change — and identical frames' preview residuals collapse
+    # to zero (CODING_CONST then drops the stream entirely)
+    if use_delta_frame:
+        pv_delta = generate_preview(delta_high[None])[0]
+        pvd = pv - pv_delta[None]
+        pv_use_delta = _residual_cost(pvd) < _residual_cost(pv)
+        pv2 = jnp.where(pv_use_delta[:, None, None], pvd, pv)
+    else:
+        pv_use_delta = jnp.zeros(imgs.shape[0], jnp.bool_)
+        pv2 = pv
+
+    p_up = up_encode(pv2)
+    p_cg = cg2d_encode(pv2)
     pent = jnp.stack(
-        [_residual_cost(pv), _residual_cost(p_up), _residual_cost(p_cg)]
+        [_residual_cost(pv2), _residual_cost(p_up), _residual_cost(p_cg)]
     )
     pv_spatial = jnp.argmin(pent, axis=0).astype(jnp.int32)
     pv3 = jnp.where(
         (pv_spatial == SPATIAL_UP)[:, None, None],
         p_up,
-        jnp.where((pv_spatial == SPATIAL_CG2D)[:, None, None], p_cg, pv),
+        jnp.where((pv_spatial == SPATIAL_CG2D)[:, None, None], p_cg, pv2),
     )
 
     return dict(
@@ -230,16 +302,19 @@ def encode_model_step(
         use_delta=use_delta,
         spatial=spatial,
         pv_spatial=pv_spatial,
+        pv_use_delta=pv_use_delta,
         nonzero_low=nonzero_low,
         hist_high=_batch_hist(high3),
         # with the context-coded low mode the joint (ctx, sym) histogram is
         # computed from the block layout in fused_encode_batch instead
         hist_low=None if low_ctx else _batch_hist(low2),
-        hist_preview=_batch_hist(pv3),
+        # the preview plane is small (1/16 of pixels): exact histogram +
+        # exact support (non-contiguous: residuals of even-valued planes)
+        hist_preview=(pv_hist := _exact_hist_256(pv3)),
         # exact-support masks let table floors skip provably-absent symbols
         mask_high=_support_mask(high3),
         mask_low=None if low_ctx else _support_mask(low2),
-        mask_preview=_support_mask(pv3),
+        mask_preview=(pv_hist > 0).astype(jnp.int32),
     )
 
 
@@ -335,6 +410,7 @@ def fused_encode_batch(
         m["use_delta"].astype(jnp.uint32),
         m["spatial"].astype(jnp.uint32),
         m["pv_spatial"].astype(jnp.uint32),
+        m["pv_use_delta"].astype(jnp.uint32),
         m["nonzero_low"].astype(jnp.uint32),
     ]
     payloads = []
@@ -342,6 +418,14 @@ def fused_encode_batch(
     for name in ("high", "low", "preview"):
         plane = m[name].reshape(b, -1)
         s = plane.shape[1]
+        # constant-plane short-circuit signal: the host packager replaces
+        # the whole stream with a CODING_CONST record when min == max
+        # (repeated frames' residual planes are all-zero after delta)
+        vmin = jnp.min(plane).astype(jnp.uint32) if s else jnp.uint32(0)
+        vmax = jnp.max(plane).astype(jnp.uint32) if s else jnp.uint32(0)
+        small.append(
+            jnp.stack([(vmin == vmax).astype(jnp.uint32), vmin])
+        )
         lens, nblocks = _plane_geometry(b, s, chunk_len)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         if name == "low" and low_ctx:
@@ -399,6 +483,24 @@ def fused_encode_batch(
     return (jnp.concatenate(small), jnp.concatenate(all_states), *payloads)
 
 
+def _fused_decodable(pb: "fpvt.ParsedBatch", chunk_len: int) -> bool:
+    """True when every plane stream of a parsed batch can decode inside the
+    fused device program: present, and either CODING_CONST or coded with
+    the device-kernel geometry (1024 lanes, the header chunk length).
+    Narrow (host-coded) streams fall back to the per-plane path."""
+    from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
+    from fpv_tpu.ops.rans_layout import CODING_CONST as _CC
+
+    for st in (pb.high, pb.low, pb.preview):
+        if st is None:
+            return False
+        if st.coding == _CC:
+            continue
+        if st.lanes != _BL or st.chunk_len != chunk_len:
+            return False
+    return True
+
+
 def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     """Offsets into fused_encode_batch's ``small`` vector, plus offsets of
     each plane's chunk states inside the separate ``states`` vector."""
@@ -406,8 +508,9 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     from fpv_tpu.ops.rans_layout import CODING_CTX16, CTX_NIDX, num_segments
 
     nseg = num_segments(chunk_len)
-    sizes = [b, b, b, b]
-    names = ["use_delta", "spatial", "pv_spatial", "nonzero_low"]
+    sizes = [b, b, b, b, b]
+    names = ["use_delta", "spatial", "pv_spatial", "pv_use_delta",
+             "nonzero_low"]
     st_sizes, st_names = [], []
     for name, s in (("high", h * w), ("low", h * w), ("preview", (h // 4) * (w // 4))):
         _lens, nblocks = _plane_geometry(b, s, chunk_len)
@@ -416,8 +519,8 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
             if (name == "low" and low_coding == CODING_CTX16)
             else 256
         )
-        sizes += [nfreq, nblocks * nseg]
-        names += [f"freq_{name}", f"counts_{name}"]
+        sizes += [2, nfreq, nblocks * nseg]
+        names += [f"const_{name}", f"freq_{name}", f"counts_{name}"]
         st_sizes.append(nblocks * _BL)
         st_names.append(f"states_{name}")
     offs = np.cumsum([0] + sizes)
@@ -432,7 +535,7 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     jax.jit,
     static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
                      "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc",
-                     "low_ctx"),
+                     "low_ctx", "const_planes", "any_pv_delta"),
 )
 def fused_decode_batch(
     payload: jax.Array,  # u16, all planes concatenated (+clamp-safe)
@@ -444,6 +547,7 @@ def fused_decode_batch(
     fcs: jax.Array,  # u32 [3, 4, 128] (order-0 fc in rows 0-1)
     delta_high: jax.Array,
     delta_low: jax.Array,
+    const_vals: jax.Array,  # u32 [3] value of each CODING_CONST plane
     chunk_len: int,
     b: int,
     h: int,
@@ -455,8 +559,14 @@ def fused_decode_batch(
     decode_preview: bool = False,
     rows_alloc: int | None = None,
     low_ctx: bool = False,
+    const_planes: tuple = (False, False, False),
+    any_pv_delta: bool = False,
 ):
-    """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok)."""
+    """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok).
+
+    ``const_planes[pi]`` marks a CODING_CONST stream: the residual plane is
+    ``const_vals[pi]`` everywhere and contributes nothing to counts/states/
+    payload (which are concatenations over the NON-const planes only)."""
     from fpv_tpu.ops import rans_pallas as rp
     from fpv_tpu.ops.rans_layout import (
         BLOCK_COLS,
@@ -482,6 +592,11 @@ def fused_decode_batch(
         ngroups = nblocks * nseg
         if pi == 2 and not decode_preview:
             planes.append(None)
+            continue
+        if const_planes[pi]:
+            planes.append(
+                jnp.full((b, s), 0, jnp.uint8) + const_vals[pi].astype(jnp.uint8)
+            )
             continue
         c = nblocks * BLOCK_LANES
         cnt = counts[coff : coff + ngroups].astype(jnp.int32)
@@ -529,11 +644,11 @@ def fused_decode_batch(
     high = _inverse_spatial(high, spatial, any_up, any_cg)
     use_delta = (flags & F_USE_DELTA) != 0
     imgs = _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low)
-    ok_all = jnp.all(jnp.stack(oks))
+    ok_all = jnp.all(jnp.stack(oks)) if oks else jnp.bool_(True)
     if decode_preview:
         pv = planes[2].reshape(b, h // 4, w // 4)
-        pv_spatial = ((flags >> F_PV_SPATIAL_SHIFT) & 3).astype(jnp.int32)
-        pv = _inverse_spatial(pv, pv_spatial, pv_any_up, pv_any_cg)
+        pv = _inverse_preview(pv, flags, delta_high, pv_any_up, pv_any_cg,
+                              any_pv_delta)
         return imgs, ok_all, pv
     return imgs, ok_all
 
@@ -631,7 +746,7 @@ def fused_decode_frame(
 @functools.partial(
     jax.jit,
     static_argnames=("chunk_len", "b", "ph", "pw", "pv_any_up", "pv_any_cg",
-                     "rows_alloc"),
+                     "rows_alloc", "any_pv_delta"),
 )
 def fused_decode_preview(
     payload: jax.Array,  # u16 padded (rows_alloc*128 slack)
@@ -640,6 +755,7 @@ def fused_decode_preview(
     flags: jax.Array,  # u32 [B]
     sym_tab: jax.Array,  # u32 [8, 128]
     fc: jax.Array,  # u32 [2, 128]
+    delta_high: jax.Array,
     chunk_len: int,
     b: int,
     ph: int,
@@ -647,6 +763,7 @@ def fused_decode_preview(
     pv_any_up: bool,
     pv_any_cg: bool,
     rows_alloc: int,
+    any_pv_delta: bool = False,
 ):
     """Preview-only decode as ONE device program -> ([B,ph,pw] u8, ok).
 
@@ -678,9 +795,33 @@ def fused_decode_preview(
         nblocks,
     )
     pv = _from_block_symbols(syms, b, s, chunk_len).reshape(b, ph, pw)
+    pv = _inverse_preview(pv, flags, delta_high, pv_any_up, pv_any_cg,
+                          any_pv_delta)
+    return pv, jnp.all(ok == 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pv_any_up", "pv_any_cg", "any_pv_delta")
+)
+def _inverse_preview(
+    pv: jax.Array,
+    flags: jax.Array,
+    delta_high: jax.Array,
+    pv_any_up: bool,
+    pv_any_cg: bool,
+    any_pv_delta: bool,
+):
+    """Invert a preview residual batch: spatial prediction, then the delta
+    against the delta frame's preview (F_PV_USE_DELTA)."""
     pv_spatial = ((flags >> F_PV_SPATIAL_SHIFT) & 3).astype(jnp.int32)
     pv = _inverse_spatial(pv, pv_spatial, pv_any_up, pv_any_cg)
-    return pv, jnp.all(ok == 1)
+    if any_pv_delta:
+        from fpv_tpu.format.fpvt import F_PV_USE_DELTA
+
+        pv_delta = generate_preview(delta_high[None])[0]
+        pvd = ((flags & F_PV_USE_DELTA) != 0)[:, None, None]
+        pv = jnp.where(pvd, pv + pv_delta[None], pv)
+    return pv
 
 
 class FpvtWriter:
@@ -741,29 +882,48 @@ class FpvtWriter:
         # spatially predict the delta-section high plane (smooth delta
         # frames would otherwise pay full order-0 entropy; the reference's
         # delta chunk likewise goes through CG prediction + brotli,
-        # fusion_power_video.cc:1097-1100).  Exact full-plane costs -- one
-        # frame, cheap.
+        # fusion_power_video.cc:1097-1100).  Decision by EXACT Shannon
+        # entropy, not |residual| (a constant-nonzero residual has large
+        # magnitude but zero entropy — e.g. row-periodic ramps under 'up');
+        # one frame on host, cheap.
         cands = [high, up_encode(high), cg2d_encode(high)]
-        costs = [int(_residual_cost_exact(c)) for c in cands]
+
+        def _entropy_bits(c) -> float:
+            cnt = np.bincount(np.asarray(c).reshape(-1), minlength=256)
+            p = cnt[cnt > 0] / max(cnt.sum(), 1)
+            return float(-(p * np.log2(p)).sum()) * c.size
+
+        costs = [_entropy_bits(c) for c in cands]
         spatial = int(np.argmin(costs))
         hres = cands[spatial]
+        from fpv_tpu.entropy.plane_codec import narrow_max_syms
+
+        # small delta planes take the narrow host path, which computes its
+        # own exact histogram (hist=None); big ones need the device hist
+        small = self.header.ysize * self.header.xsize <= narrow_max_syms()
         hs = encode_plane_batch(
             hres.reshape(1, -1),
-            np.asarray(_batch_hist(hres)),
+            None if small else np.asarray(_batch_hist(hres)),
             self._chunk_len,
-            mask=np.asarray(_support_mask(hres)),
+            mask=None if small else np.asarray(_support_mask(hres)),
+            lanes="auto",
         )
         ls = (
             encode_plane_batch(
                 low.reshape(1, -1),
-                None if self._low_coding else np.asarray(_batch_hist(low)),
+                (
+                    None
+                    if (self._low_coding or small)
+                    else np.asarray(_batch_hist(low))
+                ),
                 self._chunk_len,
                 coding=self._low_coding,
                 mask=(
                     None
-                    if self._low_coding
+                    if (self._low_coding or small)
                     else np.asarray(_support_mask(low))
                 ),
+                lanes="auto",
             )
             if has_low
             else None
@@ -781,13 +941,18 @@ class FpvtWriter:
         :meth:`add_batch`."""
         if self._delta_high is None:
             raise RuntimeError("init() must be called first")
-        from fpv_tpu.entropy.plane_codec import engine_name
+        from fpv_tpu.entropy.plane_codec import engine_name, narrow_max_syms
 
         imgs = self._put(np.asarray(imgs, dtype=np.uint16))
         b = imgs.shape[0]
         # previews of H<4 or W<4 frames have zero pixels: skip the stream
         has_pv = (self.header.ysize // 4) * (self.header.xsize // 4) > 0
-        if engine_name() == "pallas":
+        n_main = b * self.header.ysize * self.header.xsize
+        # small batches bypass the fused device path so the encoder policy
+        # (const short-circuit, narrow lane counts) can shrink their fixed
+        # per-stream costs; production-size batches keep the one-jit path
+        # (whose packager applies the const short-circuit itself)
+        if engine_name() == "pallas" and n_main > narrow_max_syms():
             flags, streams = self._encode_batch_fused(imgs, b)
             hs, ls, pvs = streams
             if not has_pv:
@@ -801,29 +966,26 @@ class FpvtWriter:
                 self.header.big_endian,
                 low_ctx=bool(self._low_coding),
             )
-            from fpv_tpu.entropy.plane_codec import (
-                encode_plane_batch,
-                encode_planes_batch,
-            )
+            from fpv_tpu.entropy.plane_codec import encode_plane_batch
 
-            jobs = [
-                (
-                    m["high"].reshape(b, -1),
-                    np.asarray(m["hist_high"]),
-                    np.asarray(m["mask_high"]),
-                ),
-            ]
-            if has_pv:
-                jobs.append(
-                    (
-                        m["preview"].reshape(b, -1),
-                        np.asarray(m["hist_preview"]),
-                        np.asarray(m["mask_preview"]),
-                    )
+            hs = encode_plane_batch(
+                m["high"].reshape(b, -1),
+                np.asarray(m["hist_high"]),
+                self._chunk_len,
+                mask=np.asarray(m["mask_high"]),
+                lanes="auto",
+            )
+            pvs = (
+                encode_plane_batch(
+                    m["preview"].reshape(b, -1),
+                    np.asarray(m["hist_preview"]),
+                    self._chunk_len,
+                    mask=np.asarray(m["mask_preview"]),
+                    lanes="auto",
                 )
-            out = encode_planes_batch(jobs, self._chunk_len)
-            hs = out[0]
-            pvs = out[1] if has_pv else None
+                if has_pv
+                else None
+            )
             ls = encode_plane_batch(
                 m["low"].reshape(b, -1),
                 None if self._low_coding else np.asarray(m["hist_low"]),
@@ -834,24 +996,31 @@ class FpvtWriter:
                     if self._low_coding
                     else np.asarray(m["mask_low"])
                 ),
+                lanes="auto",
             )
             flags = self._pack_flags(
                 np.asarray(m["use_delta"]),
                 np.asarray(m["spatial"]),
                 np.asarray(m["pv_spatial"]),
                 np.asarray(m["nonzero_low"]),
+                np.asarray(m["pv_use_delta"]),
             )
         if timestamps is None:
             timestamps = np.full(b, -1, dtype=np.int64)
         return fpvt.serialize_batch_section(flags, timestamps, hs, ls, pvs)
 
     @staticmethod
-    def _pack_flags(use_delta, spatial, pv_spatial, nonzero_low) -> np.ndarray:
+    def _pack_flags(
+        use_delta, spatial, pv_spatial, nonzero_low, pv_use_delta
+    ) -> np.ndarray:
+        from fpv_tpu.format.fpvt import F_PV_USE_DELTA
+
         return (
             use_delta.astype(np.uint8) * F_USE_DELTA
             | (spatial.astype(np.uint8) << F_SPATIAL_SHIFT)
             | (~nonzero_low.astype(bool)).astype(np.uint8) * F_NO_LOW
             | (pv_spatial.astype(np.uint8) << F_PV_SPATIAL_SHIFT)
+            | pv_use_delta.astype(np.uint8) * F_PV_USE_DELTA
         )
 
     def _encode_batch_fused(self, imgs: jax.Array, b: int):
@@ -880,10 +1049,15 @@ class FpvtWriter:
 
         flags = self._pack_flags(
             seg("use_delta"), seg("spatial"), seg("pv_spatial"),
-            seg("nonzero_low"),
+            seg("nonzero_low"), seg("pv_use_delta"),
         )
 
         def package(name, pay_dev, s):
+            is_const, cval = seg(f"const_{name}")
+            if is_const:
+                from fpv_tpu.entropy.plane_codec import const_plane_stream
+
+                return const_plane_stream(b, s, self._chunk_len, int(cval))
             freq = seg(f"freq_{name}").astype(np.uint16)
             counts = seg(f"counts_{name}").astype(np.uint32)
             lo, hi = lay[f"states_{name}"]
@@ -980,18 +1154,20 @@ class FpvtReader:
         )
         return high
 
-    def decode_batch(self, index: int) -> np.ndarray:
-        """Decode batch ``index`` -> [B, H, W] uint16 (left-aligned values)."""
+    def _decode_parsed_batch(
+        self, pb: fpvt.ParsedBatch, b: int, want_previews: bool = False
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Decode an already-parsed batch -> (imgs u16, previews-or-None).
+
+        The shared engine behind decode_batch and the streaming reader: one
+        fused device program when the streams have device geometry, the
+        per-plane path otherwise (narrow/const streams, numpy engine)."""
         from fpv_tpu.entropy.plane_codec import engine_name
 
-        off, b = self._batches[index]
-        pb = fpvt.parse_batch_section(self._data, off)
-        if (
-            engine_name() == "pallas"
-            and pb.low is not None
-            and pb.preview is not None
+        if engine_name() == "pallas" and _fused_decodable(
+            pb, 1 << self.header.chunk_log2
         ):
-            return self._decode_batch_fused(pb, b)[0]
+            return self._decode_batch_fused(pb, b, decode_preview=want_previews)
         h, w = self.header.ysize, self.header.xsize
         high = self._decode_high(pb, b)
         if pb.low is not None:
@@ -1002,7 +1178,14 @@ class FpvtReader:
         imgs = _apply_delta_and_combine(
             high, low, use_delta, self._delta_high, self._delta_low
         )
-        return np.asarray(imgs)
+        pv = self._decode_previews_parsed(pb, b) if want_previews else None
+        return np.asarray(imgs), pv
+
+    def decode_batch(self, index: int) -> np.ndarray:
+        """Decode batch ``index`` -> [B, H, W] uint16 (left-aligned values)."""
+        off, b = self._batches[index]
+        pb = fpvt.parse_batch_section(self._data, off)
+        return self._decode_parsed_batch(pb, b)[0]
 
     def _decode_batch_fused(
         self, pb: fpvt.ParsedBatch, b: int, decode_preview: bool = False
@@ -1015,14 +1198,25 @@ class FpvtReader:
         fusion_power_video.cc:1038-1070)."""
         from fpv_tpu.entropy.plane_codec import _quantize_cap
         from fpv_tpu.ops import rans_pallas as rp
-        from fpv_tpu.ops.rans_layout import BLOCK_COLS
+        from fpv_tpu.ops.rans_layout import BLOCK_COLS, CODING_CONST
 
         from fpv_tpu.entropy.plane_codec import _quantize_rows
 
         h, w = self.header.ysize, self.header.xsize
         k = 1 << self.header.chunk_log2
         streams = [pb.high, pb.low, pb.preview]
-        max_cnt = max(int(st.block_counts.max()) for st in streams)
+        # CODING_CONST planes carry no coded data: they are excluded from
+        # every concatenated array and flagged to the program instead
+        const_planes = tuple(st.coding == CODING_CONST for st in streams)
+        const_vals = np.array(
+            [st.value if c else 0 for st, c in zip(streams, const_planes)],
+            np.uint32,
+        )
+        coded = [st for st, c in zip(streams, const_planes) if not c]
+        max_cnt = max(
+            (int(st.block_counts.max()) for st in coded if st.block_counts.size),
+            default=0,
+        )
         rows_alloc = _quantize_rows(max_cnt, k) + 16
         win = rows_alloc * BLOCK_COLS
         plane_offs = np.zeros(3, np.int32)
@@ -1030,19 +1224,26 @@ class FpvtReader:
         pos = 0
         for i, st in enumerate(streams):
             plane_offs[i] = pos
-            parts.append(st.payload)
-            pos += st.payload.size
+            if not const_planes[i]:
+                parts.append(st.payload)
+                pos += st.payload.size
         # slack so in-program window slices never clamp (clamping would shift
         # the last blocks' word reads)
-        cap = _quantize_cap(pos + win, k, sum(s.num_blocks for s in streams))
+        cap = _quantize_cap(pos + win, k, max(sum(s.num_blocks for s in coded), 1))
         payload = np.zeros(cap + win, np.uint16)
         payload[:pos] = np.concatenate(parts) if parts else payload[:0]
-        counts = np.concatenate([s.block_counts for s in streams]).astype(np.uint32)
-        states = np.concatenate([s.states for s in streams]).astype(np.uint32)
-        low_ctx = bool(pb.low.coding)
+        counts = np.concatenate(
+            [s.block_counts for s in coded] or [np.zeros(0, np.uint32)]
+        ).astype(np.uint32)
+        states = np.concatenate(
+            [s.states for s in coded] or [np.zeros(0, np.uint32)]
+        ).astype(np.uint32)
+        low_ctx = bool(pb.low.coding == 1)
         fcs = np.zeros((3, 4, 128), np.uint32)
         sym_tabs = np.zeros((3, 8, 128), np.uint32)
         for i, st in enumerate(streams):
+            if const_planes[i]:
+                continue
             if st.coding:
                 fc_i, sym_i = rp.ctx_table_arrays(st.freq)
                 fcs[i] = fc_i
@@ -1053,6 +1254,8 @@ class FpvtReader:
         flags = pb.frame_flags.astype(np.uint32)
         spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
         pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
+        from fpv_tpu.format.fpvt import F_PV_USE_DELTA
+
         out = fused_decode_batch(
             jnp.asarray(payload),
             jnp.asarray(plane_offs),
@@ -1063,6 +1266,7 @@ class FpvtReader:
             jnp.asarray(fcs),
             self._delta_high,
             self._delta_low,
+            jnp.asarray(const_vals),
             chunk_len=k,
             b=b,
             h=h,
@@ -1074,6 +1278,8 @@ class FpvtReader:
             decode_preview=decode_preview,
             rows_alloc=rows_alloc,
             low_ctx=low_ctx,
+            const_planes=const_planes,
+            any_pv_delta=bool((pb.frame_flags & F_PV_USE_DELTA).any()),
         )
         imgs_np = np.asarray(out[0])
         if not bool(np.asarray(out[1])):
@@ -1098,7 +1304,16 @@ class FpvtReader:
             return self._cache[1][j]
         off, b = self._batches[bi]
         pb = fpvt.parse_batch_section(self._data, off)
-        if engine_name() == "pallas" and pb.low is not None:
+        from fpv_tpu.ops.rans_layout import BLOCK_LANES, CODING_CONST
+
+        k = 1 << self.header.chunk_log2
+        blocks_ok = pb.low is not None and all(
+            st.coding != CODING_CONST
+            and st.lanes == BLOCK_LANES
+            and st.chunk_len == k
+            for st in (pb.high, pb.low)
+        )
+        if engine_name() == "pallas" and blocks_ok:
             return self._decode_frame_blocks(pb, b, j)
         self._cache = (bi, self.decode_batch(bi))
         return self._cache[1][j]
@@ -1177,14 +1392,8 @@ class FpvtReader:
 
         off, b = self._batches[index]
         pb = fpvt.parse_batch_section(self._data, off)
-        if (
-            engine_name() == "pallas"
-            and pb.low is not None
-            and pb.preview is not None
-        ):
-            imgs, pv = self._decode_batch_fused(pb, b, decode_preview=True)
-            return imgs, pv
-        return self.decode_batch(index), self.decode_previews(index)
+        imgs, pv = self._decode_parsed_batch(pb, b, want_previews=True)
+        return imgs, pv
 
     def preview_frame(self, index: int) -> np.ndarray:
         """Preview of ONE frame by global frame index -> [H//4, W//4] u8.
@@ -1202,24 +1411,38 @@ class FpvtReader:
 
     def decode_previews(self, index: int) -> np.ndarray:
         """Decode batch ``index`` previews -> [B, H//4, W//4] uint8."""
-        from fpv_tpu.entropy.plane_codec import engine_name
-
         off, b = self._batches[index]
         pb = fpvt.parse_batch_section(self._data, off)
+        return self._decode_previews_parsed(pb, b)
+
+    def _decode_previews_parsed(
+        self, pb: fpvt.ParsedBatch, b: int
+    ) -> np.ndarray:
+        from fpv_tpu.entropy.plane_codec import engine_name
+        from fpv_tpu.format.fpvt import F_PV_USE_DELTA
+        from fpv_tpu.ops.rans_layout import BLOCK_LANES, CODING_CONST
+
         ph, pw = self.header.ysize // 4, self.header.xsize // 4
         if pb.preview is None:
             if ph * pw == 0:
                 return np.zeros((b, ph, pw), np.uint8)
             raise ValueError("batch has no preview stream")
-        if engine_name() == "pallas":
-            # one fused program: expand + rANS decode + inverse spatial,
-            # previews only (no main-plane work)
+        st = pb.preview
+        k = 1 << self.header.chunk_log2
+        pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
+        any_pv_delta = bool((pb.frame_flags & F_PV_USE_DELTA).any())
+        if (
+            engine_name() == "pallas"
+            and st.coding != CODING_CONST
+            and st.lanes == BLOCK_LANES
+            and st.chunk_len == k
+        ):
+            # one fused program: expand + rANS decode + inverse spatial +
+            # preview delta, previews only (no main-plane work)
             from fpv_tpu.entropy.plane_codec import _quantize_cap, _quantize_rows
             from fpv_tpu.ops import rans_pallas as rp
             from fpv_tpu.ops.rans_layout import BLOCK_COLS
 
-            st = pb.preview
-            k = 1 << self.header.chunk_log2
             counts = st.block_counts.astype(np.int32)
             rows_alloc = _quantize_rows(int(counts.max()), k) + 16
             total = int(counts.sum())
@@ -1227,7 +1450,6 @@ class FpvtReader:
             payload = np.zeros(cap + rows_alloc * BLOCK_COLS, np.uint16)
             payload[:total] = st.payload
             fc, _finv, sym_tab = rp.table_arrays(st.freq)
-            pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
             pv, ok = fused_decode_preview(
                 jnp.asarray(payload),
                 jnp.asarray(counts),
@@ -1235,6 +1457,7 @@ class FpvtReader:
                 jnp.asarray(pb.frame_flags.astype(np.uint32)),
                 jnp.asarray(sym_tab),
                 jnp.asarray(fc),
+                self._delta_high,
                 chunk_len=k,
                 b=b,
                 ph=ph,
@@ -1242,17 +1465,19 @@ class FpvtReader:
                 pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
                 pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
                 rows_alloc=rows_alloc,
+                any_pv_delta=any_pv_delta,
             )
             if not bool(np.asarray(ok)):
                 raise ValueError("rANS stream integrity check failed")
             return np.asarray(pv)
-        res = decode_plane_batch(pb.preview).reshape(b, ph, pw)
-        pv_spatial = ((pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3).astype(np.int32)
-        pv = _inverse_spatial(
-            res,
-            jnp.asarray(pv_spatial),
-            any_up=bool((pv_spatial == SPATIAL_UP).any()),
-            any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
+        res = decode_plane_batch(st).reshape(b, ph, pw)
+        pv = _inverse_preview(
+            jnp.asarray(res),
+            jnp.asarray(pb.frame_flags.astype(np.uint32)),
+            self._delta_high,
+            pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
+            pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
+            any_pv_delta=any_pv_delta,
         )
         return np.asarray(pv)
 
@@ -1268,11 +1493,20 @@ class FpvtStreamingReader:
     866-956): consumes header + delta section once, then decodes every
     complete batch section as it arrives; the footer (if ever seen) ends the
     stream.  A truncated file without footer is fully streamable.
+
+    Each complete batch decodes through the same engine as random access
+    (FpvtReader._decode_parsed_batch): ONE fused device program per batch on
+    the pallas engine — the serving path does not fall back to per-plane
+    dispatches.
     """
 
-    def __init__(self, callback) -> None:
-        """callback(frames u16 [B,H,W], timestamps i64 [B]) per batch."""
+    def __init__(self, callback, want_previews: bool = False) -> None:
+        """``callback(frames u16 [B,H,W], timestamps i64 [B])`` per batch;
+        with ``want_previews`` the callback receives a third argument, the
+        [B, H//4, W//4] u8 previews (decoded inside the same fused
+        program)."""
         self._callback = callback
+        self._want_previews = want_previews
         self._buffer = bytearray()
         self._inner: FpvtReader | None = None
         self._header: Header | None = None
@@ -1304,10 +1538,15 @@ class FpvtStreamingReader:
             ) = _decode_delta_planes(dflags, dh_stream, dl_stream, h, w)
             self._pos = fpvt.HEADER_SIZE + dsize
             if header.delta_is_frame0:
-                self._callback(
-                    self._inner.frame0()[None],
-                    np.full(1, -1, dtype=np.int64),
-                )
+                first = (self._inner.frame0()[None],
+                         np.full(1, -1, dtype=np.int64))
+                if self._want_previews:
+                    pv0 = np.asarray(
+                        generate_preview(self._inner._delta_high[None])
+                    )
+                    self._callback(*first, pv0)
+                else:
+                    self._callback(*first)
         import struct as _s
 
         while len(buf) - self._pos >= 9:
@@ -1319,18 +1558,13 @@ class FpvtStreamingReader:
             section = bytes(buf[self._pos : self._pos + size])
             pb = fpvt.parse_batch_section(section, 0)
             b = len(pb.frame_flags)
-            h, w = self._header.ysize, self._header.xsize
-            high = self._inner._decode_high(pb, b)
-            if pb.low is not None:
-                low = decode_plane_batch(pb.low).reshape(b, h, w)
-            else:
-                low = jnp.zeros((b, h, w), jnp.uint8)
-            use_delta = jnp.asarray((pb.frame_flags & F_USE_DELTA).astype(bool))
-            imgs = _apply_delta_and_combine(
-                high, low, use_delta,
-                self._inner._delta_high, self._inner._delta_low,
+            imgs, pv = self._inner._decode_parsed_batch(
+                pb, b, want_previews=self._want_previews
             )
-            self._callback(np.asarray(imgs), pb.timestamps)
+            if self._want_previews:
+                self._callback(imgs, pb.timestamps, pv)
+            else:
+                self._callback(imgs, pb.timestamps)
             self._pos += size
         # compact consumed bytes
         if self._pos > 1 << 22:

@@ -146,8 +146,11 @@ class MultiStreamDecoder:
 
     Per stream, an incremental :class:`FpvtStreamingReader` consumes byte
     chunks; complete batches decode on a single worker thread (a bounded
-    queue applies backpressure to fast producers) and are delivered as
-    ``sink(stream_id, frames u16 [B,H,W], timestamps i64 [B])`` in
+    queue applies backpressure to fast producers) — each complete batch is
+    ONE fused device program (frames + previews together when
+    ``want_previews``) — and are delivered as
+    ``sink(stream_id, frames u16 [B,H,W], timestamps i64 [B])`` (plus a
+    previews u8 [B,H//4,W//4] argument when ``want_previews``) in
     per-stream order.  Same-geometry streams share compiled executables.
 
         hub = MultiStreamDecoder(sink=on_frames)
@@ -157,8 +160,9 @@ class MultiStreamDecoder:
         hub.close()
     """
 
-    def __init__(self, sink=None) -> None:
-        self._sink = sink or (lambda sid, frames, ts: None)
+    def __init__(self, sink=None, want_previews: bool = False) -> None:
+        self._sink = sink or (lambda sid, *a: None)
+        self._want_previews = want_previews
         self._readers: dict[str, object] = {}
         self._queue: queue.Queue = queue.Queue(maxsize=4)  # backpressure
         self._error: BaseException | None = None
@@ -171,10 +175,12 @@ class MultiStreamDecoder:
         if stream_id in self._readers:
             raise ValueError(f"stream {stream_id!r} already exists")
 
-        def cb(frames, ts, sid=stream_id):
-            self._sink(sid, frames, ts)
+        def cb(*args, sid=stream_id):
+            self._sink(sid, *args)
 
-        self._readers[stream_id] = FpvtStreamingReader(cb)
+        self._readers[stream_id] = FpvtStreamingReader(
+            cb, want_previews=self._want_previews
+        )
 
     def feed(self, stream_id: str, data: bytes) -> None:
         """Queue a byte chunk for ``stream_id`` (blocks when 4 deep)."""

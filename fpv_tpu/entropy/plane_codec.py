@@ -30,16 +30,46 @@ from fpv_tpu.ops.rans_layout import (
     BLOCK_COLS,
     BLOCK_LANES,
     BLOCK_ROWS,
+    CODING_CONST,
     CODING_CTX16,
     CODING_ORDER0,
     CTX_ALPHA,
     CTX_NIDX,
     CTX_PROB_BITS,
+    LANES_MIN,
     RANS_L,
     chunk_lens,
 )
 
 DEFAULT_CHUNK_LEN = 512
+
+# Narrow-stream encoder policy (see rans_layout LANES_MIN): plane batches of
+# at most this many symbols store fewer chunk states by using fewer lanes
+# (each 1024-lane block costs ~3 KB of stored states).  Narrow streams are
+# coded by the host engine (the pallas kernels are 1024-lane), so the cap
+# also bounds the host coding cost per plane.  Overridable via the
+# FPV_TPU_NARROW_MAX env knob (0 disables narrow streams entirely — used by
+# tests that pin the device geometry on tiny planes).
+NARROW_MAX_SYMS = 4 << 20
+
+
+def narrow_max_syms() -> int:
+    env = os.environ.get("FPV_TPU_NARROW_MAX")
+    return int(env) if env is not None else NARROW_MAX_SYMS
+
+
+# Longest chunk a narrow stream may use (bounds host coding latency and the
+# per-(block, segment) count array; the format itself allows up to 65536).
+NARROW_MAX_K = 32768
+
+
+def _narrow_geometry(n: int, chunk_len: int) -> tuple[int, int]:
+    """(lanes, stream chunk_len) for a small plane batch of n symbols."""
+    lanes = LANES_MIN
+    while lanes < BLOCK_LANES and -(-n // lanes) > NARROW_MAX_K:
+        lanes *= 2
+    k = max(16, 1 << max(0, (-(-n // lanes)) - 1).bit_length())
+    return lanes, min(k, NARROW_MAX_K)
 
 
 @dataclasses.dataclass
@@ -54,16 +84,19 @@ class PlaneStream:
     block_counts: np.ndarray  # [nblocks * nseg] u32, (block, segment) groups
     payload: np.ndarray  # [sum(block_counts)] u16
     coding: int = CODING_ORDER0  # CODING_CTX16: nibble alphabet, ctx tables
+    lanes: int = BLOCK_LANES  # chunks (= parallel rANS streams) per block
 
     @property
     def num_blocks(self) -> int:
         from fpv_tpu.ops.rans_layout import num_blocks
 
-        return num_blocks(self.nframes, self.plane_size, self.chunk_len)
+        return num_blocks(
+            self.nframes, self.plane_size, self.chunk_len, self.lanes
+        )
 
     @property
     def num_chunks(self) -> int:
-        return self.num_blocks * BLOCK_LANES
+        return self.num_blocks * self.lanes
 
     @property
     def num_groups(self) -> int:
@@ -71,13 +104,36 @@ class PlaneStream:
 
         return self.num_blocks * num_segments(self.chunk_len)
 
+    @property
+    def value(self) -> int:
+        """The constant byte of a CODING_CONST stream."""
+        return int(self.freq[0])
+
     def nbytes(self) -> int:
+        if self.coding == CODING_CONST:
+            return 24
         return (
             528
             + self.num_chunks * 4
             + self.num_groups * 4
             + self.payload.size * 2
         )
+
+
+def const_plane_stream(
+    nframes: int, plane_size: int, chunk_len: int, value: int
+) -> PlaneStream:
+    """A CODING_CONST stream: the whole plane batch is the byte ``value``."""
+    return PlaneStream(
+        nframes=nframes,
+        plane_size=plane_size,
+        chunk_len=chunk_len,
+        freq=np.array([value], np.uint16),
+        states=np.zeros(0, np.uint32),
+        block_counts=np.zeros(0, np.uint32),
+        payload=np.zeros(0, np.uint16),
+        coding=CODING_CONST,
+    )
 
 
 def engine_name() -> str:
@@ -176,25 +232,30 @@ def ctx_presence_device(sym4: jax.Array) -> jax.Array:
     return bits.reshape(CTX_NIDX).astype(jnp.int32)
 
 
-def _interleave_np(plane_np: np.ndarray, chunk_len: int, nblocks: int):
+def _interleave_np(
+    plane_np: np.ndarray, chunk_len: int, nblocks: int,
+    lanes: int = BLOCK_LANES,
+):
     """Host-side [B, S] u8 -> [C, K] per-lane symbols for the numpy engine."""
     flat = plane_np.reshape(-1)
-    pad = nblocks * chunk_len * BLOCK_LANES - flat.size
+    pad = nblocks * chunk_len * lanes - flat.size
     if pad:
         flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
     return (
-        flat.reshape(nblocks, chunk_len, BLOCK_LANES)
+        flat.reshape(nblocks, chunk_len, lanes)
         .transpose(0, 2, 1)
-        .reshape(nblocks * BLOCK_LANES, chunk_len)
+        .reshape(nblocks * lanes, chunk_len)
     )
 
 
-def _deinterleave_np(symbols: np.ndarray, n: int, chunk_len: int):
+def _deinterleave_np(
+    symbols: np.ndarray, n: int, chunk_len: int, lanes: int = BLOCK_LANES
+):
     """Inverse of :func:`_interleave_np`: [C, K] -> flat [n]."""
     c, k = symbols.shape
-    nblocks = c // BLOCK_LANES
+    nblocks = c // lanes
     flat = (
-        symbols.reshape(nblocks, BLOCK_LANES, k)
+        symbols.reshape(nblocks, lanes, k)
         .transpose(0, 2, 1)
         .reshape(-1)
     )
@@ -403,6 +464,7 @@ def encode_plane_batch(
     engine: str | None = None,
     coding: int = CODING_ORDER0,
     mask: np.ndarray | None = None,
+    lanes: int | str | None = None,
 ) -> PlaneStream:
     """Encode a [B, S] (or [B, H, W]) uint8 plane batch.
 
@@ -412,35 +474,59 @@ def encode_plane_batch(
     tables.normalize_freqs floor_mask).  With ``coding=CODING_CTX16``
     (nibble alphabet + conditional tables, see rans_layout) the joint
     (ctx, sym) histogram is computed here exactly and ``hist`` may be None.
+
+    ``lanes="auto"`` applies the encoder policy: constant plane batches
+    short-circuit to a CODING_CONST stream, and small batches
+    (<= narrow_max_syms()) become narrow streams with fewer stored chunk
+    states (host-coded, possibly with a longer stream chunk_len).  The
+    default (None) and explicit lane counts pin the geometry (1024 = the
+    device-kernel layout) and never change coding or chunk_len — tests and
+    kernel callers rely on that.
     """
     engine = engine or engine_name()
     b = plane.shape[0]
     if hasattr(plane, "reshape"):
         plane = plane.reshape(b, -1)
     s = plane.shape[1]
-    lens = chunk_lens(b, s, chunk_len)
-    nblocks = len(lens) // BLOCK_LANES
+    n = b * s
+    auto = lanes == "auto"
+    if auto:
+        lanes = BLOCK_LANES
+        if 0 < n <= narrow_max_syms():
+            lanes, chunk_len = _narrow_geometry(n, chunk_len)
+    elif lanes is None:
+        lanes = BLOCK_LANES
+    if lanes != BLOCK_LANES:
+        engine = "numpy"  # the pallas kernels are 1024-lane only
+    if auto:
+        plane = np.asarray(plane)
+        if n and (plane == plane.flat[0]).all():
+            return const_plane_stream(b, s, chunk_len, int(plane.flat[0]))
+    lens = chunk_lens(b, s, chunk_len, lanes)
+    nblocks = len(lens) // lanes
 
     if coding == CODING_CTX16:
         from fpv_tpu.ops import rans_numpy as rn
 
         if engine == "numpy":
             sym4 = (
-                _interleave_np(np.asarray(plane), chunk_len, nblocks) >> 4
+                _interleave_np(np.asarray(plane), chunk_len, nblocks, lanes)
+                >> 4
             ).astype(np.uint8)
-            idx = rn.encode_ctx_indices(sym4, lens)
+            idx = rn.encode_ctx_indices(sym4, lens, lanes)
             mask = np.arange(chunk_len)[None, :] < lens[:, None]
             jhist = np.bincount(idx[mask].reshape(-1), minlength=CTX_NIDX)
             # lens-masked hist is exact: floor only pairs that occur
             freq = normalize_freqs_ctx(jhist, floor_mask=jhist > 0)
             _f32, cum, _sos = rn.ctx_tables(freq)
             states, counts, payload = rn.encode_blocks(
-                idx, lens, freq, prob_bits=CTX_PROB_BITS, cum=cum
+                idx, lens, freq, prob_bits=CTX_PROB_BITS, cum=cum,
+                lanes=lanes,
             )
             return PlaneStream(
                 nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
                 states=states, block_counts=counts, payload=payload,
-                coding=CODING_CTX16,
+                coding=CODING_CTX16, lanes=lanes,
             )
         from fpv_tpu.ops import rans_pallas as rp
 
@@ -464,14 +550,23 @@ def encode_plane_batch(
             coding=CODING_CTX16,
         )
 
+    if engine == "numpy" and hist is None:
+        # narrow-policy reroutes may not carry a device histogram; the
+        # plane is already host-side, so an exact bincount is cheap
+        hist = np.bincount(
+            np.asarray(plane).reshape(-1), minlength=256
+        )
+        mask = hist > 0
     freq = normalize_freqs(np.asarray(hist), ensure_all=True, floor_mask=mask)
 
     if engine == "numpy":
-        flat = _interleave_np(np.asarray(plane), chunk_len, nblocks)
-        states, counts, payload = rans_numpy.encode_blocks(flat, lens, freq)
+        flat = _interleave_np(np.asarray(plane), chunk_len, nblocks, lanes)
+        states, counts, payload = rans_numpy.encode_blocks(
+            flat, lens, freq, lanes=lanes
+        )
         return PlaneStream(
             nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
-            states=states, block_counts=counts, payload=payload,
+            states=states, block_counts=counts, payload=payload, lanes=lanes,
         )
 
     from fpv_tpu.ops import rans_pallas as rp
@@ -506,8 +601,12 @@ def decode_plane_batch(
     """Decode a PlaneStream -> [B, S] uint8 (device array on pallas engine)."""
     engine = engine or engine_name()
     b, s, k = stream.nframes, stream.plane_size, stream.chunk_len
-    lens = chunk_lens(b, s, k)
-    nblocks = len(lens) // BLOCK_LANES
+    if stream.coding == CODING_CONST:
+        return np.full((b, s), stream.value, np.uint8)
+    if stream.lanes != BLOCK_LANES:
+        engine = "numpy"  # narrow streams are host-coded
+    lens = chunk_lens(b, s, k, stream.lanes)
+    nblocks = len(lens) // stream.lanes
     states = stream.states.astype(np.uint32)
     counts = stream.block_counts.astype(np.int64)
     ctx = stream.coding == CODING_CTX16
@@ -517,17 +616,17 @@ def decode_plane_batch(
         if ctx:
             syms, ok = rans_numpy.decode_blocks_ctx(
                 states, stream.block_counts, stream.payload, lens,
-                stream.freq, k,
+                stream.freq, k, lanes=stream.lanes,
             )
             syms = (syms << 4).astype(np.uint8)
         else:
             syms, ok = rans_numpy.decode_blocks(
                 states, stream.block_counts, stream.payload, lens,
-                stream.freq, k,
+                stream.freq, k, lanes=stream.lanes,
             )
         if check and not ok.all():
             raise ValueError("rANS stream integrity check failed")
-        return _deinterleave_np(syms, b * s, k).reshape(b, s)
+        return _deinterleave_np(syms, b * s, k, stream.lanes).reshape(b, s)
 
     from fpv_tpu.ops import rans_pallas as rp
 

@@ -74,13 +74,25 @@ class DecodedImage:
 
 
 def parse_image(
-    data: bytes, xsize: int, ysize: int
+    data: bytes, xsize: int, ysize: int, grown_size: int | None = None
 ) -> DecodedImage:
     """Decode flags + brotli planes + CG reconstruction (not delta).
 
     First half of DecompressImage (fusion_power_video.cc:296-333): parse
     flags, decode low then high brotli streams (two concatenated streams),
     un-apply clamped-gradient prediction on the high plane.
+
+    ``grown_size``: additionally-accepted CG-plane length, for decoding
+    reference-encoded previews of frames whose dimensions are not
+    multiples of 4.  The reference's preview CG transform iterates
+    ``full_size/16`` entries with stride ``xsize/4``
+    (fusion_power_video.cc:575-586) — out of bounds of its own
+    ``(x/4)*(y/4)`` preview (UB), silently growing the coded buffer to
+    full_size/16.  The CG inverse of the first (x/4)*(y/4) entries depends
+    only on earlier entries, so running the inverse over the grown flat
+    buffer and truncating reconstructs the true preview pixels exactly.
+    Our encoder never produces such streams (it codes the real preview
+    extent); this is decode-side tolerance only.
     """
     if not data:
         raise ValueError("out of bounds")
@@ -95,15 +107,37 @@ def parse_image(
         low = np.zeros((ysize, xsize), dtype=np.uint8)
     else:
         low_bytes, pos = brotli.decompress_stream(data, pos)
-        if len(low_bytes) != numpixels:
+        if len(low_bytes) == numpixels:
+            low = np.frombuffer(low_bytes, dtype=np.uint8).reshape(
+                ysize, xsize
+            )
+        elif grown_size is not None and len(low_bytes) == grown_size:
+            low = (
+                np.frombuffer(low_bytes, dtype=np.uint8)[:numpixels]
+                .reshape(ysize, xsize)
+            )
+        else:
             raise ValueError("wrong decompressed plane size")
-        low = np.frombuffer(low_bytes, dtype=np.uint8).reshape(ysize, xsize)
     high_bytes, pos = brotli.decompress_stream(data, pos)
-    if len(high_bytes) != numpixels:
+    if len(high_bytes) == numpixels:
+        high = np.frombuffer(high_bytes, dtype=np.uint8).reshape(ysize, xsize)
+        if use_cg:
+            high = predictors.cg_decode(high)
+    elif (
+        grown_size is not None
+        and use_cg
+        and len(high_bytes) == grown_size
+        and grown_size > numpixels
+    ):
+        # reference grown-preview semantics: CG-invert the flat grown
+        # buffer at stride xsize, then truncate to the true extent
+        rows = -(-grown_size // xsize)
+        buf = np.zeros(rows * xsize, np.uint8)
+        buf[:grown_size] = np.frombuffer(high_bytes, dtype=np.uint8)
+        dec = predictors.cg_decode(buf.reshape(rows, xsize))
+        high = dec.reshape(-1)[:numpixels].reshape(ysize, xsize)
+    else:
         raise ValueError("wrong decompressed plane size")
-    high = np.frombuffer(high_bytes, dtype=np.uint8).reshape(ysize, xsize)
-    if use_cg:
-        high = predictors.cg_decode(high)
     return DecodedImage(flags=flags, high=high, low=low)
 
 
@@ -112,9 +146,10 @@ def decompress_image(
     xsize: int,
     ysize: int,
     delta_frame: np.ndarray | None = None,
+    grown_size: int | None = None,
 ) -> np.ndarray:
     """Full DecompressImage (fusion_power_video.cc:296-347) -> uint16 [H, W]."""
-    img = parse_image(data, xsize, ysize)
+    img = parse_image(data, xsize, ysize, grown_size=grown_size)
     if img.flags & FrameFlags.USE_DELTA:
         if delta_frame is None:
             raise ValueError("delta frame not given")

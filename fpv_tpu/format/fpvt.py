@@ -12,12 +12,19 @@ import struct
 
 import numpy as np
 
-from fpv_tpu.entropy.plane_codec import PlaneStream
-from fpv_tpu.ops.rans_layout import CODING_CTX16, CODING_ORDER0
+from fpv_tpu.entropy.plane_codec import PlaneStream, const_plane_stream
+from fpv_tpu.ops.rans_layout import (
+    BLOCK_LANES,
+    CODING_CONST,
+    CODING_CTX16,
+    CODING_ORDER0,
+    LANES_MIN,
+)
 
 MAGIC = b"FPVT"
-VERSION = 3  # v3: segmented block_counts (K>512), delta-section spatial
-# prediction flags, HDR_F_DELTA_IS_FRAME0 -- older decoders must reject
+VERSION = 4  # v4: per-stream lane counts (narrow streams), CODING_CONST
+# plane streams, preview delta prediction (F_PV_USE_DELTA) -- older
+# decoders must reject
 PROFILE_RANS12 = 1
 
 SECTION_BATCH = 0
@@ -31,6 +38,13 @@ F_USE_DELTA = 1
 F_SPATIAL_SHIFT = 1  # bits 1-2
 F_NO_LOW = 8
 F_PV_SPATIAL_SHIFT = 4  # bits 4-5
+# bit 6: the frame's preview is delta-predicted against the delta frame's
+# preview (generate_preview of the delta high plane, which both sides can
+# compute).  Applied BEFORE the preview's spatial prediction; on repeated
+# frames it zeroes the preview residual so CODING_CONST collapses the whole
+# preview stream (the LZ77 role of brotli on exact-repetition corpora,
+# /root/reference/fusion_power_video.cc:166-169).
+F_PV_USE_DELTA = 64
 SPATIAL_NONE = 0
 SPATIAL_UP = 1
 SPATIAL_CG2D = 2
@@ -118,6 +132,14 @@ def _need(data, pos: int, n: int) -> None:
 
 
 def serialize_plane_stream(ps: PlaneStream) -> bytes:
+    if ps.coding == CODING_CONST:
+        # constant plane batch: 20-byte header only, value in the last u16
+        body = struct.pack(
+            "<IIIIHH", ps.plane_size, ps.chunk_len, 0, CODING_CONST, 0,
+            ps.value,
+        )
+        size = 4 + len(body)
+        return struct.pack("<I", size) + body
     # freq field is always 512 bytes: 256 x u16 (coding=0) or the 32x16
     # per-context u8 tables (coding=1, values <= 128)
     if ps.coding == CODING_CTX16:
@@ -125,8 +147,8 @@ def serialize_plane_stream(ps: PlaneStream) -> bytes:
     else:
         freq_bytes = ps.freq.astype("<u2").tobytes()
     body = (
-        struct.pack("<IIII", ps.plane_size, ps.chunk_len, ps.num_chunks,
-                    ps.coding)
+        struct.pack("<IIIIHH", ps.plane_size, ps.chunk_len, ps.num_chunks,
+                    ps.coding, ps.lanes, 0)
         + freq_bytes
         + ps.states.astype("<u4").tobytes()
         + ps.block_counts.astype("<u4").tobytes()
@@ -137,31 +159,55 @@ def serialize_plane_stream(ps: PlaneStream) -> bytes:
     return struct.pack("<I", size + pad) + body + b"\0" * pad
 
 
+def plane_stream_accounting(ps: PlaneStream) -> dict:
+    """Byte accounting of one plane stream as serialized (v4 layout)."""
+    hdr = 4 + 20
+    if ps.coding == CODING_CONST:
+        return dict(total=hdr, tables=0, states=0, counts=0, payload=0,
+                    stream_headers=hdr, coding=ps.coding, lanes=0)
+    states = 4 * ps.num_chunks
+    counts = 4 * ps.num_groups
+    payload = 2 * ps.payload.size
+    size = hdr + 512 + states + counts + payload
+    return dict(total=size + _pad8(size), tables=512, states=states,
+                counts=counts, payload=payload,
+                stream_headers=hdr + _pad8(size), coding=ps.coding,
+                lanes=ps.lanes)
+
+
 def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream, int]:
-    _need(data, pos, 20)
+    _need(data, pos, 24)
     (size,) = struct.unpack_from("<I", data, pos)
     end = pos + size
     _need(data, pos, size)
     p = pos + 4
-    plane_size, chunk_len, num_chunks, coding = struct.unpack_from(
-        "<IIII", data, p
+    plane_size, chunk_len, num_chunks, coding, lanes, cval = (
+        struct.unpack_from("<IIIIHH", data, p)
     )
-    p += 16
+    p += 20
     from fpv_tpu.ops.rans_layout import (
-        BLOCK_LANES,
         CTX_NCTX,
         CTX_NIDX,
         CTX_PROB_SCALE,
         num_blocks as _num_blocks,
     )
 
+    if coding == CODING_CONST:
+        if cval > 255:
+            raise ValueError("invalid constant plane value")
+        return const_plane_stream(nframes, plane_size, chunk_len, cval), end
     if coding not in (CODING_ORDER0, CODING_CTX16):
         raise ValueError("unknown plane-stream coding")
     if not (16 <= chunk_len <= 65536) or chunk_len & (chunk_len - 1):
         raise ValueError("invalid plane-stream chunk length")
+    if (
+        not (LANES_MIN <= lanes <= BLOCK_LANES)
+        or lanes & (lanes - 1)
+    ):
+        raise ValueError("invalid plane-stream lane count")
     if plane_size > 1 << 32 or nframes * plane_size > 16_000_000_000:
         raise ValueError("plane stream too large")
-    expect_chunks = _num_blocks(nframes, plane_size, chunk_len) * BLOCK_LANES
+    expect_chunks = _num_blocks(nframes, plane_size, chunk_len, lanes) * lanes
     if num_chunks != expect_chunks:
         raise ValueError("plane-stream chunk count mismatch")
     _need(data, p, 512)
@@ -184,7 +230,7 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
     _need(data, p, 4 * num_chunks)
     states = np.frombuffer(data, dtype="<u4", count=num_chunks, offset=p).copy()
     p += 4 * num_chunks
-    nblocks = -(-num_chunks // BLOCK_LANES)
+    nblocks = -(-num_chunks // lanes)
     # one count per (block, segment), block-major (rans_layout SEG_LEN)
     from fpv_tpu.ops.rans_layout import num_segments
 
@@ -196,7 +242,7 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
     # each chunk emits at most one word per symbol step of its segment
     from fpv_tpu.ops.rans_layout import SEG_LEN
 
-    if ngroups and block_counts.max() > min(chunk_len, SEG_LEN) * BLOCK_LANES:
+    if ngroups and block_counts.max() > min(chunk_len, SEG_LEN) * lanes:
         raise ValueError("plane-stream block count out of range")
     _need(data, p, 2 * total_words)
     payload = np.frombuffer(data, dtype="<u2", count=total_words, offset=p).copy()
@@ -212,6 +258,7 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
         block_counts=block_counts,
         payload=payload,
         coding=coding,
+        lanes=lanes,
     )
     return ps, end
 

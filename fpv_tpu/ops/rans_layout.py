@@ -73,37 +73,58 @@ CTX_RENORM_SHIFT = 31 - CTX_PROB_BITS  # 24
 
 CODING_ORDER0 = 0
 CODING_CTX16 = 1
+# constant plane batch: the stream stores only the byte value — no tables,
+# no states, no counts, no payload.  The short-circuit that captures the
+# LZ77 role brotli-q1 plays on exact-repetition content
+# (/root/reference/fusion_power_video.cc:166-169): after delta prediction a
+# repeated frame's residual planes are all-zero and cost ~nothing.
+CODING_CONST = 2
+
+# Narrow streams: small plane batches (delta sections, small-file batches)
+# may use fewer than 1024 lanes per block so they store proportionally fewer
+# chunk states (each stored u32 state costs ~24 structural bits over the
+# content it carries — on a one-frame delta section 1024 lanes would be
+# ~1.5% of the stream).  Lane count is a per-stream field; the layout rules
+# below are identical with ``lanes`` substituted for 1024.  Narrow streams
+# trade device-kernel parallelism for size, so encoders only choose them
+# when the plane batch is small (see plane_codec narrow policy); they are
+# coded by the host engine.
+LANES_MIN = 8
 
 
-def chunk_lens(nframes: int, plane_size: int, chunk_len: int) -> np.ndarray:
+def chunk_lens(
+    nframes: int, plane_size: int, chunk_len: int, lanes: int = BLOCK_LANES
+) -> np.ndarray:
     """Per-chunk (lane) symbol counts for the interleaved layout.
 
     The plane batch is one flat symbol stream of N = nframes*plane_size
-    bytes.  Block m covers the contiguous region [m*K*1024, (m+1)*K*1024);
-    within a block, lane l codes symbols {base + j*1024 + l}.  This makes the
-    [K, 1024] step-major array a pure reshape of the flat stream (no device
-    transposes) while keeping blocks contiguous for random access.  Lane
-    lengths within the last block differ by at most one.
+    bytes.  Block m covers the contiguous region [m*K*lanes, (m+1)*K*lanes);
+    within a block, lane l codes symbols {base + j*lanes + l}.  This makes
+    the [K, lanes] step-major array a pure reshape of the flat stream (no
+    device transposes) while keeping blocks contiguous for random access.
+    Lane lengths within the last block differ by at most one.
     """
     n = nframes * plane_size
-    span = chunk_len * BLOCK_LANES
+    span = chunk_len * lanes
     nb = max(1, -(-n // span))
-    lanes = np.arange(BLOCK_LANES, dtype=np.int64)
-    out = np.empty((nb, BLOCK_LANES), dtype=np.int32)
+    lane_idx = np.arange(lanes, dtype=np.int64)
+    out = np.empty((nb, lanes), dtype=np.int32)
     for m in range(nb):
         r = min(max(n - m * span, 0), span)
-        out[m] = np.minimum((r - lanes + BLOCK_LANES - 1) // BLOCK_LANES,
+        out[m] = np.minimum((r - lane_idx + lanes - 1) // lanes,
                             chunk_len).clip(0)
     return out.reshape(-1).astype(np.int32)
 
 
-def num_chunks(nframes: int, plane_size: int, chunk_len: int) -> int:
-    n = nframes * plane_size
-    span = chunk_len * BLOCK_LANES
-    return max(1, -(-n // span)) * BLOCK_LANES
+def num_chunks(
+    nframes: int, plane_size: int, chunk_len: int, lanes: int = BLOCK_LANES
+) -> int:
+    return num_blocks(nframes, plane_size, chunk_len, lanes) * lanes
 
 
-def num_blocks(nframes: int, plane_size: int, chunk_len: int) -> int:
+def num_blocks(
+    nframes: int, plane_size: int, chunk_len: int, lanes: int = BLOCK_LANES
+) -> int:
     n = nframes * plane_size
-    span = chunk_len * BLOCK_LANES
+    span = chunk_len * lanes
     return max(1, -(-n // span))

@@ -25,27 +25,31 @@ from fpv_tpu.ops.rans_layout import (
 )
 
 
-def ctx_from_prev(prev: np.ndarray, nblocks: int) -> np.ndarray:
+def ctx_from_prev(
+    prev: np.ndarray, nblocks: int, lanes: int = BLOCK_LANES
+) -> np.ndarray:
     """Context ids from the previous step's (masked) symbols.
 
     ``prev`` is [C_pad] int32 with zeros at step 0 / beyond lane lengths;
-    neighbors wrap within each block's 1024 lanes (see rans_layout docs).
+    neighbors wrap within each block's ``lanes`` lanes (see rans_layout docs).
     """
-    p = prev.reshape(nblocks, BLOCK_LANES)
+    p = prev.reshape(nblocks, lanes)
     al = np.roll(p, 1, axis=1)
     ar = np.roll(p, -1, axis=1)
     return (p * 2 + (al != ar)).reshape(-1).astype(np.int32)
 
 
-def encode_ctx_indices(sym4: np.ndarray, lens: np.ndarray) -> np.ndarray:
+def encode_ctx_indices(
+    sym4: np.ndarray, lens: np.ndarray, lanes: int = BLOCK_LANES
+) -> np.ndarray:
     """[C_pad, K] nibble symbols (zero-padded) -> fc indices ctx*16+sym."""
     c_pad, k = sym4.shape
-    nblocks = c_pad // BLOCK_LANES
+    nblocks = c_pad // lanes
     lens = np.asarray(lens, dtype=np.int32)
     idx = np.zeros((c_pad, k), np.int32)
     prev = np.zeros(c_pad, np.int32)
     for j in range(k):
-        ctx = ctx_from_prev(prev, nblocks)
+        ctx = ctx_from_prev(prev, nblocks, lanes)
         idx[:, j] = ctx * CTX_ALPHA + sym4[:, j]
         prev = np.where(j < lens, sym4[:, j].astype(np.int32), 0)
     return idx
@@ -74,11 +78,12 @@ def encode_blocks(
     freq: np.ndarray,  # [NIDX] frequencies
     prob_bits: int = PROB_BITS,
     cum: np.ndarray | None = None,  # [NIDX]; default: global excl. cumsum
+    lanes: int = BLOCK_LANES,
 ):
     """Returns (states u32 [C_pad], block_counts u32 [nblocks], payload u16)."""
     c_pad, k = symbols.shape
-    assert c_pad % BLOCK_LANES == 0
-    nblocks = c_pad // BLOCK_LANES
+    assert c_pad % lanes == 0
+    nblocks = c_pad // lanes
     renorm_shift = 31 - prob_bits
     freq32 = np.maximum(np.asarray(freq).astype(np.uint32), 1)
     if cum is None:
@@ -113,7 +118,7 @@ def encode_blocks(
     counts = np.zeros((nblocks, nseg), dtype=np.uint32)
     parts = []
     for m in range(nblocks):
-        sl = slice(m * BLOCK_LANES, (m + 1) * BLOCK_LANES)
+        sl = slice(m * lanes, (m + 1) * lanes)
         for g in range(nseg):
             jlo, jhi = g * SEG_LEN, min((g + 1) * SEG_LEN, k)
             w = words[jhi - 1 : jlo - 1 if jlo else None : -1, sl]
@@ -131,10 +136,11 @@ def decode_blocks(
     lens: np.ndarray,  # [C_pad] int32
     freq: np.ndarray,  # [256] uint16
     chunk_len: int,
+    lanes: int = BLOCK_LANES,
 ):
     """Returns (symbols u8 [C_pad, K], ok bool [C_pad])."""
     c_pad = len(states)
-    nblocks = c_pad // BLOCK_LANES
+    nblocks = c_pad // lanes
     k = chunk_len
     nseg = num_segments(k)
     cum = np.zeros(256, dtype=np.uint32)
@@ -156,7 +162,7 @@ def decode_blocks(
     x = states.astype(np.uint32).copy()
     lens = np.asarray(lens, dtype=np.int32)
     out = np.zeros((c_pad, k), dtype=np.uint8)
-    lane_block = np.arange(c_pad) // BLOCK_LANES
+    lane_block = np.arange(c_pad) // lanes
 
     for j in range(k):
         if j and j % SEG_LEN == 0:
@@ -171,7 +177,7 @@ def decode_blocks(
         xn = f * (x >> PROB_BITS) + (slot.astype(np.uint32) - cum[s])
         renorm = active & (xn < RANS_L)
         # group ranks: row-major within block
-        r2 = renorm.reshape(nblocks, BLOCK_LANES)
+        r2 = renorm.reshape(nblocks, lanes)
         ranks = np.cumsum(r2, axis=1) - 1
         cnts = r2.sum(axis=1)
         base = gb[lane_block] + (ptr[lane_block] - cnts[lane_block])
@@ -201,10 +207,11 @@ def decode_blocks_ctx(
     lens: np.ndarray,  # [C_pad] int32
     freq_ctx: np.ndarray,  # [NCTX*ALPHA] per-context frequencies
     chunk_len: int,
+    lanes: int = BLOCK_LANES,
 ):
     """Context-mode decode (coding=1): (nibble symbols u8 [C_pad, K], ok)."""
     c_pad = len(states)
-    nblocks = c_pad // BLOCK_LANES
+    nblocks = c_pad // lanes
     k = chunk_len
     nseg = num_segments(k)
     freq32, cum, sym_of_slot = ctx_tables(freq_ctx)
@@ -221,7 +228,7 @@ def decode_blocks_ctx(
     x = states.astype(np.uint32).copy()
     lens = np.asarray(lens, dtype=np.int32)
     out = np.zeros((c_pad, k), dtype=np.uint8)
-    lane_block = np.arange(c_pad) // BLOCK_LANES
+    lane_block = np.arange(c_pad) // lanes
     prev = np.zeros(c_pad, np.int32)
 
     for j in range(k):
@@ -231,14 +238,14 @@ def decode_blocks_ctx(
             ptr = counts2[:, g].copy()
             gb = group_base[:, g]
         active = j < lens
-        ctx = ctx_from_prev(prev, nblocks)
+        ctx = ctx_from_prev(prev, nblocks, lanes)
         slot = (x & (CTX_PROB_SCALE - 1)).astype(np.int64)
         s = sym_of_slot[ctx * CTX_PROB_SCALE + slot]
         idx = ctx * CTX_ALPHA + s
         f = freq32[idx]
         xn = f * (x >> CTX_PROB_BITS) + (slot.astype(np.uint32) - cum[idx])
         renorm = active & (xn < RANS_L)
-        r2 = renorm.reshape(nblocks, BLOCK_LANES)
+        r2 = renorm.reshape(nblocks, lanes)
         ranks = np.cumsum(r2, axis=1) - 1
         cnts = r2.sum(axis=1)
         base = gb[lane_block] + (ptr[lane_block] - cnts[lane_block])

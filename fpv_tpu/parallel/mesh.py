@@ -181,6 +181,7 @@ def sharded_fused_encode(
     big_endian: bool = False,
     chunk_len: int = 512,
     use_delta_frame: bool = True,
+    low_coding: int = 0,
 ):
     """shard_map of the production fused_encode_batch program: each device
     encodes its local frames into independent rANS streams (shard-local
@@ -188,14 +189,17 @@ def sharded_fused_encode(
     payload_high, payload_low, payload_preview), each the concatenation of
     the per-device outputs along axis 0 — bit-identical to running
     fused_encode_batch on each device's frame slice separately (tested in
-    tests/test_parallel.py)."""
+    tests/test_parallel.py).  ``low_coding=CODING_CTX16`` runs the shipping
+    configuration (context-coded low plane, fpvt_codec FpvtWriter default
+    for shift >= 4)."""
     from jax import shard_map
 
     from fpv_tpu.api.fpvt_codec import fused_encode_batch
 
     def fn(imgs, dh, dl):
         return fused_encode_batch(
-            imgs, dh, dl, shift, big_endian, chunk_len, use_delta_frame
+            imgs, dh, dl, shift, big_endian, chunk_len, use_delta_frame,
+            low_coding,
         )
 
     sharded = shard_map(
@@ -251,6 +255,49 @@ def multichip_dryrun(n_devices: int, h: int = 32, w: int = 32) -> None:
         raise AssertionError("sharded full-codec roundtrip failed")
     if not np.array_equal(np.asarray(out), frames):
         raise AssertionError("sharded full-codec output mismatch")
+    _dryrun_production_config(mesh, n_devices)
+
+
+def _dryrun_production_config(mesh: Mesh, n_devices: int) -> None:
+    """Compile + execute sharded_fused_encode in the SHIPPING configuration:
+    context-coded low plane (CODING_CTX16) with chunk_len 4096 (segmented
+    state carry, rans_layout SEG_LEN) — the FpvtWriter default for
+    shift >= 4 — and verify bit-exactness against per-device
+    fused_encode_batch runs."""
+    from fpv_tpu.api.fpvt_codec import fused_encode_batch
+    from fpv_tpu.ops.rans_layout import CODING_CTX16
+
+    chunk_len = 4096
+    shift = 4
+    # chunk_len 4096 makes the kernels run their full 8-segment grid with
+    # cross-segment state carry (the carry executes regardless of lens;
+    # interpret mode iterates every step, so small frames keep the dryrun
+    # bounded — content-bearing multi-segment coverage lives in
+    # tests/test_rans.py's segmented-chunk tests)
+    h, w = 96, 128  # hw = 12288 px; 2 frames/device
+    b = 2 * n_devices
+    frames = (_test_frames(b, h, w) >> 4).astype(np.uint16)  # 12-bit
+    delta = frames[0]
+    dh = (((delta.astype(np.uint32) << shift) >> 8) & 0xFF).astype(np.uint8)
+    dl = ((delta.astype(np.uint32) << shift) & 0xFF).astype(np.uint8)
+    step = sharded_fused_encode(
+        mesh, shift=shift, chunk_len=chunk_len, low_coding=CODING_CTX16
+    )
+    imgs_s = shard_frames(frames, mesh)
+    outs = step(imgs_s, jnp.asarray(dh), jnp.asarray(dl))
+    jax.block_until_ready(outs)
+    # bit-exactness vs a single-device run of the same per-device slice
+    per = b // n_devices
+    ref = fused_encode_batch(
+        jnp.asarray(frames[:per]), jnp.asarray(dh), jnp.asarray(dl),
+        shift, False, chunk_len, True, CODING_CTX16,
+    )
+    for got, want in zip(outs, ref):
+        g = np.asarray(got)[: np.asarray(want).shape[0]]
+        if not np.array_equal(g, np.asarray(want)):
+            raise AssertionError(
+                "sharded production-config encode not bit-exact"
+            )
 
 
 def _test_frames(b: int, h: int, w: int) -> np.ndarray:

@@ -161,3 +161,42 @@ def test_truncated_stream_is_prefix_decodable():
     dec.decode(data[:cut], lambda ok, f, xs, ys, p: got.append(np.array(f)))
     assert len(got) == 3
     np.testing.assert_array_equal(np.stack(got), frames[:3])
+
+
+@requires_reference
+def test_decode_reference_grown_cg_previews_non_mult4():
+    """Reference files at dims not a multiple of 4: the reference's preview
+    CG transform codes xsize*ysize/16 entries (UB growth,
+    fusion_power_video.cc:575-586).  Our decoder reproduces the grown-buffer
+    inverse on decode only, so frames AND previews of every
+    reference-produced file decode (VERDICT r2 item 7)."""
+    from fpv_tpu.api.frame import FrameFlags, generate_preview
+    from fpv_tpu.format import container
+
+    h = w = 30  # 30 % 4 != 0 -> grown previews when CG is chosen
+    frames = testdata.plasma_frames(4, h, w, bits=12, seed=21)
+    raw = testdata.to_raw_bytes(frames << 4)
+    ref_file = ref_encode(raw, w, h, 0, 0, threads=2)
+
+    dec = RandomAccessDecoder()
+    assert dec.init(ref_file)
+    # main frames decode losslessly regardless of preview handling
+    imgs = np.frombuffer(raw, dtype="<u2").reshape(4, h, w)
+    for i in range(dec.numframes):
+        got = unextract_frame(dec.decode_frame(i), 0, False)
+        np.testing.assert_array_equal(
+            np.frombuffer(got, dtype="<u2").reshape(h, w), imgs[i]
+        )
+    # at least one frame should have a CG-predicted (grown) preview on this
+    # smooth content; every preview must decode and match the box filter of
+    # the original high plane
+    any_cg = False
+    for i in range(dec.numframes):
+        chunk = container.parse_frame_chunk(ref_file, dec._frame_offsets[i])
+        pflags = ref_file[chunk.preview_start]
+        any_cg |= bool(pflags & FrameFlags.USE_CG)
+        pv = dec.decode_preview(i)
+        assert pv.shape == (h // 4, w // 4)
+        expect = generate_preview((imgs[i] >> 8).astype(np.uint8))
+        np.testing.assert_array_equal(pv, expect)
+    assert any_cg, "content did not trigger CG previews; test is vacuous"

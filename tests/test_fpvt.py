@@ -175,6 +175,9 @@ def test_fpvt_per_block_random_access(monkeypatch):
     """decode_frame on the pallas engine decodes only the covering blocks
     (no batch decode, no cache fill) and matches the full decode."""
     monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
+    # pin the 1024-lane device geometry: the narrow-stream policy would
+    # otherwise host-code these tiny planes (no per-block path)
+    monkeypatch.setenv("FPV_TPU_NARROW_MAX", "0")
     frames = testdata.plasma_frames(6, 32, 32, bits=12)
     data = encode_file_fpvt(frames, shift=4, frames_per_batch=3, chunk_log2=4)
     r = FpvtReader(data)
