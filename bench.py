@@ -295,11 +295,10 @@ def main() -> None:
     symt_np = np.zeros((3, 8, 128), np.uint32)
     for i, st in enumerate(streams):
         if st.coding:
-            fc_i, sym_i = _rp.ctx_table_arrays(st.freq)
-            fcs_np[i] = fc_i
+            fc_i, sym_i = _rp.ctx_decode_table_arrays(st.freq)
         else:
             fc_i, _finv, sym_i = _rp.table_arrays(st.freq)
-            fcs_np[i, :2] = fc_i
+        fcs_np[i, :2] = fc_i
         symt_np[i] = sym_i
     fcs = jnp.asarray(fcs_np)
     sym_tabs = jnp.asarray(symt_np)

@@ -609,7 +609,8 @@ def fused_decode_batch(
         base = plane_offs[pi]
         # one batched window gather over a start-index vector — an unrolled
         # dynamic_slice chain inflates trace/compile size 8x at chunk_log2 12
-        # (ngroups = nblocks * nseg)
+        # (ngroups = nblocks * nseg) for the same device time (measured ~5 ms
+        # in 216 ms either way)
         starts = base + cum[:ngroups]
         words = (
             jax.vmap(lambda c: jax.lax.dynamic_slice(payload, (c,), (win,)))(
@@ -625,7 +626,7 @@ def fused_decode_batch(
             st_pad.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS),
             lens_dev,
             sym_tabs[pi],
-            fcs[pi] if ctx else fcs[pi, :2],
+            fcs[pi, :2],
             words,
             chunk_len,
             nblocks,
@@ -898,15 +899,22 @@ class FpvtWriter:
         hres = cands[spatial]
         from fpv_tpu.entropy.plane_codec import narrow_max_syms
 
-        # small delta planes take the narrow host path, which computes its
-        # own exact histogram (hist=None); big ones need the device hist
-        small = self.header.ysize * self.header.xsize <= narrow_max_syms()
+        # small delta planes take the narrow host path (policy lanes="auto"),
+        # which computes its own exact histogram (hist=None).  The threshold
+        # is tighter than batch planes (512K vs 4M symbols): the ~4 KB/block
+        # state saving only matters when the FILE is small, and init() sits
+        # on the per-stream e2e critical path — host narrow coding of a
+        # 1 Mpx delta plane costs seconds per stream open.
+        small = (
+            self.header.ysize * self.header.xsize
+            <= min(512 * 1024, narrow_max_syms())
+        )
         hs = encode_plane_batch(
             hres.reshape(1, -1),
             None if small else np.asarray(_batch_hist(hres)),
             self._chunk_len,
             mask=None if small else np.asarray(_support_mask(hres)),
-            lanes="auto",
+            lanes="auto" if small else None,
         )
         ls = (
             encode_plane_batch(
@@ -923,7 +931,7 @@ class FpvtWriter:
                     if (self._low_coding or small)
                     else np.asarray(_support_mask(low))
                 ),
-                lanes="auto",
+                lanes="auto" if small else None,
             )
             if has_low
             else None
@@ -1245,11 +1253,10 @@ class FpvtReader:
             if const_planes[i]:
                 continue
             if st.coding:
-                fc_i, sym_i = rp.ctx_table_arrays(st.freq)
-                fcs[i] = fc_i
+                fc_i, sym_i = rp.ctx_decode_table_arrays(st.freq)
             else:
                 fc_i, _finv, sym_i = rp.table_arrays(st.freq)
-                fcs[i, :2] = fc_i
+            fcs[i, :2] = fc_i
             sym_tabs[i] = sym_i
         flags = pb.frame_flags.astype(np.uint32)
         spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
@@ -1353,7 +1360,7 @@ class FpvtReader:
             pay[:total] = st.payload[cum[b0 * nsegs] : cum[(b1 + 1) * nsegs]]
             off_in = j * s - b0 * span
             if st.coding:
-                fc, sym = rp.ctx_table_arrays(st.freq)
+                fc, sym = rp.ctx_decode_table_arrays(st.freq)
             else:
                 fc, _finv, sym = rp.table_arrays(st.freq)
             return (

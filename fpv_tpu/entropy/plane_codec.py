@@ -631,7 +631,7 @@ def decode_plane_batch(
     from fpv_tpu.ops import rans_pallas as rp
 
     if ctx:
-        fc, symtab = rp.ctx_table_arrays(stream.freq)
+        fc, symtab = rp.ctx_decode_table_arrays(stream.freq)
     else:
         fc, _finv, symtab = rp.table_arrays(stream.freq)
     rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, k)

@@ -99,6 +99,39 @@ def _lookup_sym(sym_tab: jax.Array, slot: jax.Array) -> jax.Array:
     return ((out >> (byte * 8)) & 0xFF).astype(jnp.int32)
 
 
+def _lookup_sym_nib(sym_tab4: jax.Array, slot: jax.Array) -> jax.Array:
+    """slot [8,128] in [0,4096) -> NIBBLE symbol, 8 nibbles/u32 in [4,128].
+
+    The ctx mode's symbols are 4-bit, so its slot->symbol table packs twice
+    as dense as the byte table: 4 row gathers instead of 8 (gather issue
+    slots dominate the decode step loop).
+    """
+    word_idx = slot >> 3  # [0, 512)
+    row = word_idx >> 7  # [0, 4)
+    col = word_idx & 127
+    out = jnp.zeros(slot.shape, jnp.uint32)
+    for r in range(4):
+        g = jnp.take_along_axis(_bcast_row(sym_tab4[r : r + 1]), col, axis=1)
+        out = jnp.where(row == r, g, out)
+    nib = (slot & 7).astype(jnp.uint32)
+    return ((out >> (nib * 4)) & 0xF).astype(jnp.int32)
+
+
+def _lookup_fc_pair(fc2: jax.Array, idx: jax.Array) -> jax.Array:
+    """idx [8,128] in [0,512) -> 14-bit fc entry, 2 entries/u32 in [2,128].
+
+    Ctx-mode fc entries are (f-1) | cum<<7 <= 14 bits, so pairs pack into
+    one u32: 2 row gathers instead of 4.
+    """
+    word_idx = idx >> 1  # [0, 256)
+    col = word_idx & 127
+    g0 = jnp.take_along_axis(_bcast_row(fc2[0:1]), col, axis=1)
+    g1 = jnp.take_along_axis(_bcast_row(fc2[1:2]), col, axis=1)
+    out = jnp.where(word_idx < 128, g0, g1)
+    sh = (idx & 1).astype(jnp.uint32) * 16
+    return (out >> sh) & 0x3FFF
+
+
 def _row_cumsum(m: jax.Array) -> jax.Array:
     """Within-row inclusive cumsum of an int32 [8,128] via ONE MXU matmul.
 
@@ -409,9 +442,12 @@ def _decode_kernel(
         active = (seg_lo + jl) < lens[u]
         slot = (x & (scale - 1)).astype(jnp.int32)
         if ctx_mode:
+            # ctx decode tables are density-packed (ctx_decode_table_arrays):
+            # nibble symbols 8/u32 (rows 0-3) and 14-bit fc entries 2/u32 —
+            # 6 row gathers per step instead of 12
             ctx = _ctx_from_prev(prev)
-            sym = _lookup_sym(sym_tab, ctx * scale + slot)
-            e = _lookup_tab(fc, ctx * CTX_ALPHA + sym)
+            sym = _lookup_sym_nib(sym_tab[:4], ctx * scale + slot)
+            e = _lookup_fc_pair(fc, ctx * CTX_ALPHA + sym)
         else:
             sym = _lookup_sym(sym_tab, slot)
             e = _lookup_tab(fc, sym)
@@ -509,7 +545,7 @@ def table_arrays(freq: np.ndarray):
 
 
 def ctx_table_arrays(freq_ctx: np.ndarray):
-    """Context-mode tables: (fc [4,128] u32 = (f-1)|cum_within<<7,
+    """Context-mode ENCODE tables: (fc [4,128] u32 = (f-1)|cum_within<<7,
     sym_packed [8,128] u32 covering NCTX*128 = 4096 slots)."""
     from fpv_tpu.ops.rans_numpy import ctx_tables
 
@@ -525,6 +561,28 @@ def ctx_table_arrays(freq_ctx: np.ndarray):
         fc.reshape(4, 128).astype(np.uint32),
         packed.reshape(BLOCK_ROWS, BLOCK_COLS),
     )
+
+
+def ctx_decode_table_arrays(freq_ctx: np.ndarray):
+    """Context-mode DECODE tables, density-packed for fewer row gathers:
+    (fc_pairs [2,128] u32 — two 14-bit (f-1)|cum<<7 entries per word,
+    sym_nib [8,128] u32 — 4096 nibble symbols 8/u32 in rows 0-3, rows 4-7
+    zero so the array fits the kernel's uniform [8,128] table slot)."""
+    from fpv_tpu.ops.rans_numpy import ctx_tables
+
+    freq32, cum, sym_of_slot = ctx_tables(freq_ctx)
+    fc = (
+        ((np.maximum(freq32, 1) - 1) & ((1 << CTX_PROB_BITS) - 1))
+        | (cum << CTX_PROB_BITS)
+    ).astype(np.uint32)
+    pairs = fc[0::2] | (fc[1::2] << np.uint32(16))  # 256 u32
+    sos = sym_of_slot.astype(np.uint32)
+    nib = np.zeros(len(sos) // 8, dtype=np.uint32)  # 512 u32
+    for b in range(8):
+        nib |= sos[b::8] << np.uint32(4 * b)
+    sym8 = np.zeros((BLOCK_ROWS, BLOCK_COLS), np.uint32)
+    sym8[:4] = nib.reshape(4, BLOCK_COLS)
+    return pairs.reshape(2, 128), sym8
 
 
 def words_rows(chunk_len: int) -> int:
@@ -756,8 +814,10 @@ def decode_pallas(
         ),
         interpret=interpret,
     )(counts4, states4, lens4, sym_tab, fc, words5)
-    # unpack 4 symbols per u32: byte b of packed word w is symbol j = 4w + b
+    # unpack 4 symbols per u32: byte b of packed word w is symbol j = 4w + b.
+    # Unpacked as u8 (symbols are bytes): the stacked intermediate is then
+    # 1/4 the HBM traffic of an i32 unpack on big batches.
     packed = syms.reshape(nb_pad, k // 4, BLOCK_ROWS, BLOCK_COLS)[:nblocks]
-    parts = [((packed >> (8 * b)) & 0xFF).astype(jnp.int32) for b in range(4)]
+    parts = [((packed >> (8 * b)) & 0xFF).astype(jnp.uint8) for b in range(4)]
     un = jnp.stack(parts, axis=2).reshape(nblocks, k, BLOCK_ROWS, BLOCK_COLS)
     return un, ok.reshape(nb_pad, BLOCK_ROWS, BLOCK_COLS)[:nblocks]

@@ -390,7 +390,8 @@ def test_ctx_mode_pallas_matches_numpy():
         idx, lens, freq, prob_bits=7, cum=cum
     )
 
-    fc, symtab = rp.ctx_table_arrays(freq)
+    fc, _symtab_enc = rp.ctx_table_arrays(freq)
+    fc_dec, symtab = rp.ctx_decode_table_arrays(freq)
     syms_dev = jnp.asarray(
         idx.reshape(nb, BLOCK_LANES, K).transpose(0, 2, 1)
         .reshape(nb, K, 8, 128).astype(np.int32)
@@ -420,7 +421,7 @@ def test_ctx_mode_pallas_matches_numpy():
         jnp.asarray(states.reshape(nb, 8, 128)),
         lens_dev,
         jnp.asarray(symtab),
-        jnp.asarray(fc),
+        jnp.asarray(fc_dec),
         jnp.asarray(words_padded.reshape(nb, wrows, 128)),
         K, nb, interpret=True, prob_bits=7, ctx_mode=True,
     )
