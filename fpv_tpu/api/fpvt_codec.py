@@ -535,7 +535,7 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     jax.jit,
     static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
                      "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc",
-                     "low_ctx", "const_planes", "any_pv_delta"),
+                     "low_ctx", "const_planes", "any_pv_delta", "pack_u8"),
 )
 def fused_decode_batch(
     payload: jax.Array,  # u16, all planes concatenated (+clamp-safe)
@@ -561,6 +561,7 @@ def fused_decode_batch(
     low_ctx: bool = False,
     const_planes: tuple = (False, False, False),
     any_pv_delta: bool = False,
+    pack_u8: bool = False,
 ):
     """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok).
 
@@ -645,6 +646,15 @@ def fused_decode_batch(
     high = _inverse_spatial(high, spatial, any_up, any_cg)
     use_delta = (flags & F_USE_DELTA) != 0
     imgs = _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low)
+    if pack_u8:
+        # emit the frames as their little-endian byte stream [b*h, 2w] u8:
+        # host->device tunnels pull u8 ~1.5x faster than u16 (the host views
+        # the bytes back to u16 for free).  The [b,h,w,2] bitcast intermediate
+        # fuses into the output copy; only the final [b*h, 2w] layout is
+        # materialized (a standalone u8 [N,2] array pads 64x under TPU tiling)
+        imgs = jax.lax.bitcast_convert_type(imgs, jnp.uint8).reshape(
+            b * h, 2 * w
+        )
     ok_all = jnp.all(jnp.stack(oks)) if oks else jnp.bool_(True)
     if decode_preview:
         pv = planes[2].reshape(b, h // 4, w // 4)
@@ -1287,8 +1297,11 @@ class FpvtReader:
             low_ctx=low_ctx,
             const_planes=const_planes,
             any_pv_delta=bool((pb.frame_flags & F_PV_USE_DELTA).any()),
+            pack_u8=True,
         )
-        imgs_np = np.asarray(out[0])
+        imgs_np = (
+            np.asarray(out[0]).view("<u2").reshape(b, h, w)
+        )
         if not bool(np.asarray(out[1])):
             raise ValueError("rANS stream integrity check failed")
         pv_np = np.asarray(out[2]) if decode_preview else None
