@@ -343,23 +343,28 @@ def main() -> None:
     # the device decode number.
     from fpv_tpu.api.multistream import MultiStreamDecoder
 
-    def _hub_run():
+    def _hub_run(nstreams=2):
+        # two concurrent camera streams: the hub's issue/finalize pipeline
+        # overlaps stream A's frame download with stream B's payload upload
+        # (duplex link) — the aggregate serving scenario
         pixels = [0]
 
         def _sink(sid, frames_out, ts):
             pixels[0] += frames_out.size
 
         hub = MultiStreamDecoder(sink=_sink)
-        hub.add_stream("bench")
+        for i in range(nstreams):
+            hub.add_stream(f"bench{i}")
         t0 = time.time()
-        hub.feed("bench", data)
+        for i in range(nstreams):
+            hub.feed(f"bench{i}", data)
         hub.close()
         return pixels[0], time.time() - t0
 
-    _hub_run()  # compile warmup (decode_preview=False specialization)
+    _hub_run(1)  # compile warmup (decode_preview=False specialization)
     hub_px, hub_dt = _hub_run()
     hub_dec = hub_px / 1e6 / hub_dt
-    log(f"multistream hub decode: {hub_dec:.1f} Mpix/s"
+    log(f"multistream hub decode (2 streams): {hub_dec:.1f} Mpix/s"
         f" ({hub_px/1e6:.0f} Mpix in {hub_dt:.1f}s)")
 
     # ---- low-plane ratio vs brotli-q1 (the reference's entropy coder):

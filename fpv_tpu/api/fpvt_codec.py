@@ -1186,6 +1186,30 @@ class FpvtReader:
             pb, 1 << self.header.chunk_log2
         ):
             return self._decode_batch_fused(pb, b, decode_preview=want_previews)
+        return self._decode_parsed_batch_slow(pb, b, want_previews)
+
+    def _decode_parsed_batch_issue(
+        self, pb: fpvt.ParsedBatch, b: int, want_previews: bool = False
+    ):
+        """Issue a parsed-batch decode, returning ``finalize() -> (imgs, pv)``.
+
+        On the fused path the device program is queued immediately and only
+        the pulls wait inside ``finalize`` (see _decode_batch_fused_issue);
+        the fallback engines have no async split and run entirely in
+        ``finalize``."""
+        from fpv_tpu.entropy.plane_codec import engine_name
+
+        if engine_name() == "pallas" and _fused_decodable(
+            pb, 1 << self.header.chunk_log2
+        ):
+            return self._decode_batch_fused_issue(
+                pb, b, decode_preview=want_previews
+            )
+        return lambda: self._decode_parsed_batch_slow(pb, b, want_previews)
+
+    def _decode_parsed_batch_slow(
+        self, pb: fpvt.ParsedBatch, b: int, want_previews: bool = False
+    ) -> tuple[np.ndarray, np.ndarray | None]:
         h, w = self.header.ysize, self.header.xsize
         high = self._decode_high(pb, b)
         if pb.low is not None:
@@ -1208,11 +1232,20 @@ class FpvtReader:
     def _decode_batch_fused(
         self, pb: fpvt.ParsedBatch, b: int, decode_preview: bool = False
     ) -> tuple[np.ndarray, np.ndarray | None]:
-        """One-jit decode: single upload + dispatch + frame pull.
+        """One-jit decode: single upload + dispatch + frame pull."""
+        return self._decode_batch_fused_issue(pb, b, decode_preview)()
 
-        Returns (imgs, previews-or-None); with ``decode_preview`` the
-        preview plane decodes inside the same fused program (the fast-path
-        analog of the reference's DecodePreview,
+    def _decode_batch_fused_issue(
+        self, pb: fpvt.ParsedBatch, b: int, decode_preview: bool = False
+    ):
+        """Upload + dispatch the fused batch decode, DEFERRING every pull.
+
+        Returns a zero-arg ``finalize() -> (imgs, previews-or-None)``.
+        Splitting issue from finalize lets a serving pipeline overlap batch
+        n's frame download with batch n+1's payload upload/compute (the
+        device program is already queued when finalize blocks).  With
+        ``decode_preview`` the preview plane decodes inside the same fused
+        program (the fast-path analog of the reference's DecodePreview,
         fusion_power_video.cc:1038-1070)."""
         from fpv_tpu.entropy.plane_codec import _quantize_cap
         from fpv_tpu.ops import rans_pallas as rp
@@ -1299,13 +1332,15 @@ class FpvtReader:
             any_pv_delta=bool((pb.frame_flags & F_PV_USE_DELTA).any()),
             pack_u8=True,
         )
-        imgs_np = (
-            np.asarray(out[0]).view("<u2").reshape(b, h, w)
-        )
-        if not bool(np.asarray(out[1])):
-            raise ValueError("rANS stream integrity check failed")
-        pv_np = np.asarray(out[2]) if decode_preview else None
-        return imgs_np, pv_np
+
+        def finalize() -> tuple[np.ndarray, np.ndarray | None]:
+            imgs_np = np.asarray(out[0]).view("<u2").reshape(b, h, w)
+            if not bool(np.asarray(out[1])):
+                raise ValueError("rANS stream integrity check failed")
+            pv_np = np.asarray(out[2]) if decode_preview else None
+            return imgs_np, pv_np
+
+        return finalize
 
     def decode_frame(self, index: int) -> np.ndarray:
         """Random-access decode of ONE frame.
@@ -1520,13 +1555,23 @@ class FpvtStreamingReader:
     dispatches.
     """
 
-    def __init__(self, callback, want_previews: bool = False) -> None:
+    def __init__(
+        self, callback, want_previews: bool = False, batch_hook=None
+    ) -> None:
         """``callback(frames u16 [B,H,W], timestamps i64 [B])`` per batch;
         with ``want_previews`` the callback receives a third argument, the
         [B, H//4, W//4] u8 previews (decoded inside the same fused
-        program)."""
+        program).
+
+        ``batch_hook(finalize, timestamps)``: pipelining hook.  When set,
+        each complete batch is ISSUED to the device inside :meth:`decode`
+        and the hook receives a zero-arg ``finalize() -> (imgs, pv)``
+        instead of the callback firing; the owner finalizes (on another
+        thread) so batch n's frame download overlaps batch n+1's upload and
+        compute.  The callback is then the owner's responsibility."""
         self._callback = callback
         self._want_previews = want_previews
+        self._batch_hook = batch_hook
         self._buffer = bytearray()
         self._inner: FpvtReader | None = None
         self._header: Header | None = None
@@ -1558,15 +1603,19 @@ class FpvtStreamingReader:
             ) = _decode_delta_planes(dflags, dh_stream, dl_stream, h, w)
             self._pos = fpvt.HEADER_SIZE + dsize
             if header.delta_is_frame0:
-                first = (self._inner.frame0()[None],
-                         np.full(1, -1, dtype=np.int64))
-                if self._want_previews:
-                    pv0 = np.asarray(
-                        generate_preview(self._inner._delta_high[None])
-                    )
-                    self._callback(*first, pv0)
+                frame0 = self._inner.frame0()[None]
+                ts0 = np.full(1, -1, dtype=np.int64)
+                pv0 = (
+                    np.asarray(generate_preview(self._inner._delta_high[None]))
+                    if self._want_previews
+                    else None
+                )
+                if self._batch_hook is not None:
+                    self._batch_hook(lambda: (frame0, pv0), ts0)
+                elif self._want_previews:
+                    self._callback(frame0, ts0, pv0)
                 else:
-                    self._callback(*first)
+                    self._callback(frame0, ts0)
         import struct as _s
 
         while len(buf) - self._pos >= 9:
@@ -1578,13 +1627,19 @@ class FpvtStreamingReader:
             section = bytes(buf[self._pos : self._pos + size])
             pb = fpvt.parse_batch_section(section, 0)
             b = len(pb.frame_flags)
-            imgs, pv = self._inner._decode_parsed_batch(
-                pb, b, want_previews=self._want_previews
-            )
-            if self._want_previews:
-                self._callback(imgs, pb.timestamps, pv)
+            if self._batch_hook is not None:
+                fin = self._inner._decode_parsed_batch_issue(
+                    pb, b, want_previews=self._want_previews
+                )
+                self._batch_hook(fin, pb.timestamps)
             else:
-                self._callback(imgs, pb.timestamps)
+                imgs, pv = self._inner._decode_parsed_batch(
+                    pb, b, want_previews=self._want_previews
+                )
+                if self._want_previews:
+                    self._callback(imgs, pb.timestamps, pv)
+                else:
+                    self._callback(imgs, pb.timestamps)
             self._pos += size
         # compact consumed bytes
         if self._pos > 1 << 22:

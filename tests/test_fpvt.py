@@ -375,3 +375,24 @@ def test_multistream_multi_device_assignment():
     hub.close()
     for sid, fr in streams.items():
         np.testing.assert_array_equal(decode_file_fpvt(b"".join(out[sid])), fr)
+
+
+def test_multistream_decoder_sink_error_propagates():
+    """A sink that raises inside the finalize stage must surface as a
+    RuntimeError from feed()/close(), not hang either pipeline worker."""
+    import pytest
+
+    from fpv_tpu.api.fpvt_codec import encode_file_fpvt
+    from fpv_tpu.api.multistream import MultiStreamDecoder
+
+    frames = testdata.plasma_frames(4, 32, 32, seed=7)
+    data = encode_file_fpvt(frames, frames_per_batch=2, chunk_log2=8)
+
+    def sink(sid, imgs, ts):
+        raise ValueError("sink boom")
+
+    hub = MultiStreamDecoder(sink=sink)
+    hub.add_stream("s")
+    with pytest.raises(RuntimeError):
+        hub.feed("s", data)
+        hub.close()
