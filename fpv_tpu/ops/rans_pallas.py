@@ -86,15 +86,19 @@ def _lookup_tab(tab: jax.Array, idx: jax.Array) -> jax.Array:
     return out
 
 
-def _lookup_sym(sym_tab: jax.Array, slot: jax.Array) -> jax.Array:
-    """slot [8,128] in [0,4096) -> symbol, via 4096 u8s packed in [8,128] u32."""
-    word_idx = slot >> 2  # [0, 1024)
-    row = word_idx >> 7  # [0, 8)
+def _lookup_sym(
+    sym_tab: jax.Array, slot: jax.Array, nrows: int = BLOCK_ROWS
+) -> jax.Array:
+    """slot [8,128] in [0, nrows*512) -> symbol, bytes packed 4/u32 across
+    the first ``nrows`` rows of a [8,128] u32 table (nrows = scale/512, so
+    smaller prob_bits need proportionally fewer row gathers per step)."""
+    word_idx = slot >> 2  # [0, nrows*128)
+    row = word_idx >> 7  # [0, nrows)
     col = word_idx & 127
     out = jnp.zeros(slot.shape, jnp.uint32)
-    for r in range(BLOCK_ROWS):
+    for r in range(nrows):
         g = jnp.take_along_axis(_bcast_row(sym_tab[r : r + 1]), col, axis=1)
-        out = jnp.where(row == r, g, out)
+        out = jnp.where(row == r, g, out) if nrows > 1 else g
     byte = (slot & 3).astype(jnp.uint32)
     return ((out >> (byte * 8)) & 0xFF).astype(jnp.int32)
 
@@ -449,7 +453,7 @@ def _decode_kernel(
             sym = _lookup_sym_nib(sym_tab[:4], ctx * scale + slot)
             e = _lookup_fc_pair(fc, ctx * CTX_ALPHA + sym)
         else:
-            sym = _lookup_sym(sym_tab, slot)
+            sym = _lookup_sym(sym_tab, slot, max(1, scale >> 9))
             e = _lookup_tab(fc, sym)
         f = (e & fmask) + 1
         cum = e >> prob_bits
