@@ -396,3 +396,30 @@ def test_multistream_decoder_sink_error_propagates():
     with pytest.raises(RuntimeError):
         hub.feed("s", data)
         hub.close()
+
+
+def test_fused_pack_u8_matches_slow_path(monkeypatch):
+    """The fused decode's u8-byte-stream output (device bitcast + host view,
+    see fused_decode_batch pack_u8) must match the per-plane slow path
+    byte-for-byte — guards the little-endian byte order and the
+    [b*h, 2w] -> [b, h, w] view across platforms."""
+    from fpv_tpu.api.fpvt_codec import FpvtReader, encode_file_fpvt
+
+    frames = testdata.plasma_frames(6, 64, 128, bits=12, seed=11)
+    monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
+    # disable narrow streams so small test planes still get the 1024-lane
+    # device geometry the fused program requires
+    monkeypatch.setenv("FPV_TPU_NARROW_MAX", "0")
+    # chunk_log2=8: interpret-mode kernels iterate every chunk step, so the
+    # default 4096-step chunks would cost minutes here
+    data = encode_file_fpvt(frames, shift=4, frames_per_batch=3, chunk_log2=8)
+    r = FpvtReader(data)
+    for i in range(r.num_batches):
+        off, b = r._batches[i]
+        from fpv_tpu.format import fpvt as _f
+
+        pb = _f.parse_batch_section(data, off)
+        fast, pv_f = r._decode_batch_fused(pb, b, decode_preview=True)
+        slow, pv_s = r._decode_parsed_batch_slow(pb, b, want_previews=True)
+        np.testing.assert_array_equal(fast, slow)
+        np.testing.assert_array_equal(pv_f, pv_s)
