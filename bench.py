@@ -402,6 +402,22 @@ def main() -> None:
                 (np.arange(512 * 512) % 4096).astype(np.uint16)
                 .reshape(1, 512, 512), (16, 1, 1)), 4),
         ]
+        # realistic sensor content (same 16x512x512 shape so all corpora
+        # share compiled programs): smooth+shot-noise, dark scene with hot
+        # pixels, slow spatial drift (temporal structure)
+        _prng = np.random.default_rng(0)
+        _pl = testdata.plasma_frames(16, 512, 512, bits=12, seed=5).astype(
+            np.int32
+        )
+        sweep.append(("mixed12", np.clip(
+            _pl + _prng.normal(0, 8, _pl.shape), 0, 4095
+        ).astype(np.uint16), 4))
+        _dark = _prng.poisson(50, (16, 512, 512)).astype(np.uint16)
+        _dark[_prng.random((16, 512, 512)) < 1e-4] = 4000
+        sweep.append(("dark12", _dark, 4))
+        sweep.append(("drift12", np.stack(
+            [np.roll(_pl[0], (i, i), (0, 1)) for i in range(16)]
+        ).astype(np.uint16), 4))
         from fpv_tpu.api.fpvt_codec import encode_file_fpvt
 
         for cname, cframes, cshift in sweep:
