@@ -501,6 +501,110 @@ def _fused_decodable(pb: "fpvt.ParsedBatch", chunk_len: int) -> bool:
     return True
 
 
+def batch_decode_args(
+    pb: "fpvt.ParsedBatch",
+    b: int,
+    h: int,
+    w: int,
+    chunk_len: int,
+    *,
+    rows_alloc: int | None = None,
+):
+    """Assemble :func:`fused_decode_batch`'s inputs from a parsed batch.
+
+    Host-side packaging shared by the reader's fused path, the benchmark
+    harness, and the sharded decode layer.  Returns ``(arrays, static)``:
+    ``arrays`` is a dict of numpy arrays (payload, plane_offs, counts,
+    states, flags, sym_tabs, fcs, const_vals); ``static`` is a dict of the
+    shape-static kwargs (rows_alloc, low_ctx, const_planes, any_up, any_cg,
+    pv_any_up, pv_any_cg, any_pv_delta).
+
+    ``rows_alloc`` overrides the data-dependent window allocation so several
+    sections can share ONE compiled program — the sharded decode path stacks
+    one section per device (zero-padding payloads to a common length) and
+    shard_maps the program over the stack.
+    """
+    from fpv_tpu.entropy.plane_codec import _quantize_cap, _quantize_rows
+    from fpv_tpu.format.fpvt import F_PV_USE_DELTA
+    from fpv_tpu.ops import rans_pallas as rp
+    from fpv_tpu.ops.rans_layout import BLOCK_COLS, CODING_CONST
+
+    streams = [pb.high, pb.low, pb.preview]
+    # CODING_CONST planes carry no coded data: they are excluded from every
+    # concatenated array and flagged to the program instead
+    const_planes = tuple(st.coding == CODING_CONST for st in streams)
+    const_vals = np.array(
+        [st.value if c else 0 for st, c in zip(streams, const_planes)],
+        np.uint32,
+    )
+    coded = [st for st, c in zip(streams, const_planes) if not c]
+    max_cnt = max(
+        (int(st.block_counts.max()) for st in coded if st.block_counts.size),
+        default=0,
+    )
+    need_rows = _quantize_rows(max_cnt, chunk_len) + 16
+    if rows_alloc is None:
+        rows_alloc = need_rows
+    elif rows_alloc < need_rows:
+        raise ValueError("rows_alloc override below this section's need")
+    win = rows_alloc * BLOCK_COLS
+    plane_offs = np.zeros(3, np.int32)
+    parts = []
+    pos = 0
+    for i, st in enumerate(streams):
+        plane_offs[i] = pos
+        if not const_planes[i]:
+            parts.append(st.payload)
+            pos += st.payload.size
+    # slack so in-program window slices never clamp (clamping would shift
+    # the last blocks' word reads)
+    cap = _quantize_cap(
+        pos + win, chunk_len, max(sum(s.num_blocks for s in coded), 1)
+    )
+    payload = np.zeros(cap + win, np.uint16)
+    payload[:pos] = np.concatenate(parts) if parts else payload[:0]
+    counts = np.concatenate(
+        [s.block_counts for s in coded] or [np.zeros(0, np.uint32)]
+    ).astype(np.uint32)
+    states = np.concatenate(
+        [s.states for s in coded] or [np.zeros(0, np.uint32)]
+    ).astype(np.uint32)
+    fcs = np.zeros((3, 4, 128), np.uint32)
+    sym_tabs = np.zeros((3, 8, 128), np.uint32)
+    for i, st in enumerate(streams):
+        if const_planes[i]:
+            continue
+        if st.coding:
+            fc_i, sym_i = rp.ctx_decode_table_arrays(st.freq)
+        else:
+            fc_i, _finv, sym_i = rp.table_arrays(st.freq)
+        fcs[i, :2] = fc_i
+        sym_tabs[i] = sym_i
+    spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
+    pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
+    arrays = dict(
+        payload=payload,
+        plane_offs=plane_offs,
+        counts=counts,
+        states=states,
+        flags=pb.frame_flags.astype(np.uint32),
+        sym_tabs=sym_tabs,
+        fcs=fcs,
+        const_vals=const_vals,
+    )
+    static = dict(
+        rows_alloc=rows_alloc,
+        low_ctx=bool(pb.low.coding == 1),
+        const_planes=const_planes,
+        any_up=bool((spatial == SPATIAL_UP).any()),
+        any_cg=bool((spatial == SPATIAL_CG2D).any()),
+        pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
+        pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
+        any_pv_delta=bool((pb.frame_flags & F_PV_USE_DELTA).any()),
+    )
+    return arrays, static
+
+
 def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     """Offsets into fused_encode_batch's ``small`` vector, plus offsets of
     each plane's chunk states inside the separate ``states`` vector."""
@@ -1247,90 +1351,27 @@ class FpvtReader:
         ``decode_preview`` the preview plane decodes inside the same fused
         program (the fast-path analog of the reference's DecodePreview,
         fusion_power_video.cc:1038-1070)."""
-        from fpv_tpu.entropy.plane_codec import _quantize_cap
-        from fpv_tpu.ops import rans_pallas as rp
-        from fpv_tpu.ops.rans_layout import BLOCK_COLS, CODING_CONST
-
-        from fpv_tpu.entropy.plane_codec import _quantize_rows
-
         h, w = self.header.ysize, self.header.xsize
         k = 1 << self.header.chunk_log2
-        streams = [pb.high, pb.low, pb.preview]
-        # CODING_CONST planes carry no coded data: they are excluded from
-        # every concatenated array and flagged to the program instead
-        const_planes = tuple(st.coding == CODING_CONST for st in streams)
-        const_vals = np.array(
-            [st.value if c else 0 for st, c in zip(streams, const_planes)],
-            np.uint32,
-        )
-        coded = [st for st, c in zip(streams, const_planes) if not c]
-        max_cnt = max(
-            (int(st.block_counts.max()) for st in coded if st.block_counts.size),
-            default=0,
-        )
-        rows_alloc = _quantize_rows(max_cnt, k) + 16
-        win = rows_alloc * BLOCK_COLS
-        plane_offs = np.zeros(3, np.int32)
-        parts = []
-        pos = 0
-        for i, st in enumerate(streams):
-            plane_offs[i] = pos
-            if not const_planes[i]:
-                parts.append(st.payload)
-                pos += st.payload.size
-        # slack so in-program window slices never clamp (clamping would shift
-        # the last blocks' word reads)
-        cap = _quantize_cap(pos + win, k, max(sum(s.num_blocks for s in coded), 1))
-        payload = np.zeros(cap + win, np.uint16)
-        payload[:pos] = np.concatenate(parts) if parts else payload[:0]
-        counts = np.concatenate(
-            [s.block_counts for s in coded] or [np.zeros(0, np.uint32)]
-        ).astype(np.uint32)
-        states = np.concatenate(
-            [s.states for s in coded] or [np.zeros(0, np.uint32)]
-        ).astype(np.uint32)
-        low_ctx = bool(pb.low.coding == 1)
-        fcs = np.zeros((3, 4, 128), np.uint32)
-        sym_tabs = np.zeros((3, 8, 128), np.uint32)
-        for i, st in enumerate(streams):
-            if const_planes[i]:
-                continue
-            if st.coding:
-                fc_i, sym_i = rp.ctx_decode_table_arrays(st.freq)
-            else:
-                fc_i, _finv, sym_i = rp.table_arrays(st.freq)
-            fcs[i, :2] = fc_i
-            sym_tabs[i] = sym_i
-        flags = pb.frame_flags.astype(np.uint32)
-        spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
-        pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
-        from fpv_tpu.format.fpvt import F_PV_USE_DELTA
-
+        arrays, static = batch_decode_args(pb, b, h, w, k)
         out = fused_decode_batch(
-            jnp.asarray(payload),
-            jnp.asarray(plane_offs),
-            jnp.asarray(counts),
-            jnp.asarray(states),
-            jnp.asarray(flags),
-            jnp.asarray(sym_tabs),
-            jnp.asarray(fcs),
+            jnp.asarray(arrays["payload"]),
+            jnp.asarray(arrays["plane_offs"]),
+            jnp.asarray(arrays["counts"]),
+            jnp.asarray(arrays["states"]),
+            jnp.asarray(arrays["flags"]),
+            jnp.asarray(arrays["sym_tabs"]),
+            jnp.asarray(arrays["fcs"]),
             self._delta_high,
             self._delta_low,
-            jnp.asarray(const_vals),
+            jnp.asarray(arrays["const_vals"]),
             chunk_len=k,
             b=b,
             h=h,
             w=w,
-            any_up=bool((spatial == SPATIAL_UP).any()),
-            any_cg=bool((spatial == SPATIAL_CG2D).any()),
-            pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
-            pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
             decode_preview=decode_preview,
-            rows_alloc=rows_alloc,
-            low_ctx=low_ctx,
-            const_planes=const_planes,
-            any_pv_delta=bool((pb.frame_flags & F_PV_USE_DELTA).any()),
             pack_u8=True,
+            **static,
         )
 
         def finalize() -> tuple[np.ndarray, np.ndarray | None]:

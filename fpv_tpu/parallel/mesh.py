@@ -212,6 +212,176 @@ def sharded_fused_encode(
     return jax.jit(sharded)
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_decode_program(
+    mesh: Mesh,
+    chunk_len: int,
+    b: int,
+    h: int,
+    w: int,
+    decode_preview: bool,
+    static_items: tuple,
+):
+    from jax import shard_map
+
+    from fpv_tpu.api.fpvt_codec import fused_decode_batch
+
+    static = dict(static_items)
+
+    def fn(payload, plane_offs, counts, states, flags, sym_tabs, fcs,
+           dh, dl, const_vals):
+        out = fused_decode_batch(
+            payload[0], plane_offs[0], counts[0], states[0], flags[0],
+            sym_tabs[0], fcs[0], dh, dl, const_vals[0],
+            chunk_len=chunk_len, b=b, h=h, w=w,
+            decode_preview=decode_preview, **static,
+        )
+        if decode_preview:
+            imgs, ok, pv = out
+            return imgs[None], ok.reshape(1), pv[None]
+        imgs, ok = out
+        return imgs[None], ok.reshape(1)
+
+    nout = 3 if decode_preview else 2
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("data"),) * 7 + (P(None, None), P(None, None), P("data")),
+        out_specs=(P("data"),) * nout,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_fused_decode(
+    mesh: Mesh,
+    *,
+    chunk_len: int,
+    b: int,
+    h: int,
+    w: int,
+    decode_preview: bool = False,
+    **static,
+):
+    """shard_map of the production fused_decode_batch program: each device
+    decodes ONE batch section (stacked along the leading axis, P('data')).
+
+    Takes the stacked outputs of fpvt_codec.batch_decode_args — payload
+    [D, L], plane_offs [D, 3], counts [D, C], states [D, S], flags [D, B],
+    sym_tabs [D, 3, 8, 128], fcs [D, 3, 4, 128] — plus the shared
+    (replicated) delta planes and const_vals [D, 3].  Returns
+    (imgs [D, B, H, W] u16, ok [D] bool) — bit-identical to running
+    fused_decode_batch on each section separately (tested in
+    tests/test_parallel.py).  ``static`` carries batch_decode_args's static
+    kwargs; bool flags must be the UNION over the stacked sections and
+    rows_alloc their max (batch_decode_args accepts both as overrides).
+
+    The serving counterpart of sharded_fused_encode: D batch sections of a
+    stream (or D independent streams) decode concurrently across the mesh —
+    the multi-chip generalization of the reference's frame-level decode
+    parallelism (fusion_power_video.cc:296-347 driven per frame)."""
+    return _sharded_decode_program(
+        mesh, chunk_len, b, h, w, decode_preview,
+        tuple(sorted(static.items())),
+    )
+
+
+def sharded_decode_file(data: bytes, mesh: Mesh) -> np.ndarray:
+    """Decode an FPVT file's batch sections data-parallel over ``mesh``.
+
+    Sections group by decode signature (frames per batch, const-plane set,
+    low coding); each full group of mesh-size sections decodes as ONE
+    sharded program, remainders fall back to the single-device reader.
+    Returns all frames [N, H, W] u16 (left-aligned), file order.  Expects a
+    data-only mesh (space axis of size 1)."""
+    from fpv_tpu.api.fpvt_codec import (
+        FpvtReader,
+        _fused_decodable,
+        batch_decode_args,
+    )
+    from fpv_tpu.format import fpvt as _fpvt
+
+    from fpv_tpu.entropy.plane_codec import _quantize_rows
+    from fpv_tpu.ops.rans_layout import CODING_CONST
+
+    rdr = FpvtReader(data)
+    ndev = mesh.shape["data"]
+    h, w = rdr.header.ysize, rdr.header.xsize
+    k = 1 << rdr.header.chunk_log2
+    results: dict[int, np.ndarray] = {}
+    groups: dict[tuple, list] = {}
+    leftovers: list[tuple[int, "_fpvt.ParsedBatch", int]] = []
+    for bi, (off, n) in enumerate(rdr._batches):
+        pb = _fpvt.parse_batch_section(data, off)
+        if not _fused_decodable(pb, k):
+            leftovers.append((bi, pb, n))
+            continue
+        streams = (pb.high, pb.low, pb.preview)
+        const_planes = tuple(st.coding == CODING_CONST for st in streams)
+        # the section's window need (same formula as batch_decode_args,
+        # which raises if an override falls below it) — computed here
+        # without packaging so grouping stays cheap
+        max_cnt = max(
+            (int(st.block_counts.max())
+             for st, c in zip(streams, const_planes)
+             if not c and st.block_counts.size),
+            default=0,
+        )
+        rows_need = _quantize_rows(max_cnt, k) + 16
+        key = (n, const_planes, bool(pb.low.coding == 1))
+        groups.setdefault(key, []).append((bi, pb, rows_need))
+    for (n, _const, _lowctx), items in groups.items():
+        while len(items) >= ndev:
+            chunk_items, items = items[:ndev], items[ndev:]
+            rows = max(it[2] for it in chunk_items)
+            rebuilt = [
+                batch_decode_args(pb, n, h, w, k, rows_alloc=rows)
+                for _bi, pb, _r in chunk_items
+            ]
+            # pad payloads to one length so the stack is rectangular (zero
+            # slack beyond a section's cap is never decoded)
+            plen = max(a["payload"].size for a, _ in rebuilt)
+            stacked = {
+                name: np.stack([
+                    np.pad(a[name], (0, plen - a[name].size))
+                    if name == "payload" else a[name]
+                    for a, _ in rebuilt
+                ])
+                for name in rebuilt[0][0]
+            }
+            static = dict(rebuilt[0][1])
+            for _a, s in rebuilt[1:]:
+                for key in ("any_up", "any_cg", "pv_any_up", "pv_any_cg",
+                            "any_pv_delta"):
+                    static[key] |= s[key]
+            static["rows_alloc"] = rows
+            step = sharded_fused_decode(
+                mesh, chunk_len=k, b=n, h=h, w=w, **static
+            )
+            sh = lambda: NamedSharding(mesh, P("data"))
+            args = [
+                jax.device_put(jnp.asarray(stacked[name]), sh())
+                for name in ("payload", "plane_offs", "counts", "states",
+                             "flags", "sym_tabs", "fcs")
+            ]
+            imgs, ok = step(
+                *args, rdr._delta_high, rdr._delta_low,
+                jax.device_put(jnp.asarray(stacked["const_vals"]), sh()),
+            )
+            if not bool(np.asarray(ok).all()):
+                raise ValueError("rANS stream integrity check failed")
+            imgs_np = np.asarray(imgs)
+            for di, (bi, _pb, _r) in enumerate(chunk_items):
+                results[bi] = imgs_np[di]
+        leftovers.extend((bi, pb, n) for bi, pb, _r in items)
+    for bi, pb, n in leftovers:
+        results[bi] = rdr._decode_parsed_batch(pb, n)[0]
+    out = [results[bi] for bi in range(len(rdr._batches))]
+    if rdr.header.delta_is_frame0:
+        out.insert(0, rdr.frame0()[None])
+    return np.concatenate(out) if out else np.zeros((0, h, w), np.uint16)
+
+
 def multichip_dryrun(n_devices: int, h: int = 32, w: int = 32) -> None:
     """Compile + execute the FULL codec (model step, device tables, rANS
     encode/decode Pallas kernels, inverse predictors) sharded over an
@@ -256,6 +426,7 @@ def multichip_dryrun(n_devices: int, h: int = 32, w: int = 32) -> None:
     if not np.array_equal(np.asarray(out), frames):
         raise AssertionError("sharded full-codec output mismatch")
     _dryrun_production_config(mesh, n_devices)
+    _dryrun_production_decode(mesh, n_devices)
 
 
 def _dryrun_production_config(mesh: Mesh, n_devices: int) -> None:
@@ -298,6 +469,42 @@ def _dryrun_production_config(mesh: Mesh, n_devices: int) -> None:
             raise AssertionError(
                 "sharded production-config encode not bit-exact"
             )
+
+
+def _dryrun_production_decode(mesh: Mesh, n_devices: int) -> None:
+    """Compile + execute the sharded production-config DECODE: one FPVT file
+    whose sections carry the shipping configuration (ctx16 low plane,
+    chunk_len 4096 device-geometry streams), one section per device, decoded
+    through sharded_decode_file and verified pixel-exact."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.api.fpvt_codec import FpvtWriter
+    from fpv_tpu.format import fpvt as _fpvt
+
+    h, w = 96, 128
+    shift = 4
+    bpb = 2
+    rng = np.random.default_rng(1)
+    frames = rng.integers(
+        0, 1 << 12, size=(n_devices * bpb, h, w), dtype=np.uint16
+    )
+    wtr = FpvtWriter(w, h, shift=shift, frames_per_batch=bpb)
+    parts = [wtr.init(frames[0])]
+    for i in range(n_devices):
+        sub = np.asarray(frames[i * bpb : (i + 1) * bpb], np.uint16)
+        # _encode_batch_fused directly: the public encode_batch routes small
+        # batches to narrow host-coded streams, but this dryrun must produce
+        # device-geometry sections for the sharded fused decode
+        flags, (hs, ls, pvs) = wtr._encode_batch_fused(wtr._put(sub), bpb)
+        sec = _fpvt.serialize_batch_section(
+            flags, np.full(bpb, -1, np.int64), hs, ls, pvs
+        )
+        parts.append(wtr.add_batch(sec, bpb))
+    parts.append(wtr.finish())
+    out = sharded_decode_file(b"".join(parts), mesh)
+    want = (frames.astype(np.uint32) << shift).astype(np.uint16)
+    if not np.array_equal(out, want):
+        raise AssertionError("sharded production-config decode mismatch")
 
 
 def _test_frames(b: int, h: int, w: int) -> np.ndarray:

@@ -120,6 +120,55 @@ def test_sharded_codec_roundtrip_lossless():
     np.testing.assert_array_equal(np.asarray(out), frames)
 
 
+def test_sharded_decode_file_mixed_sections():
+    """sharded_decode_file over a file mixing device-geometry sections
+    (grouped by decode signature, full mesh groups decode as one sharded
+    program), CODING_CONST sections (their own signature group), and a
+    narrow host-coded section (leftover fallback) — pixel-exact against
+    the single-device reader, file order preserved."""
+    from fpv_tpu.api.fpvt_codec import FpvtWriter, decode_file_fpvt
+    from fpv_tpu.format import fpvt as _fpvt
+    from fpv_tpu.utils import testdata
+
+    D, h, w, bpb, shift = 2, 32, 32, 2, 4
+    m = pmesh.make_mesh(D, data=D)
+    rng = np.random.default_rng(7)
+    wtr = FpvtWriter(w, h, shift=shift, frames_per_batch=bpb, chunk_log2=5)
+    base = testdata.plasma_frames(1, h, w, bits=12)[0]
+    parts = [wtr.init(base)]
+    frames = []
+
+    def add_fused(sub):
+        # _encode_batch_fused directly: the public encode path routes small
+        # batches to narrow host-coded streams, but this test needs
+        # device-geometry sections for the sharded fused decode
+        flags, (hs, ls, pvs) = wtr._encode_batch_fused(
+            wtr._put(sub), sub.shape[0]
+        )
+        sec = _fpvt.serialize_batch_section(
+            flags, np.full(sub.shape[0], -1, np.int64), hs, ls, pvs
+        )
+        parts.append(wtr.add_batch(sec, sub.shape[0]))
+        frames.append(sub)
+
+    for _ in range(2 * D):  # two full mesh groups of noise sections
+        add_fused(rng.integers(0, 1 << 12, size=(bpb, h, w), dtype=np.uint16))
+    for _ in range(D):  # repeated delta frame -> CODING_CONST planes
+        add_fused(np.broadcast_to(base, (bpb, h, w)).copy())
+    sub = rng.integers(0, 1 << 12, size=(bpb, h, w), dtype=np.uint16)
+    parts.append(wtr.encode_batch(sub))  # narrow section -> leftover path
+    frames.append(sub)
+    parts.append(wtr.finish())
+    data = b"".join(parts)
+
+    out = pmesh.sharded_decode_file(data, m)
+    want = (np.concatenate(frames).astype(np.uint32) << shift).astype(
+        np.uint16
+    )
+    np.testing.assert_array_equal(out, want)
+    np.testing.assert_array_equal(out, decode_file_fpvt(data))
+
+
 def test_graft_entry():
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
