@@ -18,6 +18,7 @@ wavefront for 'cg2d') -> delta add -> plane combine.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 
@@ -939,6 +940,75 @@ def _inverse_preview(
     return pv
 
 
+def package_encoded_batch(
+    small: np.ndarray,
+    states_all: np.ndarray,
+    pay_h,
+    pay_l,
+    pay_p,
+    *,
+    b: int,
+    h: int,
+    w: int,
+    chunk_len: int,
+    low_coding: int,
+):
+    """Host-side packaging of one :func:`fused_encode_batch` output into
+    section streams: ``(flags, (high, low, preview) PlaneStreams)``.
+
+    ``small``/``states_all`` are numpy (already pulled); the payload arrays
+    may stay on device — only each stream's exact prefix is materialized
+    (the bucketed pull).  Shared by FpvtWriter's fused path and the sharded
+    file encoder (parallel/mesh.py), whose per-device output slices carry
+    exactly the single-device layout."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fpv_tpu.entropy.plane_codec import PlaneStream, _quantize_cap
+
+    lay = _small_layout(b, h, w, chunk_len, low_coding)
+
+    def seg(name):
+        lo, hi = lay[name]
+        return small[lo:hi]
+
+    flags = FpvtWriter._pack_flags(
+        seg("use_delta"), seg("spatial"), seg("pv_spatial"),
+        seg("nonzero_low"), seg("pv_use_delta"),
+    )
+
+    def package(name, pay_dev, s):
+        is_const, cval = seg(f"const_{name}")
+        if is_const:
+            from fpv_tpu.entropy.plane_codec import const_plane_stream
+
+            return const_plane_stream(b, s, chunk_len, int(cval))
+        freq = seg(f"freq_{name}").astype(np.uint16)
+        counts = seg(f"counts_{name}").astype(np.uint32)
+        lo, hi = lay[f"states_{name}"]
+        states = states_all[lo:hi].astype(np.uint32)
+        from fpv_tpu.ops.rans_layout import num_segments
+
+        total = int(counts.sum())
+        nblocks = len(counts) // num_segments(chunk_len)
+        cap = _quantize_cap(total, chunk_len, nblocks)
+        payload = np.asarray(pay_dev[: min(cap, pay_dev.shape[0])])[:total]
+        coding = low_coding if name == "low" else 0
+        return PlaneStream(
+            nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+            states=states, block_counts=counts, payload=payload,
+            coding=coding,
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(package, "high", pay_h, h * w),
+            pool.submit(package, "low", pay_l, h * w),
+            pool.submit(package, "preview", pay_p, (h // 4) * (w // 4)),
+        ]
+        hs, ls, pvs = (f.result() for f in futs)
+    return flags, (hs, ls, pvs)
+
+
 class FpvtWriter:
     """Streaming FPVT file writer: init -> encode_batch* -> finish."""
 
@@ -1147,10 +1217,6 @@ class FpvtWriter:
 
     def _encode_batch_fused(self, imgs: jax.Array, b: int):
         """One-jit encode; single small sync + bucketed payload pulls."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        from fpv_tpu.entropy.plane_codec import PlaneStream, _quantize_cap
-
         h, w = self.header.ysize, self.header.xsize
         small_d, states_d, pay_h, pay_l, pay_p = fused_encode_batch(
             imgs,
@@ -1161,50 +1227,11 @@ class FpvtWriter:
             self._chunk_len,
             low_coding=self._low_coding,
         )
-        small = np.asarray(small_d)
-        states_all = np.asarray(states_d)
-        lay = _small_layout(b, h, w, self._chunk_len, self._low_coding)
-
-        def seg(name):
-            lo, hi = lay[name]
-            return small[lo:hi]
-
-        flags = self._pack_flags(
-            seg("use_delta"), seg("spatial"), seg("pv_spatial"),
-            seg("nonzero_low"), seg("pv_use_delta"),
+        return package_encoded_batch(
+            np.asarray(small_d), np.asarray(states_d), pay_h, pay_l, pay_p,
+            b=b, h=h, w=w, chunk_len=self._chunk_len,
+            low_coding=self._low_coding,
         )
-
-        def package(name, pay_dev, s):
-            is_const, cval = seg(f"const_{name}")
-            if is_const:
-                from fpv_tpu.entropy.plane_codec import const_plane_stream
-
-                return const_plane_stream(b, s, self._chunk_len, int(cval))
-            freq = seg(f"freq_{name}").astype(np.uint16)
-            counts = seg(f"counts_{name}").astype(np.uint32)
-            lo, hi = lay[f"states_{name}"]
-            states = states_all[lo:hi].astype(np.uint32)
-            from fpv_tpu.ops.rans_layout import num_segments
-
-            total = int(counts.sum())
-            nblocks = len(counts) // num_segments(self._chunk_len)
-            cap = _quantize_cap(total, self._chunk_len, nblocks)
-            payload = np.asarray(pay_dev[: min(cap, pay_dev.shape[0])])[:total]
-            coding = self._low_coding if name == "low" else 0
-            return PlaneStream(
-                nframes=b, plane_size=s, chunk_len=self._chunk_len, freq=freq,
-                states=states, block_counts=counts, payload=payload,
-                coding=coding,
-            )
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = [
-                pool.submit(package, "high", pay_h, h * w),
-                pool.submit(package, "low", pay_l, h * w),
-                pool.submit(package, "preview", pay_p, (h // 4) * (w // 4)),
-            ]
-            hs, ls, pvs = (f.result() for f in futs)
-        return flags, (hs, ls, pvs)
 
     def add_batch(self, section: bytes, nframes: int) -> bytes:
         """Record a section produced by :meth:`encode_batch_bytes` as the
@@ -1226,17 +1253,25 @@ class FpvtWriter:
 
 
 class FpvtReader:
-    """Random-access FPVT reader: batches decode as single device programs."""
+    """Random-access FPVT reader: batches decode as single device programs.
 
-    def __init__(self, data: bytes) -> None:
+    ``device``: optional jax.Device pinning every program and upload of
+    this reader (via a thread-local ``jax.default_device`` scope around
+    each decode entry point) — independent readers on different chips
+    decode concurrently (the multi-device serving axis; same-geometry
+    readers still share compiled executables)."""
+
+    def __init__(self, data: bytes, device=None) -> None:
+        self._device = device
         self._data = bytes(data)
         self.header = Header.parse(data)
         # delta section follows the header
         dflags, dh_stream, dl_stream = fpvt.parse_delta_section(data, fpvt.HEADER_SIZE)
         h, w = self.header.ysize, self.header.xsize
-        self._delta_high, self._delta_low = _decode_delta_planes(
-            dflags, dh_stream, dl_stream, h, w
-        )
+        with self._on_device():
+            self._delta_high, self._delta_low = _decode_delta_planes(
+                dflags, dh_stream, dl_stream, h, w
+            )
         self._batches = fpvt.parse_footer(data)
         self._frame_to_batch: list[tuple[int, int]] = []
         if self.header.delta_is_frame0:
@@ -1247,14 +1282,22 @@ class FpvtReader:
                 self._frame_to_batch.append((bi, j))
         self._cache: tuple[int, np.ndarray] | None = None
 
+    def _on_device(self):
+        """Scope placing this reader's uploads/programs on its pinned device
+        (no-op when unpinned — default placement)."""
+        if self._device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._device)
+
     def frame0(self) -> np.ndarray:
         """The synthesized first frame when the header declares the delta
         frame doubles as frame 0 (left-aligned u16, like decode_batch)."""
-        return np.asarray(
-            combine_planes(
-                self._delta_high[None], self._delta_low[None]
-            )[0]
-        )
+        with self._on_device():
+            return np.asarray(
+                combine_planes(
+                    self._delta_high[None], self._delta_low[None]
+                )[0]
+            )
 
     @property
     def numframes(self) -> int:
@@ -1286,11 +1329,14 @@ class FpvtReader:
         per-plane path otherwise (narrow/const streams, numpy engine)."""
         from fpv_tpu.entropy.plane_codec import engine_name
 
-        if engine_name() == "pallas" and _fused_decodable(
-            pb, 1 << self.header.chunk_log2
-        ):
-            return self._decode_batch_fused(pb, b, decode_preview=want_previews)
-        return self._decode_parsed_batch_slow(pb, b, want_previews)
+        with self._on_device():
+            if engine_name() == "pallas" and _fused_decodable(
+                pb, 1 << self.header.chunk_log2
+            ):
+                return self._decode_batch_fused(
+                    pb, b, decode_preview=want_previews
+                )
+            return self._decode_parsed_batch_slow(pb, b, want_previews)
 
     def _decode_parsed_batch_issue(
         self, pb: fpvt.ParsedBatch, b: int, want_previews: bool = False
@@ -1303,13 +1349,17 @@ class FpvtReader:
         ``finalize``."""
         from fpv_tpu.entropy.plane_codec import engine_name
 
-        if engine_name() == "pallas" and _fused_decodable(
-            pb, 1 << self.header.chunk_log2
-        ):
-            return self._decode_batch_fused_issue(
-                pb, b, decode_preview=want_previews
-            )
-        return lambda: self._decode_parsed_batch_slow(pb, b, want_previews)
+        with self._on_device():
+            if engine_name() == "pallas" and _fused_decodable(
+                pb, 1 << self.header.chunk_log2
+            ):
+                return self._decode_batch_fused_issue(
+                    pb, b, decode_preview=want_previews
+                )
+        def slow():
+            with self._on_device():
+                return self._decode_parsed_batch_slow(pb, b, want_previews)
+        return slow
 
     def _decode_parsed_batch_slow(
         self, pb: fpvt.ParsedBatch, b: int, want_previews: bool = False
@@ -1410,7 +1460,8 @@ class FpvtReader:
             for st in (pb.high, pb.low)
         )
         if engine_name() == "pallas" and blocks_ok:
-            return self._decode_frame_blocks(pb, b, j)
+            with self._on_device():
+                return self._decode_frame_blocks(pb, b, j)
         self._cache = (bi, self.decode_batch(bi))
         return self._cache[1][j]
 
@@ -1514,6 +1565,12 @@ class FpvtReader:
     def _decode_previews_parsed(
         self, pb: fpvt.ParsedBatch, b: int
     ) -> np.ndarray:
+        with self._on_device():
+            return self._decode_previews_parsed_impl(pb, b)
+
+    def _decode_previews_parsed_impl(
+        self, pb: fpvt.ParsedBatch, b: int
+    ) -> np.ndarray:
         from fpv_tpu.entropy.plane_codec import engine_name
         from fpv_tpu.format.fpvt import F_PV_USE_DELTA
         from fpv_tpu.ops.rans_layout import BLOCK_LANES, CODING_CONST
@@ -1597,7 +1654,8 @@ class FpvtStreamingReader:
     """
 
     def __init__(
-        self, callback, want_previews: bool = False, batch_hook=None
+        self, callback, want_previews: bool = False, batch_hook=None,
+        device=None,
     ) -> None:
         """``callback(frames u16 [B,H,W], timestamps i64 [B])`` per batch;
         with ``want_previews`` the callback receives a third argument, the
@@ -1609,10 +1667,14 @@ class FpvtStreamingReader:
         and the hook receives a zero-arg ``finalize() -> (imgs, pv)``
         instead of the callback firing; the owner finalizes (on another
         thread) so batch n's frame download overlaps batch n+1's upload and
-        compute.  The callback is then the owner's responsibility."""
+        compute.  The callback is then the owner's responsibility.
+
+        ``device``: optional jax.Device pinning this stream's programs
+        (FpvtReader ``device`` semantics)."""
         self._callback = callback
         self._want_previews = want_previews
         self._batch_hook = batch_hook
+        self._device = device
         self._buffer = bytearray()
         self._inner: FpvtReader | None = None
         self._header: Header | None = None
@@ -1632,16 +1694,18 @@ class FpvtStreamingReader:
                 return
             self._header = header
             self._inner = FpvtReader.__new__(FpvtReader)
+            self._inner._device = self._device
             self._inner._data = b""
             self._inner.header = header
             dflags, dh_stream, dl_stream = fpvt.parse_delta_section(
                 bytes(buf), fpvt.HEADER_SIZE
             )
             h, w = header.ysize, header.xsize
-            (
-                self._inner._delta_high,
-                self._inner._delta_low,
-            ) = _decode_delta_planes(dflags, dh_stream, dl_stream, h, w)
+            with self._inner._on_device():
+                (
+                    self._inner._delta_high,
+                    self._inner._delta_low,
+                ) = _decode_delta_planes(dflags, dh_stream, dl_stream, h, w)
             self._pos = fpvt.HEADER_SIZE + dsize
             if header.delta_is_frame0:
                 frame0 = self._inner.frame0()[None]

@@ -1,11 +1,14 @@
-"""Multi-stream serving: many independent camera streams on one accelerator.
+"""Multi-stream serving: many independent camera streams per accelerator.
 
 The reference binds one encoder instance to one stream and scales by adding
 CPU threads (fusion_power_video.h:175-255).  On a TPU the scaling axis is
 the batch dimension: this hub multiplexes any number of independent streams
 (same frame geometry) onto one chip — each stream keeps its own delta frame,
 flags and FPVT output file, while device programs are shared across streams
-(identical shapes hit the same compiled executable).
+(identical shapes hit the same compiled executable).  Both hubs also take
+``devices=[...]`` to spread streams round-robin across chips (per-stream
+device pinning; the batch-section-level multi-chip path is
+parallel/mesh.py's sharded_encode_file / sharded_decode_file).
 
 Frames are queued per stream; full batches are encoded (pipelined on a
 worker thread, two deep) and delivered to the sink in per-stream order:
@@ -160,9 +163,16 @@ class MultiStreamDecoder:
         hub.close()
     """
 
-    def __init__(self, sink=None, want_previews: bool = False) -> None:
+    def __init__(
+        self, sink=None, want_previews: bool = False, devices=None
+    ) -> None:
+        """``devices``: optional list of jax.Devices; streams are assigned
+        round-robin (the encoder hub's twin), so independent streams decode
+        on different chips concurrently."""
         self._sink = sink or (lambda sid, *a: None)
         self._want_previews = want_previews
+        self._devices = list(devices) if devices else [None]
+        self._next_device = 0
         self._readers: dict[str, object] = {}
         self._queue: queue.Queue = queue.Queue(maxsize=4)  # backpressure
         # two-stage pipeline: the issue worker parses sections and QUEUES the
@@ -187,10 +197,13 @@ class MultiStreamDecoder:
         def hook(fin, ts, sid=stream_id):
             _safe_put(self._finq, (sid, fin, ts), self._check_error)
 
+        dev = self._devices[self._next_device % len(self._devices)]
+        self._next_device += 1
         self._readers[stream_id] = FpvtStreamingReader(
             lambda *a: None,
             want_previews=self._want_previews,
             batch_hook=hook,
+            device=dev,
         )
 
     def feed(self, stream_id: str, data: bytes) -> None:

@@ -382,6 +382,85 @@ def sharded_decode_file(data: bytes, mesh: Mesh) -> np.ndarray:
     return np.concatenate(out) if out else np.zeros((0, h, w), np.uint16)
 
 
+def sharded_encode_file(
+    frames: np.ndarray,
+    mesh: Mesh,
+    *,
+    shift: int = 0,
+    big_endian: bool = False,
+    frames_per_batch: int = 16,
+    chunk_log2: int = 12,
+    delta_frame: np.ndarray | None = None,
+) -> bytes:
+    """Encode [N, H, W] u16 frames into ONE FPVT file, batch sections
+    data-parallel over ``mesh``: every group of mesh-size full batches runs
+    as one sharded program (frames over ``P('data')``, shard-local tables
+    and streams — the multi-chip generalization of the reference's
+    frame-level worker pool, fusion_power_video.cc:1199-1230), then each
+    device's output slice packages into its own batch section host-side.
+
+    Byte-compatible with the single-device writer: each section is
+    bit-identical to fused_encode_batch on that frame slice, so files
+    decode with FpvtReader or :func:`sharded_decode_file` alike.  Tail
+    batches (fewer than a full mesh group) take the ordinary writer path.
+    Expects a data-only mesh (space axis of size 1)."""
+    from fpv_tpu.api.fpvt_codec import FpvtWriter, package_encoded_batch
+    from fpv_tpu.format import fpvt as _fpvt
+
+    frames = np.asarray(frames, dtype=np.uint16)
+    n, h, w = frames.shape
+    ndev = mesh.shape["data"]
+    bpb = frames_per_batch
+    delta_is_frame0 = delta_frame is None
+    if delta_is_frame0:
+        delta_frame = frames[0]
+        body = frames[1:]
+    else:
+        body = frames
+    wri = FpvtWriter(
+        w, h, shift, big_endian, bpb, chunk_log2,
+        delta_is_frame0=delta_is_frame0,
+    )
+    parts = [wri.init(delta_frame)]
+    k = 1 << chunk_log2
+    has_pv = (h // 4) * (w // 4) > 0
+    n_full = (body.shape[0] // bpb) * bpb  # frames in full-size batches
+    n_grouped = (n_full // (ndev * bpb)) * (ndev * bpb)
+    step = sharded_fused_encode(
+        mesh, shift, big_endian, k, low_coding=wri._low_coding
+    )
+    for s in range(0, n_grouped, ndev * bpb):
+        outs = step(
+            shard_frames(body[s : s + ndev * bpb], mesh),
+            wri._delta_high,
+            wri._delta_low,
+        )
+        small_g, st_g = np.asarray(outs[0]), np.asarray(outs[1])
+        pays = outs[2:]
+        L = small_g.size // ndev
+        SL = st_g.size // ndev
+        plens = [p.shape[0] // ndev for p in pays]
+        for d in range(ndev):
+            flags, (hs, ls, pvs) = package_encoded_batch(
+                small_g[d * L : (d + 1) * L],
+                st_g[d * SL : (d + 1) * SL],
+                *(p[d * pl : (d + 1) * pl] for p, pl in zip(pays, plens)),
+                b=bpb, h=h, w=w, chunk_len=k, low_coding=wri._low_coding,
+            )
+            sec = _fpvt.serialize_batch_section(
+                flags, np.full(bpb, -1, np.int64), hs, ls,
+                pvs if has_pv else None,
+            )
+            parts.append(wri.add_batch(sec, bpb))
+    for s in range(n_grouped, body.shape[0], bpb):
+        nb = min(bpb, body.shape[0] - s)
+        parts.append(wri.add_batch(
+            wri.encode_batch_bytes(body[s : s + nb]), nb
+        ))
+    parts.append(wri.finish())
+    return b"".join(parts)
+
+
 def multichip_dryrun(n_devices: int, h: int = 32, w: int = 32) -> None:
     """Compile + execute the FULL codec (model step, device tables, rANS
     encode/decode Pallas kernels, inverse predictors) sharded over an

@@ -377,6 +377,45 @@ def test_multistream_multi_device_assignment():
         np.testing.assert_array_equal(decode_file_fpvt(b"".join(out[sid])), fr)
 
 
+def test_multistream_decoder_multi_device(monkeypatch):
+    """Decoder-hub twin of the encoder's round-robin assignment: readers pin
+    to distinct devices and the fused decode program runs on the pinned
+    device (jax.default_device scope) — outputs stay pixel-exact."""
+    import jax
+
+    from fpv_tpu.api.fpvt_codec import encode_file_fpvt
+    from fpv_tpu.api.multistream import MultiStreamDecoder
+
+    monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
+    # device geometry on tiny planes so the FUSED (pinned) path executes
+    monkeypatch.setenv("FPV_TPU_NARROW_MAX", "0")
+    devs = jax.devices()[:4]
+    streams = {
+        f"cam{i}": testdata.plasma_frames(5, 32, 32, seed=10 + i)
+        for i in range(4)
+    }
+    enc = {
+        sid: encode_file_fpvt(fr, shift=4, frames_per_batch=2, chunk_log2=4)
+        for sid, fr in streams.items()
+    }
+    got: dict[str, list] = {k: [] for k in streams}
+    hub = MultiStreamDecoder(
+        sink=lambda sid, fr, ts: got[sid].append(fr), devices=devs
+    )
+    for sid in streams:
+        hub.add_stream(sid)
+    for sid, d in enc.items():
+        hub.feed(sid, d)
+    hub.close()
+    assigned = {
+        r._inner._delta_high.devices().pop() for r in hub._readers.values()
+    }
+    assert len(assigned) == len(devs)
+    for sid, fr in streams.items():
+        want = (fr.astype(np.uint32) << 4).astype(np.uint16)
+        np.testing.assert_array_equal(np.concatenate(got[sid]), want)
+
+
 def test_multistream_decoder_sink_error_propagates():
     """A sink that raises inside the finalize stage must surface as a
     RuntimeError from feed()/close(), not hang either pipeline worker."""

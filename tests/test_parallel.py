@@ -169,6 +169,30 @@ def test_sharded_decode_file_mixed_sections():
     np.testing.assert_array_equal(out, decode_file_fpvt(data))
 
 
+def test_sharded_encode_file_byte_identical(monkeypatch):
+    """sharded_encode_file produces byte-identical files to the single-device
+    encode_file_fpvt (with the fused device path pinned on both sides), and
+    the result decodes losslessly.  Covers grouped full batches AND the tail
+    batch fallback."""
+    from fpv_tpu.api.fpvt_codec import decode_file_fpvt, encode_file_fpvt
+    from fpv_tpu.utils import testdata
+
+    monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
+    monkeypatch.setenv("FPV_TPU_NARROW_MAX", "0")
+    D, h, w, bpb = 2, 16, 16, 2
+    m = pmesh.make_mesh(D, data=D)
+    n = 1 + 2 * D * bpb + bpb  # delta frame + 2 mesh groups + tail batch
+    frames = testdata.plasma_frames(n, h, w, bits=12)
+    kwargs = dict(shift=4, frames_per_batch=bpb, chunk_log2=4)
+    got = pmesh.sharded_encode_file(frames, m, **kwargs)
+    want = encode_file_fpvt(frames, **kwargs)
+    assert got == want
+    out = decode_file_fpvt(got)
+    np.testing.assert_array_equal(
+        out, (frames.astype(np.uint32) << 4).astype(np.uint16)
+    )
+
+
 def test_graft_entry():
     import sys, pathlib
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
