@@ -502,11 +502,26 @@ def _fused_decodable(pb: "fpvt.ParsedBatch", chunk_len: int) -> bool:
     return True
 
 
+def section_rows_need(pb: "fpvt.ParsedBatch", chunk_len: int) -> int:
+    """Decode-window rows a parsed batch needs (the fused program's
+    ``rows_alloc`` lower bound) — shared by batch_decode_args and the
+    sharded decode layer's grouping pass."""
+    from fpv_tpu.entropy.plane_codec import _quantize_rows
+    from fpv_tpu.ops.rans_layout import CODING_CONST
+
+    max_cnt = max(
+        (
+            int(st.block_counts.max())
+            for st in (pb.high, pb.low, pb.preview)
+            if st.coding != CODING_CONST and st.block_counts.size
+        ),
+        default=0,
+    )
+    return _quantize_rows(max_cnt, chunk_len) + 16
+
+
 def batch_decode_args(
     pb: "fpvt.ParsedBatch",
-    b: int,
-    h: int,
-    w: int,
     chunk_len: int,
     *,
     rows_alloc: int | None = None,
@@ -525,7 +540,7 @@ def batch_decode_args(
     one section per device (zero-padding payloads to a common length) and
     shard_maps the program over the stack.
     """
-    from fpv_tpu.entropy.plane_codec import _quantize_cap, _quantize_rows
+    from fpv_tpu.entropy.plane_codec import _quantize_cap
     from fpv_tpu.format.fpvt import F_PV_USE_DELTA
     from fpv_tpu.ops import rans_pallas as rp
     from fpv_tpu.ops.rans_layout import BLOCK_COLS, CODING_CONST
@@ -539,11 +554,7 @@ def batch_decode_args(
         np.uint32,
     )
     coded = [st for st, c in zip(streams, const_planes) if not c]
-    max_cnt = max(
-        (int(st.block_counts.max()) for st in coded if st.block_counts.size),
-        default=0,
-    )
-    need_rows = _quantize_rows(max_cnt, chunk_len) + 16
+    need_rows = section_rows_need(pb, chunk_len)
     if rows_alloc is None:
         rows_alloc = need_rows
     elif rows_alloc < need_rows:
@@ -1403,7 +1414,7 @@ class FpvtReader:
         fusion_power_video.cc:1038-1070)."""
         h, w = self.header.ysize, self.header.xsize
         k = 1 << self.header.chunk_log2
-        arrays, static = batch_decode_args(pb, b, h, w, k)
+        arrays, static = batch_decode_args(pb, k)
         out = fused_decode_batch(
             jnp.asarray(arrays["payload"]),
             jnp.asarray(arrays["plane_offs"]),
@@ -1710,11 +1721,13 @@ class FpvtStreamingReader:
             if header.delta_is_frame0:
                 frame0 = self._inner.frame0()[None]
                 ts0 = np.full(1, -1, dtype=np.int64)
-                pv0 = (
-                    np.asarray(generate_preview(self._inner._delta_high[None]))
-                    if self._want_previews
-                    else None
-                )
+                if self._want_previews:
+                    with self._inner._on_device():
+                        pv0 = np.asarray(
+                            generate_preview(self._inner._delta_high[None])
+                        )
+                else:
+                    pv0 = None
                 if self._batch_hook is not None:
                     self._batch_hook(lambda: (frame0, pv0), ts0)
                 elif self._want_previews:

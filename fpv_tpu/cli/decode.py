@@ -40,7 +40,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if head == b"FPVT":
         # FPVT profile: batch-oriented; read whole stream (random access
-        # format), decode batch by batch on device.
+        # format), decode batch by batch on device — two batches in flight
+        # (decode_file_fpvt's pipeline) so batch n's output writes while
+        # batch n+1 decodes.
+        from concurrent.futures import ThreadPoolExecutor
+
         data = head + stdin.read()
         from fpv_tpu.api.fpvt_codec import FpvtReader
         from fpv_tpu.api.frame import unextract_frame
@@ -54,14 +58,26 @@ def main(argv: list[str] | None = None) -> int:
             )
             sys.stderr.write(f"extracted frame {count}\n")
             count += 1
-        for bi in range(r.num_batches):
-            imgs = r.decode_batch(bi)
-            for i in range(imgs.shape[0]):
-                stdout.write(
-                    unextract_frame(imgs[i], shift, bool(big_endian)).tobytes()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            nxt = (
+                pool.submit(r.decode_batch, 0) if r.num_batches else None
+            )
+            for bi in range(r.num_batches):
+                imgs = nxt.result()
+                # bound in-flight batches at one ahead: a blocked stdout
+                # pipe must apply backpressure, not grow the heap
+                nxt = (
+                    pool.submit(r.decode_batch, bi + 1)
+                    if bi + 1 < r.num_batches else None
                 )
-                sys.stderr.write(f"extracted frame {count}\n")
-                count += 1
+                for i in range(imgs.shape[0]):
+                    stdout.write(
+                        unextract_frame(
+                            imgs[i], shift, bool(big_endian)
+                        ).tobytes()
+                    )
+                    sys.stderr.write(f"extracted frame {count}\n")
+                    count += 1
         return 0
 
     from fpv_tpu.api.decoder import StreamingDecoder

@@ -234,8 +234,12 @@ def _sharded_decode_program(
             payload[0], plane_offs[0], counts[0], states[0], flags[0],
             sym_tabs[0], fcs[0], dh, dl, const_vals[0],
             chunk_len=chunk_len, b=b, h=h, w=w,
-            decode_preview=decode_preview, **static,
+            decode_preview=decode_preview, pack_u8=True, **static,
         )
+        # pack_u8: frames leave each device as their little-endian byte
+        # stream [b*h, 2w] u8 (hosts pull u8 ~1.5x faster than u16 over
+        # tunnels; the bitcast fuses into the output copy) — callers view
+        # the bytes back as '<u2'
         if decode_preview:
             imgs, ok, pv = out
             return imgs[None], ok.reshape(1), pv[None]
@@ -270,8 +274,9 @@ def sharded_fused_decode(
     [D, L], plane_offs [D, 3], counts [D, C], states [D, S], flags [D, B],
     sym_tabs [D, 3, 8, 128], fcs [D, 3, 4, 128] — plus the shared
     (replicated) delta planes and const_vals [D, 3].  Returns
-    (imgs [D, B, H, W] u16, ok [D] bool) — bit-identical to running
-    fused_decode_batch on each section separately (tested in
+    (imgs [D, B*H, 2W] u8 little-endian byte stream — view as '<u2' on the
+    host, see fused_decode_batch pack_u8 — and ok [D] bool), pixel-exact vs
+    running fused_decode_batch on each section separately (tested in
     tests/test_parallel.py).  ``static`` carries batch_decode_args's static
     kwargs; bool flags must be the UNION over the stacked sections and
     rows_alloc their max (batch_decode_args accepts both as overrides).
@@ -286,22 +291,27 @@ def sharded_fused_decode(
     )
 
 
-def sharded_decode_file(data: bytes, mesh: Mesh) -> np.ndarray:
+def sharded_decode_file(data: bytes, mesh: Mesh, want_previews: bool = False):
     """Decode an FPVT file's batch sections data-parallel over ``mesh``.
 
     Sections group by decode signature (frames per batch, const-plane set,
     low coding); each full group of mesh-size sections decodes as ONE
     sharded program, remainders fall back to the single-device reader.
-    Returns all frames [N, H, W] u16 (left-aligned), file order.  Expects a
-    data-only mesh (space axis of size 1)."""
+    Host packaging, uploads, device compute, and frame pulls pipeline two
+    deep: group g+1 packages on a worker thread while group g computes and
+    group g-1's frames download.  Returns all frames [N, H, W] u16
+    (left-aligned) in file order — or ``(frames, previews [N, H//4, W//4]
+    u8)`` with ``want_previews`` (previews decode inside the same sharded
+    programs).  Expects a data-only mesh (space axis of size 1)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from fpv_tpu.api.fpvt_codec import (
         FpvtReader,
         _fused_decodable,
         batch_decode_args,
+        section_rows_need,
     )
     from fpv_tpu.format import fpvt as _fpvt
-
-    from fpv_tpu.entropy.plane_codec import _quantize_rows
     from fpv_tpu.ops.rans_layout import CODING_CONST
 
     rdr = FpvtReader(data)
@@ -318,68 +328,117 @@ def sharded_decode_file(data: bytes, mesh: Mesh) -> np.ndarray:
             continue
         streams = (pb.high, pb.low, pb.preview)
         const_planes = tuple(st.coding == CODING_CONST for st in streams)
-        # the section's window need (same formula as batch_decode_args,
-        # which raises if an override falls below it) — computed here
-        # without packaging so grouping stays cheap
-        max_cnt = max(
-            (int(st.block_counts.max())
-             for st, c in zip(streams, const_planes)
-             if not c and st.block_counts.size),
-            default=0,
-        )
-        rows_need = _quantize_rows(max_cnt, k) + 16
         key = (n, const_planes, bool(pb.low.coding == 1))
-        groups.setdefault(key, []).append((bi, pb, rows_need))
+        groups.setdefault(key, []).append((bi, pb, section_rows_need(pb, k)))
+    # flatten full mesh-sized groups into an ordered work list; remainders
+    # join the leftovers
+    units: list[tuple[int, list]] = []
     for (n, _const, _lowctx), items in groups.items():
         while len(items) >= ndev:
-            chunk_items, items = items[:ndev], items[ndev:]
-            rows = max(it[2] for it in chunk_items)
-            rebuilt = [
-                batch_decode_args(pb, n, h, w, k, rows_alloc=rows)
-                for _bi, pb, _r in chunk_items
-            ]
-            # pad payloads to one length so the stack is rectangular (zero
-            # slack beyond a section's cap is never decoded)
-            plen = max(a["payload"].size for a, _ in rebuilt)
-            stacked = {
-                name: np.stack([
-                    np.pad(a[name], (0, plen - a[name].size))
-                    if name == "payload" else a[name]
-                    for a, _ in rebuilt
-                ])
-                for name in rebuilt[0][0]
-            }
-            static = dict(rebuilt[0][1])
-            for _a, s in rebuilt[1:]:
-                for key in ("any_up", "any_cg", "pv_any_up", "pv_any_cg",
-                            "any_pv_delta"):
-                    static[key] |= s[key]
-            static["rows_alloc"] = rows
-            step = sharded_fused_decode(
-                mesh, chunk_len=k, b=n, h=h, w=w, **static
-            )
-            sh = lambda: NamedSharding(mesh, P("data"))
-            args = [
-                jax.device_put(jnp.asarray(stacked[name]), sh())
-                for name in ("payload", "plane_offs", "counts", "states",
-                             "flags", "sym_tabs", "fcs")
-            ]
-            imgs, ok = step(
-                *args, rdr._delta_high, rdr._delta_low,
-                jax.device_put(jnp.asarray(stacked["const_vals"]), sh()),
-            )
-            if not bool(np.asarray(ok).all()):
-                raise ValueError("rANS stream integrity check failed")
-            imgs_np = np.asarray(imgs)
-            for di, (bi, _pb, _r) in enumerate(chunk_items):
-                results[bi] = imgs_np[di]
+            units.append((n, items[:ndev]))
+            items = items[ndev:]
         leftovers.extend((bi, pb, n) for bi, pb, _r in items)
+
+    sharding = NamedSharding(mesh, P("data"))
+
+    def prepare(unit):
+        """Package one mesh group: batch_decode_args per section, stack,
+        and upload (device_put is async; numpy goes straight to its shard)."""
+        n, chunk_items = unit
+        rows = max(it[2] for it in chunk_items)
+        rebuilt = [
+            batch_decode_args(pb, k, rows_alloc=rows)
+            for _bi, pb, _r in chunk_items
+        ]
+        # pad payloads to one length so the stack is rectangular (zero
+        # slack beyond a section's cap is never decoded)
+        plen = max(a["payload"].size for a, _ in rebuilt)
+        stacked = {
+            name: np.stack([
+                np.pad(a[name], (0, plen - a[name].size))
+                if name == "payload" else a[name]
+                for a, _ in rebuilt
+            ])
+            for name in rebuilt[0][0]
+        }
+        static = dict(rebuilt[0][1])
+        for _a, s in rebuilt[1:]:
+            for key in ("any_up", "any_cg", "pv_any_up", "pv_any_cg",
+                        "any_pv_delta"):
+                static[key] |= s[key]
+        static["rows_alloc"] = rows
+        args = [
+            jax.device_put(stacked[name], sharding)
+            for name in ("payload", "plane_offs", "counts", "states",
+                         "flags", "sym_tabs", "fcs")
+        ]
+        cvals = jax.device_put(stacked["const_vals"], sharding)
+        return n, static, args, cvals, chunk_items
+
+    results_pv: dict[int, np.ndarray] = {}
+
+    def finalize(pend):
+        outs, chunk_items, n = pend
+        imgs, ok = outs[0], outs[1]
+        if not bool(np.asarray(ok).all()):
+            raise ValueError("rANS stream integrity check failed")
+        # pack_u8 byte stream [D, n*h, 2w] -> [D, n, h, w] u16
+        imgs_np = np.asarray(imgs).view("<u2").reshape(len(chunk_items),
+                                                       n, h, w)
+        pv_np = np.asarray(outs[2]) if want_previews else None
+        for di, (bi, _pb, _r) in enumerate(chunk_items):
+            results[bi] = imgs_np[di]
+            if want_previews:
+                results_pv[bi] = pv_np[di]
+
+    pend = None
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        nxt = pool.submit(prepare, units[0]) if units else None
+        for i in range(len(units)):
+            n, static, args, cvals, chunk_items = nxt.result()
+            nxt = (
+                pool.submit(prepare, units[i + 1])
+                if i + 1 < len(units) else None
+            )
+            step = sharded_fused_decode(
+                mesh, chunk_len=k, b=n, h=h, w=w,
+                decode_preview=want_previews, **static,
+            )
+            outs = step(*args, rdr._delta_high, rdr._delta_low, cvals)
+            if pend is not None:
+                finalize(pend)
+            pend = (outs, chunk_items, n)
+    if pend is not None:
+        finalize(pend)
     for bi, pb, n in leftovers:
-        results[bi] = rdr._decode_parsed_batch(pb, n)[0]
+        imgs_l, pv_l = rdr._decode_parsed_batch(pb, n, want_previews)
+        results[bi] = imgs_l
+        if want_previews:
+            results_pv[bi] = pv_l
     out = [results[bi] for bi in range(len(rdr._batches))]
+    pv_out = (
+        [results_pv[bi] for bi in range(len(rdr._batches))]
+        if want_previews else []
+    )
     if rdr.header.delta_is_frame0:
         out.insert(0, rdr.frame0()[None])
-    return np.concatenate(out) if out else np.zeros((0, h, w), np.uint16)
+        if want_previews:
+            from fpv_tpu.ops.preview import generate_preview
+
+            pv_out.insert(
+                0, np.asarray(generate_preview(rdr._delta_high[None]))
+            )
+    frames_all = (
+        np.concatenate(out) if out else np.zeros((0, h, w), np.uint16)
+    )
+    if not want_previews:
+        return frames_all
+    pv_all = (
+        np.concatenate(pv_out)
+        if pv_out
+        else np.zeros((0, h // 4, w // 4), np.uint8)
+    )
+    return frames_all, pv_all
 
 
 def sharded_encode_file(
@@ -399,11 +458,20 @@ def sharded_encode_file(
     frame-level worker pool, fusion_power_video.cc:1199-1230), then each
     device's output slice packages into its own batch section host-side.
 
-    Byte-compatible with the single-device writer: each section is
-    bit-identical to fused_encode_batch on that frame slice, so files
-    decode with FpvtReader or :func:`sharded_decode_file` alike.  Tail
-    batches (fewer than a full mesh group) take the ordinary writer path.
+    Every grouped section is bit-identical to fused_encode_batch on that
+    frame slice, so files decode with FpvtReader or
+    :func:`sharded_decode_file` alike; the whole file is byte-identical to
+    the single-device encode_file_fpvt whenever ITS batches take the fused
+    device path (pallas engine, batch pixels above narrow_max_syms — tested
+    in tests/test_parallel.py).  Tail batches (fewer than a full mesh
+    group) take the ordinary writer path and its encoder policy — with
+    small frames that means narrow host-coded streams, where the
+    single-device file would differ byte-wise (same decoded pixels).
+    Device compute and host packaging pipeline two deep: group g's sections
+    package (one thread per device slice) while group g+1 computes.
     Expects a data-only mesh (space axis of size 1)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from fpv_tpu.api.fpvt_codec import FpvtWriter, package_encoded_batch
     from fpv_tpu.format import fpvt as _fpvt
 
@@ -429,28 +497,46 @@ def sharded_encode_file(
     step = sharded_fused_encode(
         mesh, shift, big_endian, k, low_coding=wri._low_coding
     )
-    for s in range(0, n_grouped, ndev * bpb):
-        outs = step(
-            shard_frames(body[s : s + ndev * bpb], mesh),
-            wri._delta_high,
-            wri._delta_low,
-        )
+
+    def package_group(outs) -> list[bytes]:
+        """Pull + package one sharded output into ndev sections (in device
+        order); slices are independent so they package concurrently."""
         small_g, st_g = np.asarray(outs[0]), np.asarray(outs[1])
         pays = outs[2:]
         L = small_g.size // ndev
         SL = st_g.size // ndev
         plens = [p.shape[0] // ndev for p in pays]
-        for d in range(ndev):
+
+        def one(d: int) -> bytes:
             flags, (hs, ls, pvs) = package_encoded_batch(
                 small_g[d * L : (d + 1) * L],
                 st_g[d * SL : (d + 1) * SL],
                 *(p[d * pl : (d + 1) * pl] for p, pl in zip(pays, plens)),
                 b=bpb, h=h, w=w, chunk_len=k, low_coding=wri._low_coding,
             )
-            sec = _fpvt.serialize_batch_section(
+            return _fpvt.serialize_batch_section(
                 flags, np.full(bpb, -1, np.int64), hs, ls,
                 pvs if has_pv else None,
             )
+
+        with ThreadPoolExecutor(max_workers=min(ndev, 8)) as dpool:
+            return list(dpool.map(one, range(ndev)))
+
+    # two-deep pipeline: dispatch group g+1 (async), then package group g's
+    # outputs while the devices compute
+    pend = None
+    for s in range(0, n_grouped, ndev * bpb):
+        outs = step(
+            shard_frames(body[s : s + ndev * bpb], mesh),
+            wri._delta_high,
+            wri._delta_low,
+        )
+        if pend is not None:
+            for sec in package_group(pend):
+                parts.append(wri.add_batch(sec, bpb))
+        pend = outs
+    if pend is not None:
+        for sec in package_group(pend):
             parts.append(wri.add_batch(sec, bpb))
     for s in range(n_grouped, body.shape[0], bpb):
         nb = min(bpb, body.shape[0] - s)
@@ -555,8 +641,6 @@ def _dryrun_production_decode(mesh: Mesh, n_devices: int) -> None:
     whose sections carry the shipping configuration (ctx16 low plane,
     chunk_len 4096 device-geometry streams), one section per device, decoded
     through sharded_decode_file and verified pixel-exact."""
-    import jax.numpy as jnp
-
     from fpv_tpu.api.fpvt_codec import FpvtWriter
     from fpv_tpu.format import fpvt as _fpvt
 

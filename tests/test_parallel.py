@@ -168,6 +168,18 @@ def test_sharded_decode_file_mixed_sections():
     np.testing.assert_array_equal(out, want)
     np.testing.assert_array_equal(out, decode_file_fpvt(data))
 
+    # previews decode inside the same sharded programs and match the
+    # single-device reader batch by batch
+    from fpv_tpu.api.fpvt_codec import FpvtReader
+
+    out2, pv = pmesh.sharded_decode_file(data, m, want_previews=True)
+    np.testing.assert_array_equal(out2, want)
+    rdr = FpvtReader(data)
+    pv_want = np.concatenate(
+        [rdr.decode_batch_with_previews(i)[1] for i in range(rdr.num_batches)]
+    )
+    np.testing.assert_array_equal(pv, pv_want)
+
 
 def test_sharded_encode_file_byte_identical(monkeypatch):
     """sharded_encode_file produces byte-identical files to the single-device
