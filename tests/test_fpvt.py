@@ -416,6 +416,54 @@ def test_multistream_decoder_multi_device(monkeypatch):
         np.testing.assert_array_equal(np.concatenate(got[sid]), want)
 
 
+def test_multistream_hubs_multi_device_roundtrip():
+    """Encode hub -> decode hub with round-robin device assignment on BOTH
+    sides (streams land on different chips end to end); interleaved chunked
+    feeds; frames and timestamps exact per stream."""
+    import jax
+
+    from fpv_tpu.api.multistream import MultiStreamDecoder, MultiStreamEncoder
+
+    devs = jax.devices()[:3]
+    streams = {
+        f"cam{i}": testdata.plasma_frames(4, 32, 32, seed=20 + i)
+        for i in range(3)
+    }
+    enc_out: dict[str, list] = {k: [] for k in streams}
+    hub = MultiStreamEncoder(32, 32, frames_per_batch=2, chunk_log2=8,
+                             sink=lambda sid, d: enc_out[sid].append(d),
+                             devices=devs)
+    for sid, fr in streams.items():
+        hub.add_stream(sid, fr[0])
+    for i in range(4):
+        for sid, fr in streams.items():
+            hub.push_frame(sid, 50 + i, fr[i])
+    hub.close()
+
+    got: dict[str, list] = {k: [] for k in streams}
+    got_ts: dict[str, list] = {k: [] for k in streams}
+    dec = MultiStreamDecoder(
+        sink=lambda sid, fr, ts: (got[sid].append(fr),
+                                  got_ts[sid].append(ts)),
+        devices=devs,
+    )
+    for sid in streams:
+        dec.add_stream(sid)
+    data = {sid: b"".join(enc_out[sid]) for sid in streams}
+    pos = 0
+    while any(pos < len(d) for d in data.values()):
+        for sid, d in data.items():
+            if pos < len(d):
+                dec.feed(sid, d[pos : pos + 173])
+        pos += 173
+    dec.close()
+    for sid, fr in streams.items():
+        np.testing.assert_array_equal(np.concatenate(got[sid]), fr)
+        np.testing.assert_array_equal(
+            np.concatenate(got_ts[sid]), 50 + np.arange(4)
+        )
+
+
 def test_multistream_decoder_sink_error_propagates():
     """A sink that raises inside the finalize stage must surface as a
     RuntimeError from feed()/close(), not hang either pipeline worker."""
