@@ -79,7 +79,47 @@ def measure_reference(raw_path: str) -> float | None:
     return None
 
 
+def _accelerator_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the attached accelerator with a watchdog.
+
+    Tunneled devices can become unreachable mid-session; backend init then
+    blocks FOREVER inside the first device op (not at import).  A daemon
+    probe thread bounds that: on timeout the harness reports an explicit
+    environment failure instead of hanging until the driver kills it."""
+    import threading
+
+    ok: list[bool] = []
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            np.asarray(jnp.arange(8).sum())
+            ok.append(True)
+        except Exception as e:  # pragma: no cover - env-dependent
+            log(f"accelerator probe failed: {type(e).__name__}: {e}")
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
+    if not _accelerator_alive():
+        log("FATAL: accelerator unreachable (tunnel down?) - no capture")
+        print(json.dumps({
+            "metric": "fpvt_device_encode_throughput",
+            "value": 0,
+            "unit": "Mpix/s",
+            "vs_baseline": 0,
+            "error": "accelerator unreachable (device backend init timed "
+                     "out after 180s); environment failure, not a codec "
+                     "regression - rerun when the tunnel is back",
+        }))
+        return
+
     # build the native extension if this is a fresh host (otherwise the
     # FPV1 compat path silently measures the ~2x-slower ctypes fallback)
     from fpv_tpu.utils.nativebuild import ensure_native_built

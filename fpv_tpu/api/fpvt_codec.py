@@ -1772,10 +1772,21 @@ def encode_file_fpvt(
     frames_per_batch: int = 16,
     chunk_log2: int = 12,
     delta_frame: np.ndarray | None = None,
+    timestamps: np.ndarray | None = None,
 ) -> bytes:
-    """One-shot FPVT encode of [N, H, W] uint16 frames."""
+    """One-shot FPVT encode of [N, H, W] uint16 frames.
+
+    ``timestamps``: optional per-frame i64 array (length N), stored in the
+    batch sections and recoverable via FpvtReader.timestamps / the
+    streaming callbacks.  When ``delta_frame`` is None, frame 0's
+    timestamp is dropped with the frame (the synthesized frame 0 reports
+    -1, like the hub's delta frames)."""
     frames = np.asarray(frames, dtype=np.uint16)
     n, h, w = frames.shape
+    if timestamps is not None:
+        timestamps = np.asarray(timestamps, dtype=np.int64)
+        if timestamps.shape != (n,):
+            raise ValueError("timestamps must have one entry per frame")
     delta_is_frame0 = delta_frame is None
     if delta_is_frame0:
         # frame 0 is stored once as the delta section and synthesized on
@@ -1783,8 +1794,10 @@ def encode_file_fpvt(
         # would mix its all-zero delta residuals into the shared tables
         delta_frame = frames[0]
         body = frames[1:]
+        ts_body = None if timestamps is None else timestamps[1:]
     else:
         body = frames
+        ts_body = timestamps
     wri = FpvtWriter(
         w, h, shift, big_endian, frames_per_batch, chunk_log2,
         delta_is_frame0=delta_is_frame0,
@@ -1798,7 +1811,11 @@ def encode_file_fpvt(
     starts = list(range(0, nb_total, frames_per_batch))
     with ThreadPoolExecutor(max_workers=2) as pool:
         futures = [
-            pool.submit(wri.encode_batch_bytes, body[s : s + frames_per_batch])
+            pool.submit(
+                wri.encode_batch_bytes,
+                body[s : s + frames_per_batch],
+                None if ts_body is None else ts_body[s : s + frames_per_batch],
+            )
             for s in starts
         ]
         for s, f in zip(starts, futures):

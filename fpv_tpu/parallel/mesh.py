@@ -450,6 +450,7 @@ def sharded_encode_file(
     frames_per_batch: int = 16,
     chunk_log2: int = 12,
     delta_frame: np.ndarray | None = None,
+    timestamps: np.ndarray | None = None,
 ) -> bytes:
     """Encode [N, H, W] u16 frames into ONE FPVT file, batch sections
     data-parallel over ``mesh``: every group of mesh-size full batches runs
@@ -469,7 +470,8 @@ def sharded_encode_file(
     single-device file would differ byte-wise (same decoded pixels).
     Device compute and host packaging pipeline two deep: group g's sections
     package (one thread per device slice) while group g+1 computes.
-    Expects a data-only mesh (space axis of size 1)."""
+    ``timestamps``: optional per-frame i64 array (encode_file_fpvt
+    semantics).  Expects a data-only mesh (space axis of size 1)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from fpv_tpu.api.fpvt_codec import FpvtWriter, package_encoded_batch
@@ -479,12 +481,18 @@ def sharded_encode_file(
     n, h, w = frames.shape
     ndev = mesh.shape["data"]
     bpb = frames_per_batch
+    if timestamps is not None:
+        timestamps = np.asarray(timestamps, dtype=np.int64)
+        if timestamps.shape != (n,):
+            raise ValueError("timestamps must have one entry per frame")
     delta_is_frame0 = delta_frame is None
     if delta_is_frame0:
         delta_frame = frames[0]
         body = frames[1:]
+        ts_body = None if timestamps is None else timestamps[1:]
     else:
         body = frames
+        ts_body = timestamps
     wri = FpvtWriter(
         w, h, shift, big_endian, bpb, chunk_log2,
         delta_is_frame0=delta_is_frame0,
@@ -498,9 +506,10 @@ def sharded_encode_file(
         mesh, shift, big_endian, k, low_coding=wri._low_coding
     )
 
-    def package_group(outs) -> list[bytes]:
+    def package_group(outs, base: int) -> list[bytes]:
         """Pull + package one sharded output into ndev sections (in device
-        order); slices are independent so they package concurrently."""
+        order; ``base`` = the group's first frame index in ``body``);
+        slices are independent so they package concurrently."""
         small_g, st_g = np.asarray(outs[0]), np.asarray(outs[1])
         pays = outs[2:]
         L = small_g.size // ndev
@@ -514,9 +523,13 @@ def sharded_encode_file(
                 *(p[d * pl : (d + 1) * pl] for p, pl in zip(pays, plens)),
                 b=bpb, h=h, w=w, chunk_len=k, low_coding=wri._low_coding,
             )
+            ts = (
+                np.full(bpb, -1, np.int64)
+                if ts_body is None
+                else ts_body[base + d * bpb : base + (d + 1) * bpb]
+            )
             return _fpvt.serialize_batch_section(
-                flags, np.full(bpb, -1, np.int64), hs, ls,
-                pvs if has_pv else None,
+                flags, ts, hs, ls, pvs if has_pv else None,
             )
 
         with ThreadPoolExecutor(max_workers=min(ndev, 8)) as dpool:
@@ -532,16 +545,20 @@ def sharded_encode_file(
             wri._delta_low,
         )
         if pend is not None:
-            for sec in package_group(pend):
+            for sec in package_group(*pend):
                 parts.append(wri.add_batch(sec, bpb))
-        pend = outs
+        pend = (outs, s)
     if pend is not None:
-        for sec in package_group(pend):
+        for sec in package_group(*pend):
             parts.append(wri.add_batch(sec, bpb))
     for s in range(n_grouped, body.shape[0], bpb):
         nb = min(bpb, body.shape[0] - s)
         parts.append(wri.add_batch(
-            wri.encode_batch_bytes(body[s : s + nb]), nb
+            wri.encode_batch_bytes(
+                body[s : s + nb],
+                None if ts_body is None else ts_body[s : s + nb],
+            ),
+            nb,
         ))
     parts.append(wri.finish())
     return b"".join(parts)

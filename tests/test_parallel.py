@@ -195,7 +195,8 @@ def test_sharded_encode_file_byte_identical(monkeypatch):
     m = pmesh.make_mesh(D, data=D)
     n = 1 + 2 * D * bpb + bpb  # delta frame + 2 mesh groups + tail batch
     frames = testdata.plasma_frames(n, h, w, bits=12)
-    kwargs = dict(shift=4, frames_per_batch=bpb, chunk_log2=4)
+    ts = 1000 + np.arange(n, dtype=np.int64)
+    kwargs = dict(shift=4, frames_per_batch=bpb, chunk_log2=4, timestamps=ts)
     got = pmesh.sharded_encode_file(frames, m, **kwargs)
     want = encode_file_fpvt(frames, **kwargs)
     assert got == want
@@ -203,6 +204,14 @@ def test_sharded_encode_file_byte_identical(monkeypatch):
     np.testing.assert_array_equal(
         out, (frames.astype(np.uint32) << 4).astype(np.uint16)
     )
+    # timestamps rode along (frame 0's is dropped with the delta frame)
+    from fpv_tpu.api.fpvt_codec import FpvtReader
+
+    rdr = FpvtReader(got)
+    got_ts = np.concatenate(
+        [rdr.timestamps(i) for i in range(rdr.num_batches)]
+    )
+    np.testing.assert_array_equal(got_ts, ts[1:])
 
 
 def test_graft_entry():
