@@ -79,16 +79,17 @@ def measure_reference(raw_path: str) -> float | None:
     return None
 
 
-def _accelerator_alive(timeout_s: float = 180.0) -> bool:
+def _accelerator_alive(timeout_s: float = 180.0) -> str | None:
     """Probe the attached accelerator with a watchdog.
 
     Tunneled devices can become unreachable mid-session; backend init then
     blocks FOREVER inside the first device op (not at import).  A daemon
-    probe thread bounds that: on timeout the harness reports an explicit
-    environment failure instead of hanging until the driver kills it."""
+    probe thread bounds that: on failure the harness reports an explicit
+    environment error instead of hanging until the driver kills it.
+    Returns None when alive, else a description of what failed."""
     import threading
 
-    ok: list[bool] = []
+    result: list[str | None] = []
 
     def probe():
         try:
@@ -96,27 +97,31 @@ def _accelerator_alive(timeout_s: float = 180.0) -> bool:
             import jax.numpy as jnp
 
             np.asarray(jnp.arange(8).sum())
-            ok.append(True)
+            result.append(None)
         except Exception as e:  # pragma: no cover - env-dependent
-            log(f"accelerator probe failed: {type(e).__name__}: {e}")
+            result.append(f"device probe raised {type(e).__name__}: {e}")
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    return bool(ok)
+    if not result:
+        return f"device backend init hung (no response in {timeout_s:.0f}s)"
+    return result[0]
 
 
 def main() -> None:
-    if not _accelerator_alive():
-        log("FATAL: accelerator unreachable (tunnel down?) - no capture")
+    env_error = _accelerator_alive()
+    if env_error is not None:
+        log(f"FATAL: accelerator unreachable - no capture ({env_error})")
+        # distinct metric name: a consumer keying on the throughput metric
+        # must not record a fake 0 Mpix/s datapoint for an env failure
         print(json.dumps({
-            "metric": "fpvt_device_encode_throughput",
+            "metric": "bench_environment_failure",
             "value": 0,
-            "unit": "Mpix/s",
+            "unit": "none",
             "vs_baseline": 0,
-            "error": "accelerator unreachable (device backend init timed "
-                     "out after 180s); environment failure, not a codec "
-                     "regression - rerun when the tunnel is back",
+            "error": env_error + "; environment failure, not a codec "
+                     "regression - rerun when the accelerator is back",
         }))
         return
 

@@ -1765,6 +1765,43 @@ class FpvtStreamingReader:
             self._pos = 0
 
 
+def file_encode_setup(
+    frames: np.ndarray,
+    shift: int,
+    big_endian: bool,
+    frames_per_batch: int,
+    chunk_log2: int,
+    delta_frame: np.ndarray | None,
+    timestamps: np.ndarray | None,
+):
+    """Shared preamble of the file-level encoders (:func:`encode_file_fpvt`
+    and parallel.mesh.sharded_encode_file): coerce + validate inputs, split
+    off the delta frame (frame 0 is stored once as the delta section and
+    synthesized on decode, HDR_F_DELTA_IS_FRAME0 — coding it again in batch
+    0 would mix its all-zero delta residuals into the shared tables), and
+    construct the writer.  Returns ``(wri, header_bytes, body, ts_body)``;
+    keeping this in one place is what keeps the two paths byte-identical."""
+    frames = np.asarray(frames, dtype=np.uint16)
+    n, h, w = frames.shape
+    if timestamps is not None:
+        timestamps = np.asarray(timestamps, dtype=np.int64)
+        if timestamps.shape != (n,):
+            raise ValueError("timestamps must have one entry per frame")
+    delta_is_frame0 = delta_frame is None
+    if delta_is_frame0:
+        delta_frame = frames[0]
+        body = frames[1:]
+        ts_body = None if timestamps is None else timestamps[1:]
+    else:
+        body = frames
+        ts_body = timestamps
+    wri = FpvtWriter(
+        w, h, shift, big_endian, frames_per_batch, chunk_log2,
+        delta_is_frame0=delta_is_frame0,
+    )
+    return wri, wri.init(delta_frame), body, ts_body
+
+
 def encode_file_fpvt(
     frames: np.ndarray,
     shift: int = 0,
@@ -1781,28 +1818,11 @@ def encode_file_fpvt(
     streaming callbacks.  When ``delta_frame`` is None, frame 0's
     timestamp is dropped with the frame (the synthesized frame 0 reports
     -1, like the hub's delta frames)."""
-    frames = np.asarray(frames, dtype=np.uint16)
-    n, h, w = frames.shape
-    if timestamps is not None:
-        timestamps = np.asarray(timestamps, dtype=np.int64)
-        if timestamps.shape != (n,):
-            raise ValueError("timestamps must have one entry per frame")
-    delta_is_frame0 = delta_frame is None
-    if delta_is_frame0:
-        # frame 0 is stored once as the delta section and synthesized on
-        # decode (HDR_F_DELTA_IS_FRAME0) -- coding it again in batch 0
-        # would mix its all-zero delta residuals into the shared tables
-        delta_frame = frames[0]
-        body = frames[1:]
-        ts_body = None if timestamps is None else timestamps[1:]
-    else:
-        body = frames
-        ts_body = timestamps
-    wri = FpvtWriter(
-        w, h, shift, big_endian, frames_per_batch, chunk_log2,
-        delta_is_frame0=delta_is_frame0,
+    wri, header, body, ts_body = file_encode_setup(
+        frames, shift, big_endian, frames_per_batch, chunk_log2,
+        delta_frame, timestamps,
     )
-    parts = [wri.init(delta_frame)]
+    parts = [header]
     # two-deep pipeline: batch n+1's upload/dispatch overlaps batch n's
     # host packaging / readbacks
     from concurrent.futures import ThreadPoolExecutor

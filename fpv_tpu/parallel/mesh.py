@@ -275,9 +275,10 @@ def sharded_fused_decode(
     sym_tabs [D, 3, 8, 128], fcs [D, 3, 4, 128] — plus the shared
     (replicated) delta planes and const_vals [D, 3].  Returns
     (imgs [D, B*H, 2W] u8 little-endian byte stream — view as '<u2' on the
-    host, see fused_decode_batch pack_u8 — and ok [D] bool), pixel-exact vs
-    running fused_decode_batch on each section separately (tested in
-    tests/test_parallel.py).  ``static`` carries batch_decode_args's static
+    host, see fused_decode_batch pack_u8 — and ok [D] bool; with
+    ``decode_preview`` a third output, previews [D, B, H//4, W//4] u8),
+    pixel-exact vs running fused_decode_batch on each section separately
+    (tested in tests/test_parallel.py).  ``static`` carries batch_decode_args's static
     kwargs; bool flags must be the UNION over the stacked sections and
     rows_alloc their max (batch_decode_args accepts both as overrides).
 
@@ -474,30 +475,19 @@ def sharded_encode_file(
     semantics).  Expects a data-only mesh (space axis of size 1)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from fpv_tpu.api.fpvt_codec import FpvtWriter, package_encoded_batch
+    from fpv_tpu.api.fpvt_codec import (
+        file_encode_setup,
+        package_encoded_batch,
+    )
     from fpv_tpu.format import fpvt as _fpvt
 
-    frames = np.asarray(frames, dtype=np.uint16)
-    n, h, w = frames.shape
     ndev = mesh.shape["data"]
     bpb = frames_per_batch
-    if timestamps is not None:
-        timestamps = np.asarray(timestamps, dtype=np.int64)
-        if timestamps.shape != (n,):
-            raise ValueError("timestamps must have one entry per frame")
-    delta_is_frame0 = delta_frame is None
-    if delta_is_frame0:
-        delta_frame = frames[0]
-        body = frames[1:]
-        ts_body = None if timestamps is None else timestamps[1:]
-    else:
-        body = frames
-        ts_body = timestamps
-    wri = FpvtWriter(
-        w, h, shift, big_endian, bpb, chunk_log2,
-        delta_is_frame0=delta_is_frame0,
+    wri, header, body, ts_body = file_encode_setup(
+        frames, shift, big_endian, bpb, chunk_log2, delta_frame, timestamps
     )
-    parts = [wri.init(delta_frame)]
+    h, w = wri.header.ysize, wri.header.xsize
+    parts = [header]
     k = 1 << chunk_log2
     has_pv = (h // 4) * (w // 4) > 0
     n_full = (body.shape[0] // bpb) * bpb  # frames in full-size batches
@@ -506,10 +496,11 @@ def sharded_encode_file(
         mesh, shift, big_endian, k, low_coding=wri._low_coding
     )
 
-    def package_group(outs, base: int) -> list[bytes]:
+    def package_group(dpool, outs, base: int) -> list[bytes]:
         """Pull + package one sharded output into ndev sections (in device
         order; ``base`` = the group's first frame index in ``body``);
-        slices are independent so they package concurrently."""
+        slices are independent so they package concurrently on ``dpool``
+        (one pool reused across all groups)."""
         small_g, st_g = np.asarray(outs[0]), np.asarray(outs[1])
         pays = outs[2:]
         L = small_g.size // ndev
@@ -532,25 +523,25 @@ def sharded_encode_file(
                 flags, ts, hs, ls, pvs if has_pv else None,
             )
 
-        with ThreadPoolExecutor(max_workers=min(ndev, 8)) as dpool:
-            return list(dpool.map(one, range(ndev)))
+        return list(dpool.map(one, range(ndev)))
 
     # two-deep pipeline: dispatch group g+1 (async), then package group g's
     # outputs while the devices compute
     pend = None
-    for s in range(0, n_grouped, ndev * bpb):
-        outs = step(
-            shard_frames(body[s : s + ndev * bpb], mesh),
-            wri._delta_high,
-            wri._delta_low,
-        )
+    with ThreadPoolExecutor(max_workers=min(ndev, 8)) as dpool:
+        for s in range(0, n_grouped, ndev * bpb):
+            outs = step(
+                shard_frames(body[s : s + ndev * bpb], mesh),
+                wri._delta_high,
+                wri._delta_low,
+            )
+            if pend is not None:
+                for sec in package_group(dpool, *pend):
+                    parts.append(wri.add_batch(sec, bpb))
+            pend = (outs, s)
         if pend is not None:
-            for sec in package_group(*pend):
+            for sec in package_group(dpool, *pend):
                 parts.append(wri.add_batch(sec, bpb))
-        pend = (outs, s)
-    if pend is not None:
-        for sec in package_group(*pend):
-            parts.append(wri.add_batch(sec, bpb))
     for s in range(n_grouped, body.shape[0], bpb):
         nb = min(bpb, body.shape[0] - s)
         parts.append(wri.add_batch(
