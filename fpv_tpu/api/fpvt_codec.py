@@ -1033,8 +1033,17 @@ class FpvtWriter:
         chunk_log2: int = 12,
         device=None,
         delta_is_frame0: bool = False,
+        narrow: bool = True,
     ) -> None:
+        """``narrow``: apply the small-batch encoder policy (narrow lane
+        counts + host coding for batches <= narrow_max_syms()).  The ~KB
+        of saved per-batch state storage only matters when the whole FILE
+        is small; host coding costs ~100x device throughput per batch, so
+        long-lived writers (serving hubs, long videos of mid-size frames)
+        should pass False — encode_file_fpvt / sharded_encode_file decide
+        automatically from the total frame count (file_encode_setup)."""
         self._device = device  # optional jax.Device pinning this stream
+        self._narrow = narrow
         self.header = Header(
             xsize=xsize,
             ysize=ysize,
@@ -1100,7 +1109,7 @@ class FpvtWriter:
         # state saving only matters when the FILE is small, and init() sits
         # on the per-stream e2e critical path — host narrow coding of a
         # 1 Mpx delta plane costs seconds per stream open.
-        small = (
+        small = self._narrow and (
             self.header.ysize * self.header.xsize
             <= min(512 * 1024, narrow_max_syms())
         )
@@ -1151,11 +1160,16 @@ class FpvtWriter:
         # previews of H<4 or W<4 frames have zero pixels: skip the stream
         has_pv = (self.header.ysize // 4) * (self.header.xsize // 4) > 0
         n_main = b * self.header.ysize * self.header.xsize
-        # small batches bypass the fused device path so the encoder policy
-        # (const short-circuit, narrow lane counts) can shrink their fixed
-        # per-stream costs; production-size batches keep the one-jit path
-        # (whose packager applies the const short-circuit itself)
-        if engine_name() == "pallas" and n_main > narrow_max_syms():
+        # with the narrow policy on, small batches bypass the fused device
+        # path so the encoder policy (const short-circuit, narrow lane
+        # counts) can shrink their fixed per-stream costs; production-size
+        # batches — and ALL batches of narrow=False writers (long files /
+        # serving hubs, where host coding would be a ~100x throughput
+        # cliff per batch) — keep the one-jit path (whose packager applies
+        # the const short-circuit itself)
+        if engine_name() == "pallas" and (
+            not self._narrow or n_main > narrow_max_syms()
+        ):
             flags, streams = self._encode_batch_fused(imgs, b)
             hs, ls, pvs = streams
             if not has_pv:
@@ -1171,12 +1185,16 @@ class FpvtWriter:
             )
             from fpv_tpu.entropy.plane_codec import encode_plane_batch
 
+            # "wide" = const short-circuit only (1024 lanes), matching
+            # the fused packager so numpy- and pallas-engine bytes agree
+            lanes_mode = "auto" if self._narrow else "wide"
+
             hs = encode_plane_batch(
                 m["high"].reshape(b, -1),
                 np.asarray(m["hist_high"]),
                 self._chunk_len,
                 mask=np.asarray(m["mask_high"]),
-                lanes="auto",
+                lanes=lanes_mode,
             )
             pvs = (
                 encode_plane_batch(
@@ -1184,7 +1202,7 @@ class FpvtWriter:
                     np.asarray(m["hist_preview"]),
                     self._chunk_len,
                     mask=np.asarray(m["mask_preview"]),
-                    lanes="auto",
+                    lanes=lanes_mode,
                 )
                 if has_pv
                 else None
@@ -1199,7 +1217,7 @@ class FpvtWriter:
                     if self._low_coding
                     else np.asarray(m["mask_low"])
                 ),
-                lanes="auto",
+                lanes=lanes_mode,
             )
             flags = self._pack_flags(
                 np.asarray(m["use_delta"]),
@@ -1276,9 +1294,11 @@ class FpvtReader:
         self._device = device
         self._data = bytes(data)
         self.header = Header.parse(data)
-        # delta section follows the header
-        dflags, dh_stream, dl_stream = fpvt.parse_delta_section(data, fpvt.HEADER_SIZE)
         h, w = self.header.ysize, self.header.xsize
+        # delta section follows the header
+        dflags, dh_stream, dl_stream = fpvt.parse_delta_section(
+            data, fpvt.HEADER_SIZE, plane_size=h * w
+        )
         with self._on_device():
             self._delta_high, self._delta_low = _decode_delta_planes(
                 dflags, dh_stream, dl_stream, h, w
@@ -1299,6 +1319,15 @@ class FpvtReader:
         if self._device is None:
             return contextlib.nullcontext()
         return jax.default_device(self._device)
+
+    def _parse_batch(self, off: int) -> "fpvt.ParsedBatch":
+        """parse_batch_section with this file's frame geometry enforced
+        (crafted plane_size fields are rejected before any allocation)."""
+        h, w = self.header.ysize, self.header.xsize
+        return fpvt.parse_batch_section(
+            self._data, off, plane_size=h * w,
+            preview_size=(h // 4) * (w // 4),
+        )
 
     def frame0(self) -> np.ndarray:
         """The synthesized first frame when the header declares the delta
@@ -1391,7 +1420,7 @@ class FpvtReader:
     def decode_batch(self, index: int) -> np.ndarray:
         """Decode batch ``index`` -> [B, H, W] uint16 (left-aligned values)."""
         off, b = self._batches[index]
-        pb = fpvt.parse_batch_section(self._data, off)
+        pb = self._parse_batch(off)
         return self._decode_parsed_batch(pb, b)[0]
 
     def _decode_batch_fused(
@@ -1460,7 +1489,7 @@ class FpvtReader:
         if self._cache is not None and self._cache[0] == bi:
             return self._cache[1][j]
         off, b = self._batches[bi]
-        pb = fpvt.parse_batch_section(self._data, off)
+        pb = self._parse_batch(off)
         from fpv_tpu.ops.rans_layout import BLOCK_LANES, CODING_CONST
 
         k = 1 << self.header.chunk_log2
@@ -1549,7 +1578,7 @@ class FpvtReader:
         from fpv_tpu.entropy.plane_codec import engine_name
 
         off, b = self._batches[index]
-        pb = fpvt.parse_batch_section(self._data, off)
+        pb = self._parse_batch(off)
         imgs, pv = self._decode_parsed_batch(pb, b, want_previews=True)
         return imgs, pv
 
@@ -1570,7 +1599,7 @@ class FpvtReader:
     def decode_previews(self, index: int) -> np.ndarray:
         """Decode batch ``index`` previews -> [B, H//4, W//4] uint8."""
         off, b = self._batches[index]
-        pb = fpvt.parse_batch_section(self._data, off)
+        pb = self._parse_batch(off)
         return self._decode_previews_parsed(pb, b)
 
     def _decode_previews_parsed(
@@ -1647,7 +1676,7 @@ class FpvtReader:
 
     def timestamps(self, index: int) -> np.ndarray:
         off, _b = self._batches[index]
-        return fpvt.parse_batch_section(self._data, off).timestamps
+        return self._parse_batch(off).timestamps
 
 
 class FpvtStreamingReader:
@@ -1708,10 +1737,10 @@ class FpvtStreamingReader:
             self._inner._device = self._device
             self._inner._data = b""
             self._inner.header = header
-            dflags, dh_stream, dl_stream = fpvt.parse_delta_section(
-                bytes(buf), fpvt.HEADER_SIZE
-            )
             h, w = header.ysize, header.xsize
+            dflags, dh_stream, dl_stream = fpvt.parse_delta_section(
+                bytes(buf), fpvt.HEADER_SIZE, plane_size=h * w
+            )
             with self._inner._on_device():
                 (
                     self._inner._delta_high,
@@ -1743,7 +1772,11 @@ class FpvtStreamingReader:
             if len(buf) - self._pos < size:
                 return  # incomplete section
             section = bytes(buf[self._pos : self._pos + size])
-            pb = fpvt.parse_batch_section(section, 0)
+            hh, ww = self._header.ysize, self._header.xsize
+            pb = fpvt.parse_batch_section(
+                section, 0, plane_size=hh * ww,
+                preview_size=(hh // 4) * (ww // 4),
+            )
             b = len(pb.frame_flags)
             if self._batch_hook is not None:
                 fin = self._inner._decode_parsed_batch_issue(
@@ -1780,7 +1813,15 @@ def file_encode_setup(
     synthesized on decode, HDR_F_DELTA_IS_FRAME0 — coding it again in batch
     0 would mix its all-zero delta residuals into the shared tables), and
     construct the writer.  Returns ``(wri, header_bytes, body, ts_body)``;
-    keeping this in one place is what keeps the two paths byte-identical."""
+    keeping this in one place is what keeps the two paths byte-identical.
+
+    The narrow-stream policy is decided here from the TOTAL body size (the
+    rationale for narrow streams — amortizing stored chunk states — is the
+    file size, not the batch size): files larger than one narrow batch
+    keep every batch on the fused device path instead of paying host
+    coding per batch."""
+    from fpv_tpu.entropy.plane_codec import narrow_max_syms
+
     frames = np.asarray(frames, dtype=np.uint16)
     n, h, w = frames.shape
     if timestamps is not None:
@@ -1798,6 +1839,7 @@ def file_encode_setup(
     wri = FpvtWriter(
         w, h, shift, big_endian, frames_per_batch, chunk_log2,
         delta_is_frame0=delta_is_frame0,
+        narrow=body.size <= narrow_max_syms(),
     )
     return wri, wri.init(delta_frame), body, ts_body
 

@@ -83,7 +83,10 @@ class MultiStreamEncoder:
         x, y, shift, be, fpb, cl = self._geom
         dev = self._devices[self._next_device % len(self._devices)]
         self._next_device += 1
-        w = FpvtWriter(x, y, shift, be, fpb, cl, device=dev)
+        # narrow=False: hub streams are long-lived (unbounded total size),
+        # so the small-batch host-coding policy would be a per-batch
+        # throughput cliff, not a state-storage win (see FpvtWriter)
+        w = FpvtWriter(x, y, shift, be, fpb, cl, device=dev, narrow=False)
         header = w.init(delta_frame)
         with self._lock:
             self._writers[stream_id] = w
@@ -183,10 +186,12 @@ class MultiStreamDecoder:
         # device output buffers.
         self._finq: queue.Queue = queue.Queue(maxsize=2)
         self._error: BaseException | None = None
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        # start the finalizer first: the issue worker's error path
+        # references self._finalizer
         self._finalizer = threading.Thread(target=self._run_fin, daemon=True)
         self._finalizer.start()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
 
     def add_stream(self, stream_id: str) -> None:
         from fpv_tpu.api.fpvt_codec import FpvtStreamingReader
@@ -235,11 +240,17 @@ class MultiStreamDecoder:
             # must keep interpreter-shutdown semantics, not become a
             # stored "worker failed" error
             self._error = e
-            try:
-                # non-blocking: a dead finalizer never drains a full queue
-                self._finq.put_nowait(None)
-            except queue.Full:
-                pass
+            # the finalizer only stops on its sentinel, so it MUST be
+            # delivered: a healthy finalizer drains the queue (bounded
+            # put eventually lands), and a dead one stops needing it —
+            # either way this loop terminates, and never leaks a
+            # finalizer blocked in get() forever
+            while self._finalizer.is_alive():
+                try:
+                    self._finq.put(None, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
 
     def _run_fin(self) -> None:
         while True:

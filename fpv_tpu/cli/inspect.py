@@ -32,7 +32,13 @@ def inspect_bytes(data: bytes) -> dict:
     }
     pos = fpvt.HEADER_SIZE
     while pos < len(data):
+        if len(data) - pos < 9:
+            raise ValueError("truncated section header")
         size, stype = struct.unpack_from("<QB", data, pos)
+        # a section is at least its own (size, type) header; a crafted
+        # size=0 would otherwise loop here forever
+        if size < 9 or size > len(data) - pos:
+            raise ValueError("corrupt section size")
         if stype == fpvt.SECTION_DELTA:
             dflags, hs, ls = fpvt.parse_delta_section(data, pos)
             entry = {

@@ -63,8 +63,12 @@ def narrow_max_syms() -> int:
 NARROW_MAX_K = 32768
 
 
-def _narrow_geometry(n: int, chunk_len: int) -> tuple[int, int]:
-    """(lanes, stream chunk_len) for a small plane batch of n symbols."""
+def _narrow_geometry(n: int) -> tuple[int, int]:
+    """(lanes, stream chunk_len) for a small plane batch of n symbols.
+
+    Narrow streams pick their own chunk length (one chunk spanning the
+    whole lane where possible) — the caller's requested chunk_len is
+    deliberately not honored here."""
     lanes = LANES_MIN
     while lanes < BLOCK_LANES and -(-n // lanes) > NARROW_MAX_K:
         lanes *= 2
@@ -374,89 +378,6 @@ def _package_pallas(
     )
 
 
-def encode_planes_batch(
-    planes_and_hists: list,
-    chunk_len: int = DEFAULT_CHUNK_LEN,
-    engine: str | None = None,
-    materialize: bool = True,
-) -> list:
-    """Encode several plane batches with one device sync point.
-
-    ``planes_and_hists`` is a list of (plane [B,S], hist [256]) or
-    (plane, hist, support_mask) tuples — the optional mask is an exact
-    support superset letting table floors skip absent symbols.  On
-    the pallas engine all rANS kernels are dispatched before any counts are
-    read back, so per-plane RPC latencies overlap; host packaging then runs
-    per plane.
-    """
-    engine = engine or engine_name()
-    jobs = [(j[0], j[1], j[2] if len(j) > 2 else None)
-            for j in planes_and_hists]
-    if engine != "pallas":
-        return [
-            encode_plane_batch(p, h, chunk_len, engine, mask=m)
-            for p, h, m in jobs
-        ]
-
-    from fpv_tpu.ops import rans_pallas as rp
-
-    dispatched = []
-    for plane, hist, hmask in jobs:
-        b = plane.shape[0]
-        plane = plane.reshape(b, -1)
-        s = plane.shape[1]
-        lens = chunk_lens(b, s, chunk_len)
-        nblocks = len(lens) // BLOCK_LANES
-        freq = normalize_freqs(
-            np.asarray(hist), ensure_all=True, floor_mask=hmask
-        )
-        fc, finv, _ = rp.table_arrays(freq)
-        syms = _to_block_symbols(jnp.asarray(plane), chunk_len, nblocks)
-        lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
-        states_d, words_d, counts_d = rp.encode_pallas(
-            syms, lens_dev, jnp.asarray(fc),
-            chunk_len=chunk_len, nblocks=nblocks,
-        )
-        dispatched.append(
-            (b, s, nblocks, freq, states_d, words_d, counts_d)
-        )
-
-    # one fused counts readback for all planes (single device sync)
-    all_counts = np.asarray(
-        jnp.concatenate([d[6].reshape(-1) for d in dispatched])
-    )
-    from fpv_tpu.ops.rans_layout import num_segments
-
-    nseg = num_segments(chunk_len)
-    offs = np.cumsum([0] + [d[2] * nseg for d in dispatched])
-
-    out = []
-    for i, (b, s, nblocks, freq, states_d, words_d, counts_d) in enumerate(
-        dispatched
-    ):
-        counts = all_counts[offs[i] : offs[i + 1]]
-        total = int(counts.sum())
-        cap = _quantize_cap(total, chunk_len, nblocks)
-        rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0,
-                                chunk_len)
-        cum = np.zeros(len(counts) + 1, np.int32)
-        cum[1:] = np.cumsum(counts)
-        payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
-        if materialize:
-            payload = np.asarray(payload_d)[:total]
-        else:
-            payload = payload_d  # device handle; caller materializes
-        states = np.asarray(states_d).reshape(-1)
-        out.append(
-            PlaneStream(
-                nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
-                states=states, block_counts=counts.astype(np.uint32),
-                payload=payload,
-            )
-        )
-    return out
-
-
 def encode_plane_batch(
     plane,
     hist: np.ndarray | None,
@@ -478,7 +399,10 @@ def encode_plane_batch(
     ``lanes="auto"`` applies the encoder policy: constant plane batches
     short-circuit to a CODING_CONST stream, and small batches
     (<= narrow_max_syms()) become narrow streams with fewer stored chunk
-    states (host-coded, possibly with a longer stream chunk_len).  The
+    states (host-coded, possibly with a longer stream chunk_len).
+    ``lanes="wide"`` applies only the const short-circuit and keeps the
+    1024-lane device geometry — what writers with the narrow policy
+    disabled use, so their bytes match the fused device path.  The
     default (None) and explicit lane counts pin the geometry (1024 = the
     device-kernel layout) and never change coding or chunk_len — tests and
     kernel callers rely on that.
@@ -489,11 +413,12 @@ def encode_plane_batch(
         plane = plane.reshape(b, -1)
     s = plane.shape[1]
     n = b * s
-    auto = lanes == "auto"
+    auto = lanes in ("auto", "wide")
     if auto:
-        lanes = BLOCK_LANES
-        if 0 < n <= narrow_max_syms():
-            lanes, chunk_len = _narrow_geometry(n, chunk_len)
+        if lanes == "auto" and 0 < n <= narrow_max_syms():
+            lanes, chunk_len = _narrow_geometry(n)
+        else:
+            lanes = BLOCK_LANES
     elif lanes is None:
         lanes = BLOCK_LANES
     if lanes != BLOCK_LANES:

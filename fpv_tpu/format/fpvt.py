@@ -175,7 +175,15 @@ def plane_stream_accounting(ps: PlaneStream) -> dict:
                 lanes=ps.lanes)
 
 
-def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream, int]:
+def parse_plane_stream(
+    data: bytes, pos: int, nframes: int, expect_size: int | None = None
+) -> tuple[PlaneStream, int]:
+    """Parse one plane stream.  ``expect_size``: the plane size implied by
+    the file header's frame geometry; when given, a mismatching
+    ``plane_size`` field is rejected BEFORE any decode path can allocate
+    ``nframes * plane_size`` bytes from a crafted field (CODING_CONST
+    streams carry no payload to cross-check against, so this is their only
+    size bound)."""
     _need(data, pos, 24)
     (size,) = struct.unpack_from("<I", data, pos)
     end = pos + size
@@ -192,21 +200,24 @@ def parse_plane_stream(data: bytes, pos: int, nframes: int) -> tuple[PlaneStream
         num_blocks as _num_blocks,
     )
 
+    # size/geometry guards apply to EVERY coding, CODING_CONST included
+    if not (16 <= chunk_len <= 65536) or chunk_len & (chunk_len - 1):
+        raise ValueError("invalid plane-stream chunk length")
+    if expect_size is not None and plane_size != expect_size:
+        raise ValueError("plane stream size does not match frame geometry")
+    if plane_size > 1 << 32 or nframes * plane_size > 16_000_000_000:
+        raise ValueError("plane stream too large")
     if coding == CODING_CONST:
         if cval > 255:
             raise ValueError("invalid constant plane value")
         return const_plane_stream(nframes, plane_size, chunk_len, cval), end
     if coding not in (CODING_ORDER0, CODING_CTX16):
         raise ValueError("unknown plane-stream coding")
-    if not (16 <= chunk_len <= 65536) or chunk_len & (chunk_len - 1):
-        raise ValueError("invalid plane-stream chunk length")
     if (
         not (LANES_MIN <= lanes <= BLOCK_LANES)
         or lanes & (lanes - 1)
     ):
         raise ValueError("invalid plane-stream lane count")
-    if plane_size > 1 << 32 or nframes * plane_size > 16_000_000_000:
-        raise ValueError("plane stream too large")
     expect_chunks = _num_blocks(nframes, plane_size, chunk_len, lanes) * lanes
     if num_chunks != expect_chunks:
         raise ValueError("plane-stream chunk count mismatch")
@@ -305,7 +316,11 @@ class ParsedBatch:
     preview: PlaneStream | None
 
 
-def parse_delta_section(data: bytes, pos: int) -> tuple[int, PlaneStream, PlaneStream | None]:
+def parse_delta_section(
+    data: bytes, pos: int, plane_size: int | None = None
+) -> tuple[int, PlaneStream, PlaneStream | None]:
+    """``plane_size``: expected bytes per plane (header ysize*xsize);
+    readers pass it so crafted size fields are rejected at parse time."""
     _need(data, pos, 10)
     size, stype = struct.unpack_from("<QB", data, pos)
     if stype != SECTION_DELTA:
@@ -314,14 +329,22 @@ def parse_delta_section(data: bytes, pos: int) -> tuple[int, PlaneStream, PlaneS
     p = pos + 9
     dflags = data[p]
     p += 1
-    high, p = parse_plane_stream(data, p, 1)
+    high, p = parse_plane_stream(data, p, 1, expect_size=plane_size)
     low = None
     if not dflags & F_NO_LOW:
-        low, p = parse_plane_stream(data, p, 1)
+        low, p = parse_plane_stream(data, p, 1, expect_size=plane_size)
     return dflags, high, low
 
 
-def parse_batch_section(data: bytes, pos: int) -> ParsedBatch:
+def parse_batch_section(
+    data: bytes,
+    pos: int,
+    plane_size: int | None = None,
+    preview_size: int | None = None,
+) -> ParsedBatch:
+    """``plane_size`` / ``preview_size``: expected bytes per frame plane
+    (header ysize*xsize and (ysize//4)*(xsize//4)); readers pass them so
+    crafted size fields are rejected at parse time."""
     _need(data, pos, 17)
     size, stype = struct.unpack_from("<QB", data, pos)
     if stype != SECTION_BATCH:
@@ -337,12 +360,14 @@ def parse_batch_section(data: bytes, pos: int) -> ParsedBatch:
     p += nframes
     ts = np.frombuffer(data, dtype="<i8", count=nframes, offset=p).copy()
     p += 8 * nframes
-    high, p = parse_plane_stream(data, p, nframes)
+    high, p = parse_plane_stream(data, p, nframes, expect_size=plane_size)
     low = preview = None
     if has_low:
-        low, p = parse_plane_stream(data, p, nframes)
+        low, p = parse_plane_stream(data, p, nframes, expect_size=plane_size)
     if has_preview:
-        preview, p = parse_plane_stream(data, p, nframes)
+        preview, p = parse_plane_stream(
+            data, p, nframes, expect_size=preview_size
+        )
     return ParsedBatch(frame_flags=flags, timestamps=ts, high=high, low=low,
                        preview=preview)
 

@@ -323,7 +323,7 @@ def sharded_decode_file(data: bytes, mesh: Mesh, want_previews: bool = False):
     groups: dict[tuple, list] = {}
     leftovers: list[tuple[int, "_fpvt.ParsedBatch", int]] = []
     for bi, (off, n) in enumerate(rdr._batches):
-        pb = _fpvt.parse_batch_section(data, off)
+        pb = rdr._parse_batch(off)
         if not _fused_decodable(pb, k):
             leftovers.append((bi, pb, n))
             continue
@@ -492,8 +492,19 @@ def sharded_encode_file(
     has_pv = (h // 4) * (w // 4) > 0
     n_full = (body.shape[0] // bpb) * bpb  # frames in full-size batches
     n_grouped = (n_full // (ndev * bpb)) * (ndev * bpb)
-    step = sharded_fused_encode(
-        mesh, shift, big_endian, k, low_coding=wri._low_coding
+    if wri._narrow:
+        # small file (file_encode_setup's narrow policy): its batches take
+        # the narrow host path in encode_batch_bytes, which the sharded
+        # fused program cannot reproduce — and a file this small gains
+        # nothing from device parallelism.  Route every batch through the
+        # single-device writer so the output stays byte-identical.
+        n_grouped = 0
+    step = (
+        sharded_fused_encode(
+            mesh, shift, big_endian, k, low_coding=wri._low_coding
+        )
+        if n_grouped
+        else None
     )
 
     def package_group(dpool, outs, base: int) -> list[bytes]:

@@ -139,6 +139,93 @@ def test_parse_rejects_bad_lanes_and_const_value():
         fpvt.parse_plane_stream(bytes(blob), 0, 1)
 
 
+def test_parse_rejects_const_stream_geometry_mismatch():
+    """A crafted CODING_CONST stream claiming a huge plane_size must be
+    rejected at parse time (it carries no payload to cross-check against,
+    so without the geometry check decode would allocate
+    nframes * plane_size bytes from the attacker-controlled field)."""
+    import struct
+
+    fr = _ramp_frames(3, 32, 32)
+    data = bytearray(encode_file_fpvt(fr, shift=4, frames_per_batch=2))
+    # find the first batch section's high stream (CONST for ramp repeats)
+    off, _n = fpvt.parse_footer(bytes(data))[0]
+    p = off + 9 + 8  # section hdr, (nframes, has_low, has_preview, pad)
+    p += 9 * 2  # flags + timestamps
+    (size,) = struct.unpack_from("<I", data, p)
+    plane_size, _cl, _nc, coding = struct.unpack_from("<IIII", data, p + 4)
+    assert coding == CODING_CONST and plane_size == 32 * 32
+    struct.pack_into("<I", data, p + 4, 0xFFFFFFF0)
+    blob = bytes(data)
+    with pytest.raises(ValueError):
+        fpvt.parse_batch_section(blob, off, plane_size=32 * 32)
+    with pytest.raises(ValueError):  # readers enforce it end to end
+        FpvtReader(blob).decode_batch(0)
+    # chunk_len is likewise validated for const streams now
+    data2 = bytearray(blob)
+    struct.pack_into("<I", data2, p + 4, 32 * 32)  # restore plane_size
+    struct.pack_into("<I", data2, p + 8, 0)  # chunk_len = 0
+    with pytest.raises(ValueError):
+        fpvt.parse_batch_section(bytes(data2), off, plane_size=32 * 32)
+
+
+def test_inspect_rejects_zero_size_section():
+    import struct
+
+    fr = _ramp_frames(3, 32, 32)
+    data = bytearray(encode_file_fpvt(fr, shift=4, frames_per_batch=2))
+    off, _n = fpvt.parse_footer(bytes(data))[0]
+    struct.pack_into("<Q", data, off, 0)  # section size = 0
+    with pytest.raises(ValueError):
+        inspect_bytes(bytes(data))
+
+
+def test_narrow_policy_keyed_to_file_size(monkeypatch):
+    """Files larger than one narrow batch disable the narrow policy: every
+    non-const stream keeps the 1024-lane device geometry (no per-batch
+    host-coding cliff on long files), and the file still decodes."""
+    monkeypatch.setenv("FPV_TPU_NARROW_MAX", "4096")
+    fr = testdata.plasma_frames(6, 32, 32, bits=12, seed=11)  # body 5120 px
+    data = encode_file_fpvt(fr, shift=4, frames_per_batch=2)
+    info = inspect_bytes(data)
+    lanes = [
+        br["lanes"]
+        for sec in info["sections"]
+        if sec["type"] == "batch"
+        for br in sec.get("planes", {}).values()
+        if br["coding"] != CODING_CONST
+    ]
+    assert lanes and all(l == BLOCK_LANES for l in lanes)
+    np.testing.assert_array_equal(
+        decode_file_fpvt(data), fr.astype(np.uint16) << 4
+    )
+
+
+def test_sharded_encode_file_narrow_small_file_byte_identical():
+    """Small files keep the narrow policy; the sharded writer routes their
+    batches through the single-device path, so the output stays
+    byte-identical WITHOUT disabling narrow streams."""
+    import jax
+
+    from fpv_tpu.parallel import mesh as pmesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    m = pmesh.make_mesh(2, data=2)
+    fr = testdata.plasma_frames(9, 32, 32, bits=12, seed=12)
+    kwargs = dict(shift=4, frames_per_batch=2, chunk_log2=4)
+    got = pmesh.sharded_encode_file(fr, m, **kwargs)
+    want = encode_file_fpvt(fr, **kwargs)
+    assert got == want
+    info = inspect_bytes(got)
+    assert any(  # the point: narrow streams ARE present in this file
+        0 < br["lanes"] < BLOCK_LANES
+        for sec in info["sections"]
+        for br in sec.get("planes", {}).values()
+        if br["coding"] != CODING_CONST
+    )
+
+
 @requires_reference
 def test_repetition_ratio_vs_reference():
     """Exact-repetition corpora must be within 2x of the reference's size

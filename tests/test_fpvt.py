@@ -485,6 +485,44 @@ def test_multistream_decoder_sink_error_propagates():
         hub.close()
 
 
+def test_multistream_decoder_issue_error_stops_finalizer():
+    """An issue-stage failure (corrupt stream) must deliver the finalizer
+    its shutdown sentinel even with finalizes pending — close() surfaces
+    the error promptly and neither worker thread is leaked blocked."""
+    import time
+
+    import pytest
+
+    from fpv_tpu.api.fpvt_codec import encode_file_fpvt
+    from fpv_tpu.api.multistream import MultiStreamDecoder
+
+    import struct
+
+    frames = testdata.plasma_frames(9, 32, 32, seed=9)
+    data = bytearray(encode_file_fpvt(frames, frames_per_batch=2, chunk_log2=8))
+    # corrupt the LAST batch section's high-stream lane count so the issue
+    # worker errors AFTER several finalizes are already queued
+    off, nfr = fpvt.parse_footer(bytes(data))[-1]
+    struct.pack_into("<H", data, off + 9 + 8 + 9 * nfr + 4 + 16, 7)
+
+    def slow_sink(sid, imgs, ts):
+        time.sleep(0.3)  # keeps the finalize queue full when the error hits
+
+    hub = MultiStreamDecoder(sink=slow_sink)
+    hub.add_stream("s")
+    t0 = time.time()
+    with pytest.raises(RuntimeError):
+        hub.feed("s", bytes(data))
+        hub.close()
+    assert time.time() - t0 < 60  # not the 600 s join timeout
+    for _ in range(100):
+        if not hub._worker.is_alive() and not hub._finalizer.is_alive():
+            break
+        time.sleep(0.1)
+    assert not hub._worker.is_alive()
+    assert not hub._finalizer.is_alive()
+
+
 def test_fused_pack_u8_matches_slow_path(monkeypatch):
     """The fused decode's u8-byte-stream output (device bitcast + host view,
     see fused_decode_batch pack_u8) must match the per-plane slow path
