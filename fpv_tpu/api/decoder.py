@@ -37,7 +37,11 @@ class StreamingDecoder:
         """Feed bytes; invoke ``callback(ok, frame, xsize, ysize, payload)``
         for every newly-completed frame."""
         self._buffer += data
-        buf = bytes(self._buffer)
+        # parse straight off the bytearray: copying the whole retained
+        # buffer per call would make chunked feeding of one large frame
+        # quadratic (only the consumed slices handed to decompress_image
+        # are materialized)
+        buf = self._buffer
         pos = 0
 
         def fail(_msg: str) -> None:

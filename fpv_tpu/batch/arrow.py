@@ -192,6 +192,11 @@ class ArrowEncoder:
         return self._closing_future
 
     def _flush(self) -> None:
+        if self._delta is None:
+            # no frame was ever pushed: there is no schema to wait for
+            # (close() on an empty encoder must not deadlock)
+            self._consumer(None)
+            return
         self._schema_ready.wait()
         if not self._ts:
             self._consumer(None)
@@ -232,16 +237,21 @@ class ArrowEncoder:
         self._cg.append(bool(planes.flags & FrameFlags.USE_CG))
 
     def _encoder_task(self) -> None:
-        while True:
-            item = self._queue.get()
-            if item is None:
-                self._flush()
-                self._closing_future.set_result(self._latest_ts)
-                return
-            planes = item.result() if isinstance(item, Future) else item
-            self._compress_row(planes)
-            if len(self._ts) >= self._frames_per_batch:
-                self._flush()
+        try:
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    self._flush()
+                    self._closing_future.set_result(self._latest_ts)
+                    return
+                planes = item.result() if isinstance(item, Future) else item
+                self._compress_row(planes)
+                if len(self._ts) >= self._frames_per_batch:
+                    self._flush()
+        except Exception as e:
+            # a failed predict/compress future must surface through
+            # close()/join(), not silently kill the serializer thread
+            self._closing_future.set_exception(e)
 
     def join(self) -> None:
         self.close().result()
@@ -279,13 +289,19 @@ def decode_record_batch(batch: pa.RecordBatch, image_type=None):
         if batch.column("cgPredicted")[i].as_py():
             high = cg_decode_np(high)
         low_bytes = batch.column("lowBytePlane")[i].as_py()
+        delta_predicted = batch.column("deltaPredicted")[i].as_py()
         if low_bytes:
             low_raw, _ = brotli.decompress_stream(low_bytes)
             low = np.frombuffer(low_raw, np.uint8).reshape(ysize, xsize)
+            if delta_predicted:
+                low = (low + dlow).astype(np.uint8)
         else:
+            # NO_LOW_BYTES: the ORIGINAL frame's low plane was all zero and
+            # no low stream was stored — output zeros, do NOT add the delta
+            # frame's low plane (columnar.extract_image semantics; a frame
+            # can be delta-predicted AND low-less at the same time)
             low = np.zeros_like(high)
-        if batch.column("deltaPredicted")[i].as_py():
+        if delta_predicted:
             high = (high + dhigh).astype(np.uint8)
-            low = (low + dlow).astype(np.uint8)
         out.append((high.astype(np.uint16) << 8) | low)
     return out

@@ -151,7 +151,6 @@ class Batch:
             ts_cap + fl_cap + 3 * off_cap + self._previews_capacity
             + 2 * self._plane_capacity
         )
-        old = getattr(self, "_buffer", None)
         self._buffer = np.zeros(total, dtype=np.uint8)
         pos = 0
         self._timestamps = self._buffer[pos : pos + ts_cap].view(np.int64)
@@ -435,19 +434,24 @@ class ColumnarBatchEncoder:
         self._pool.submit(self._batch_processor, batch)
 
     def _encoder_task(self) -> None:
-        while True:
-            item = self._queue.get()
-            if item is None:
-                self._flush()
-                self._closing_future.set_result(self._latest_ts)
-                return
-            planes = item.result() if isinstance(item, Future) else item
-            if isinstance(planes, Future):
-                planes = planes.result()
-            batch = self._batch_to_fill()
-            batch.append_compressed(_compress_predicted(planes))
-            if batch.full():
-                self._flush()
+        try:
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    self._flush()
+                    self._closing_future.set_result(self._latest_ts)
+                    return
+                planes = item.result() if isinstance(item, Future) else item
+                if isinstance(planes, Future):
+                    planes = planes.result()
+                batch = self._batch_to_fill()
+                batch.append_compressed(_compress_predicted(planes))
+                if batch.full():
+                    self._flush()
+        except Exception as e:
+            # a failed split/predict future must surface through
+            # close()/join(), not silently kill the serializer thread
+            self._closing_future.set_exception(e)
 
     def join(self) -> None:
         self.close().result()

@@ -113,17 +113,6 @@ class PlaneStream:
         """The constant byte of a CODING_CONST stream."""
         return int(self.freq[0])
 
-    def nbytes(self) -> int:
-        if self.coding == CODING_CONST:
-            return 24
-        return (
-            528
-            + self.num_chunks * 4
-            + self.num_groups * 4
-            + self.payload.size * 2
-        )
-
-
 def const_plane_stream(
     nframes: int, plane_size: int, chunk_len: int, value: int
 ) -> PlaneStream:
@@ -359,7 +348,8 @@ def _hist_flat(x: jax.Array, nbins: int) -> jax.Array:
 
 
 def _package_pallas(
-    states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq, coding
+    states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq,
+    coding=CODING_ORDER0,
 ) -> PlaneStream:
     """Host packaging of pallas encode outputs (counts sync + compaction)."""
     counts = np.asarray(counts_d).reshape(-1)  # [nblocks * nseg] groups
@@ -423,10 +413,18 @@ def encode_plane_batch(
         lanes = BLOCK_LANES
     if lanes != BLOCK_LANES:
         engine = "numpy"  # the pallas kernels are 1024-lane only
-    if auto:
-        plane = np.asarray(plane)
-        if n and (plane == plane.flat[0]).all():
-            return const_plane_stream(b, s, chunk_len, int(plane.flat[0]))
+    if auto and n:
+        if engine == "numpy" or isinstance(plane, np.ndarray):
+            plane = np.asarray(plane)
+            if (plane == plane.flat[0]).all():
+                return const_plane_stream(b, s, chunk_len, int(plane.flat[0]))
+        else:
+            # device array staying on device ("wide" fused-adjacent path):
+            # reduce there — syncing one scalar beats pulling the whole
+            # batch to host and re-uploading it
+            first = jnp.ravel(plane)[0]
+            if bool(jnp.all(plane == first)):
+                return const_plane_stream(b, s, chunk_len, int(first))
     lens = chunk_lens(b, s, chunk_len, lanes)
     nblocks = len(lens) // lanes
 
@@ -503,18 +501,8 @@ def encode_plane_batch(
         syms, lens_dev, jnp.asarray(fc),
         chunk_len=chunk_len, nblocks=nblocks,
     )
-    counts = np.asarray(counts_d).reshape(-1)
-    total = int(counts.sum())
-    cap = _quantize_cap(total, chunk_len, nblocks)
-    rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, chunk_len)
-    cum = np.zeros(len(counts) + 1, np.int32)
-    cum[1:] = np.cumsum(counts)
-    payload_d = _compact_payload(words_d, jnp.asarray(cum), cap, rows_q)
-    payload = np.asarray(payload_d)[:total]
-    states = np.asarray(states_d).reshape(-1)
-    return PlaneStream(
-        nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
-        states=states, block_counts=counts.astype(np.uint32), payload=payload,
+    return _package_pallas(
+        states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq
     )
 
 

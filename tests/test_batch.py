@@ -171,3 +171,53 @@ def test_arrow_encoder_roundtrip():
         np.testing.assert_array_equal(
             img, (frames[i].astype(np.uint16) << 4)
         )
+
+
+def test_arrow_no_low_plus_delta_roundtrip():
+    """A frame whose ORIGINAL low plane is all zero (NO_LOW_BYTES) while the
+    delta frame has nonzero low bytes must decode with a ZERO low plane —
+    not the delta frame's (extract_image semantics; the naive inverse adds
+    dlow to the zeros)."""
+    pytest.importorskip("pyarrow")
+    from fpv_tpu.batch.arrow import ArrowEncoder, decode_record_batch
+
+    rng = np.random.default_rng(3)
+    delta = rng.integers(0, 1 << 16, (16, 16)).astype(np.uint16)  # low != 0
+    frame = (rng.integers(0, 256, (16, 16)).astype(np.uint16)) << 8  # low == 0
+    rbs = []
+    enc = ArrowEncoder(16, 16, 0, False,
+                       lambda rb: rbs.append(rb) if rb else None,
+                       frames_per_batch=4)
+    enc.push_frame(0, delta).result(timeout=60)
+    enc.push_frame(1, frame).result(timeout=60)
+    enc.close().result(timeout=60)
+    enc.join()
+    decoded = [img for rb in rbs for img in decode_record_batch(rb)]
+    np.testing.assert_array_equal(decoded[0], delta)
+    np.testing.assert_array_equal(decoded[1], frame)
+
+
+def test_arrow_empty_close_does_not_deadlock():
+    pytest.importorskip("pyarrow")
+    from fpv_tpu.batch.arrow import ArrowEncoder
+
+    enc = ArrowEncoder(16, 16, 0, False, lambda rb: None)
+    assert enc.close().result(timeout=60) == -1
+    enc.join()
+
+
+def test_arrow_worker_error_surfaces():
+    """A predict/compress failure must surface through close(), not kill
+    the serializer thread silently."""
+    pytest.importorskip("pyarrow")
+    from concurrent.futures import Future
+
+    from fpv_tpu.batch.arrow import ArrowEncoder
+
+    enc = ArrowEncoder(16, 16, 0, False, lambda rb: None)
+    enc.push_frame(0, np.zeros((16, 16), np.uint16)).result(timeout=60)
+    boom: Future = Future()
+    boom.set_exception(ValueError("boom"))
+    enc._queue.put(boom)  # a frame whose pipeline stage failed
+    with pytest.raises(ValueError):
+        enc.close().result(timeout=60)
