@@ -19,8 +19,8 @@ wavefront for 'cg2d') -> delta add -> plane combine.
 from __future__ import annotations
 
 import contextlib
-import dataclasses
 import functools
+import struct
 
 import jax
 import jax.numpy as jnp
@@ -42,17 +42,24 @@ from fpv_tpu.format.fpvt import (
     SPATIAL_UP,
     Header,
 )
-from fpv_tpu.ops.planes import combine_planes, split_planes, unextract
+from fpv_tpu.ops.planes import combine_planes, split_planes
 from fpv_tpu.ops.predict import (
     cg2d_decode,
     cg2d_encode,
-    delta_decode,
     up_decode,
     up_encode,
 )
 from fpv_tpu.ops.preview import generate_preview
 
 _DECISION_STRIDE = 16  # sampling stride for predictor decisions
+
+# Hard per-batch size ceiling for the device codec: payload word offsets
+# accumulate in int32 cumsums inside the fused programs (int64 would force
+# jax_enable_x64), so one plane batch must stay below 2^31 symbols.  The
+# format itself allows more (parse guard 16e9); batches beyond this raise
+# instead of silently wrapping offsets.  (At 2 B/px a 2^31-symbol batch is
+# ~4 GB of raw frames — beyond any sensible per-batch HBM budget anyway.)
+MAX_DEVICE_SYMS = (1 << 31) - 1
 _HIST_STRIDE = 16  # sampling stride for rANS table histograms
 
 
@@ -142,16 +149,9 @@ def _exact_hist_256(plane: jax.Array) -> jax.Array:
     """
     if plane.size == 0:
         return jnp.zeros(256, jnp.int32)
-    flat = plane.reshape(-1).astype(jnp.int32)
-    n = flat.shape[0]
-    width = 512
-    pad = (-n) % width
-    if pad:
-        flat = jnp.concatenate([flat, jnp.full(pad, -1, jnp.int32)])
-    x = flat.reshape(-1, width)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    eq = x[:, :, None] == bins[None, None, :]
-    return jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)
+    from fpv_tpu.entropy.plane_codec import _hist_flat
+
+    return _hist_flat(plane.reshape(-1).astype(jnp.int32), 256)
 
 
 def _support_mask(plane: jax.Array) -> jax.Array:
@@ -185,16 +185,11 @@ def _batch_hist(plane: jax.Array) -> jax.Array:
     encodable.  Computed as a compare-and-reduce (fuses on the VPU); TPU
     scatter-adds run at ~100 Melem/s and would dominate the model step.
     """
-    flat = _sample_rows(plane, _HIST_STRIDE).reshape(-1).astype(jnp.int32)
-    n = flat.shape[0]
-    width = 512
-    pad = (-n) % width
-    if pad:
-        flat = jnp.concatenate([flat, jnp.full(pad, -1, jnp.int32)])
-    x = flat.reshape(-1, width)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    eq = x[:, :, None] == bins[None, None, :]
-    return jnp.sum(eq, axis=(0, 1), dtype=jnp.int32)
+    from fpv_tpu.entropy.plane_codec import _hist_flat
+
+    return _hist_flat(
+        _sample_rows(plane, _HIST_STRIDE).reshape(-1).astype(jnp.int32), 256
+    )
 
 
 @functools.partial(
@@ -546,6 +541,10 @@ def batch_decode_args(
     from fpv_tpu.ops.rans_layout import BLOCK_COLS, CODING_CONST
 
     streams = [pb.high, pb.low, pb.preview]
+    if len(pb.frame_flags) * pb.high.plane_size > MAX_DEVICE_SYMS:
+        raise ValueError(
+            "batch too large for the device codec (2^31 symbols)"
+        )
     # CODING_CONST planes carry no coded data: they are excluded from every
     # concatenated array and flagged to the program instead
     const_planes = tuple(st.coding == CODING_CONST for st in streams)
@@ -1160,6 +1159,11 @@ class FpvtWriter:
         # previews of H<4 or W<4 frames have zero pixels: skip the stream
         has_pv = (self.header.ysize // 4) * (self.header.xsize // 4) > 0
         n_main = b * self.header.ysize * self.header.xsize
+        if n_main > MAX_DEVICE_SYMS:
+            raise ValueError(
+                "batch too large for the device codec (2^31 symbols); "
+                "use smaller frames_per_batch"
+            )
         # with the narrow policy on, small batches bypass the fused device
         # path so the encoder policy (const short-circuit, narrow lane
         # counts) can shrink their fixed per-stream costs; production-size
@@ -1721,8 +1725,6 @@ class FpvtStreamingReader:
         self._pos = 0
 
     def decode(self, data: bytes) -> None:
-        import struct
-
         self._buffer += data
         buf = self._buffer
         if self._inner is None:
@@ -1763,14 +1765,12 @@ class FpvtStreamingReader:
                     self._callback(frame0, ts0, pv0)
                 else:
                     self._callback(frame0, ts0)
-        import struct as _s
-
         while len(buf) - self._pos >= 9:
-            size, stype = _s.unpack_from("<QB", buf, self._pos)
+            size, stype = struct.unpack_from("<QB", buf, self._pos)
             if stype == fpvt.SECTION_INDEX:
-                return  # footer: end of frames
+                break  # footer: end of frames
             if len(buf) - self._pos < size:
-                return  # incomplete section
+                break  # incomplete section
             section = bytes(buf[self._pos : self._pos + size])
             hh, ww = self._header.ysize, self._header.xsize
             pb = fpvt.parse_batch_section(
@@ -1792,7 +1792,10 @@ class FpvtStreamingReader:
                 else:
                     self._callback(imgs, pb.timestamps)
             self._pos += size
-        # compact consumed bytes
+        # compact consumed bytes — on EVERY exit path (steady-state
+        # streaming usually leaves the loop on "incomplete section", which
+        # must not skip this or the buffer retains the whole decoded
+        # stream and grows without bound)
         if self._pos > 1 << 22:
             del self._buffer[: self._pos]
             self._pos = 0

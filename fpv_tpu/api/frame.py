@@ -67,6 +67,9 @@ def split_planes(
     detection (:447-449).  ``img`` is the raw data reinterpreted as
     native-little-endian uint16, as the reference CLI does.
     """
+    from fpv_tpu.ops.planes import validate_shift
+
+    validate_shift(shift, big_endian)
     img = np.ascontiguousarray(img, dtype=np.uint16)
     flags = 0
     low: np.ndarray | None

@@ -108,6 +108,10 @@ class Header:
             raise ValueError("image too large")
         if shift > 16 or not (4 <= chunk_log2 <= 16):
             raise ValueError("invalid header parameters")
+        if shift > 8 and flags & HDR_F_BIG_ENDIAN:
+            # no split/unsplit implementation defines this configuration
+            # (ops/planes.validate_shift); a writer cannot have produced it
+            raise ValueError("invalid header parameters")
         return cls(
             xsize=xsize,
             ysize=ysize,
@@ -295,6 +299,13 @@ def serialize_batch_section(
     preview: PlaneStream | None,
 ) -> bytes:
     nframes = len(frame_flags)
+    if len(timestamps) != nframes:
+        # a mismatch would serialize a section whose fixed-size timestamp
+        # region mis-aligns the plane streams — failing only at decode,
+        # far from the buggy call
+        raise ValueError(
+            f"{len(timestamps)} timestamps for {nframes} frames"
+        )
     body = struct.pack("<IBBH", nframes, int(low is not None),
                        int(preview is not None), 0)
     body += np.asarray(frame_flags, dtype=np.uint8).tobytes()

@@ -15,6 +15,24 @@ import jax
 import jax.numpy as jnp
 
 
+def validate_shift(shift: int, big_endian: bool) -> None:
+    """Reject shift configurations no split implementation defines.
+
+    Big-endian shifts above 8 drive the reference's rotate path
+    (fusion_power_video.cc:405-417) into a NEGATIVE shift count — C++ UB,
+    numpy OverflowError, XLA implementation-defined.  Rather than three
+    engines silently disagreeing, every split entry point rejects the
+    configuration up front (deliberate, documented divergence from the
+    reference, which accepts it and corrupts)."""
+    if not 0 <= shift <= 16:
+        raise ValueError(f"shift must be in [0, 16], got {shift}")
+    if big_endian and shift > 8:
+        raise ValueError(
+            "big-endian shifts above 8 are not supported (the reference's "
+            "rotate path shifts by a negative amount there)"
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("shift", "big_endian"))
 def split_planes(img: jax.Array, shift: int = 0, big_endian: bool = False):
     """uint16 [B, H, W] -> (high u8, low u8, nonzero_low bool[B]).
@@ -26,6 +44,7 @@ def split_planes(img: jax.Array, shift: int = 0, big_endian: bool = False):
     the low plane is all-zero and callers must treat it as absent
     (fusion_power_video.cc:399-403, 429-433).
     """
+    validate_shift(shift, big_endian)
     img = img.astype(jnp.uint16)
     if big_endian:
         if shift == 0:
@@ -45,7 +64,14 @@ def split_planes(img: jax.Array, shift: int = 0, big_endian: bool = False):
             high = img.astype(jnp.uint8)
             low = jnp.zeros_like(high)
         else:
-            shifted = (img << shift).astype(jnp.uint16)
+            # shift == 16 would shift by the full bit width (undefined in
+            # XLA); the reference's C++ truncation yields zeros — make that
+            # explicit
+            shifted = (
+                (img << shift).astype(jnp.uint16)
+                if shift < 16
+                else jnp.zeros_like(img)
+            )
             high = (shifted >> 8).astype(jnp.uint8)
             low = shifted.astype(jnp.uint8)
     if shift == 8:

@@ -77,11 +77,26 @@ def trace(log_dir: str | None = None):
 
 @contextlib.contextmanager
 def annotate(name: str):
-    """Named scope visible in profiler traces (host + device timeline)."""
+    """Named scope visible in profiler traces (host + device timeline).
+
+    Only TraceAnnotation CONSTRUCTION is guarded (profiler may be absent);
+    exceptions raised inside the caller's scope must propagate untouched —
+    wrapping the yield in except would swallow them and yield twice
+    ("generator didn't stop after throw()")."""
     import jax
 
+    entered = False
     try:
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        ann = jax.profiler.TraceAnnotation(name)
+        ann.__enter__()
+        entered = True
     except Exception:
+        pass
+    try:
         yield
+    finally:
+        if entered:
+            try:
+                ann.__exit__(None, None, None)
+            except Exception:
+                pass

@@ -272,8 +272,23 @@ PyObject* py_compress_frame(PyObject*, PyObject* args) {
                         &big_endian, &dh_obj, &dl_obj, &use_delta,
                         &make_preview))
     return nullptr;
+  // dims first (bounded multiply: 65536^2 * 2 fits size_t; unchecked
+  // xsize*ysize could wrap size_t and sail past the buffer-length check),
+  // then the shift domain: big-endian shift > 8 would drive the rotate
+  // split below into a negative shift count (C++ UB) — the Python split
+  // paths reject the same configurations (ops/planes.validate_shift)
+  if (xsize <= 0 || ysize <= 0 || xsize > 65536 || ysize > 65536) {
+    PyBuffer_Release(&img_buf);
+    PyErr_SetString(PyExc_ValueError, "bad image dimensions");
+    return nullptr;
+  }
+  if (shift < 0 || shift > 16 || (big_endian && shift > 8)) {
+    PyBuffer_Release(&img_buf);
+    PyErr_SetString(PyExc_ValueError, "unsupported shift configuration");
+    return nullptr;
+  }
   const size_t size = (size_t)xsize * (size_t)ysize;
-  if ((size_t)img_buf.len < size * 2 || xsize <= 0 || ysize <= 0) {
+  if ((size_t)img_buf.len < size * 2) {
     PyBuffer_Release(&img_buf);
     PyErr_SetString(PyExc_ValueError, "bad image buffer");
     return nullptr;

@@ -103,3 +103,35 @@ def test_decide_delta_near_constant_plane():
     small[0, 0] = 200
     assert heuristics.decide_delta(small)
 
+
+
+def test_undefined_shift_configs_rejected():
+    """Big-endian shifts above 8 drive every split implementation into a
+    negative shift count (C++ UB / numpy OverflowError) — all three entry
+    points must reject them up front; LE shift 16 must yield zeros (the
+    reference's C++ truncation), not XLA-undefined output."""
+    import pytest
+
+    from fpv_tpu.ops import planes as jplanes
+
+    img = np.arange(64, dtype=np.uint16).reshape(1, 8, 8)
+    for shift in (9, 12, 16):
+        with pytest.raises(ValueError):
+            jplanes.split_planes(img, shift, True)
+        with pytest.raises(ValueError):
+            frame_ops.split_planes(img[0], shift, True)
+    with pytest.raises(ValueError):
+        jplanes.split_planes(img, 17, False)
+    # LE shift=16: explicit zeros (C++ uint16 truncation semantics)
+    h, low, nz = jplanes.split_planes(img, 16, False)
+    assert not np.asarray(h).any() and not np.asarray(low).any()
+
+
+def test_profiling_annotate_propagates_exceptions():
+    import pytest
+
+    from fpv_tpu.utils.profiling import annotate
+
+    with pytest.raises(KeyError, match="real error"):
+        with annotate("stage"):
+            raise KeyError("real error")
