@@ -237,12 +237,6 @@ def main() -> None:
     # reference's own numbers likewise exclude disk I/O).  Host work that is
     # intrinsic to the codec (table normalization from device histograms,
     # per-block counts) stays inside the timed region.
-    from fpv_tpu.api.fpvt_codec import encode_model_step
-    from fpv_tpu.entropy import plane_codec as pc
-    from fpv_tpu.entropy.tables import normalize_freqs
-    from fpv_tpu.ops import rans_pallas as rp
-    from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_LANES, BLOCK_ROWS, chunk_lens
-
     w0 = FpvtWriter(W, H, shift=SHIFT, frames_per_batch=BATCH)
     w0.init(frames[0])
     imgs_dev = jnp.asarray(frames[:BATCH])
@@ -314,58 +308,29 @@ def main() -> None:
 
     # ---- device-resident decode: compressed stream pre-staged in HBM-side
     # buffers, frames left in HBM.
-    from fpv_tpu.api.fpvt_codec import FpvtReader, fused_decode_batch
-    from fpv_tpu.format import fpvt as _fpvt
-    from fpv_tpu.format.fpvt import F_SPATIAL_SHIFT, SPATIAL_UP, SPATIAL_CG2D
-    from fpv_tpu.ops import rans_pallas as _rp
-    from fpv_tpu.ops.rans_layout import BLOCK_COLS as _BC
+    from fpv_tpu.api.fpvt_codec import (
+        FpvtReader,
+        batch_decode_args,
+        fused_decode_batch,
+    )
 
     rdr = FpvtReader(data)
     off0, b0 = rdr._batches[0]
-    pb = _fpvt.parse_batch_section(data, off0)
-    streams = [pb.high, pb.low, pb.preview]
-    from fpv_tpu.entropy.plane_codec import _quantize_rows as _qr
-    _rows_alloc = _qr(max(int(st.block_counts.max()) for st in streams), chunk_len) + 16
-    win = _rows_alloc * _BC
-    parts, plane_offs, pos = [], np.zeros(3, np.int32), 0
-    for i, st in enumerate(streams):
-        plane_offs[i] = pos
-        parts.append(st.payload)
-        pos += st.payload.size
-    payload = np.zeros(pos + win, np.uint16)
-    payload[:pos] = np.concatenate(parts)
-    counts = np.concatenate([st.block_counts for st in streams]).astype(np.uint32)
-    states = np.concatenate([st.states for st in streams]).astype(np.uint32)
-    fcs_np = np.zeros((3, 4, 128), np.uint32)
-    symt_np = np.zeros((3, 8, 128), np.uint32)
-    for i, st in enumerate(streams):
-        if st.coding:
-            fc_i, sym_i = _rp.ctx_decode_table_arrays(st.freq)
-        else:
-            fc_i, _finv, sym_i = _rp.table_arrays(st.freq)
-        fcs_np[i, :2] = fc_i
-        symt_np[i] = sym_i
-    fcs = jnp.asarray(fcs_np)
-    sym_tabs = jnp.asarray(symt_np)
-    spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
+    pb = rdr._parse_batch(off0)
+    # canonical packaging shared with the reader/sharded paths (handles
+    # CODING_CONST planes and the payload window slack)
+    arrays, static = batch_decode_args(pb, chunk_len)
     dec_args = (
-        jnp.asarray(payload), jnp.asarray(plane_offs), jnp.asarray(counts),
-        jnp.asarray(states), jnp.asarray(pb.frame_flags.astype(np.uint32)),
-        sym_tabs, fcs, rdr._delta_high, rdr._delta_low,
-        jnp.asarray(np.zeros(3, np.uint32)),
+        jnp.asarray(arrays["payload"]), jnp.asarray(arrays["plane_offs"]),
+        jnp.asarray(arrays["counts"]), jnp.asarray(arrays["states"]),
+        jnp.asarray(arrays["flags"]), jnp.asarray(arrays["sym_tabs"]),
+        jnp.asarray(arrays["fcs"]), rdr._delta_high, rdr._delta_low,
+        jnp.asarray(arrays["const_vals"]),
     )
     jax.block_until_ready(dec_args)
-    from fpv_tpu.format.fpvt import F_PV_SPATIAL_SHIFT, F_PV_USE_DELTA
-    pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
     # full-fidelity decode: previews decode in the same fused program
     dec_kw = dict(chunk_len=chunk_len, b=b0, h=H, w=W,
-                  any_up=bool((spatial == SPATIAL_UP).any()),
-                  any_cg=bool((spatial == SPATIAL_CG2D).any()),
-                  pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
-                  pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
-                  decode_preview=True, rows_alloc=_rows_alloc,
-                  low_ctx=bool(pb.low.coding == 1),
-                  any_pv_delta=bool((pb.frame_flags & F_PV_USE_DELTA).any()))
+                  decode_preview=True, **static)
 
     def decode_device_batch():
         imgs, ok, _pv = fused_decode_batch(*dec_args, **dec_kw)

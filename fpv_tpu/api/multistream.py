@@ -98,17 +98,19 @@ class MultiStreamEncoder:
         with self._lock:
             pend = self._pending[stream_id]
             pend.append((int(timestamp), np.asarray(frame, np.uint16)))
-            ready = len(pend) >= self._fpb
-            if ready:
+            if len(pend) >= self._fpb:
                 batch, self._pending[stream_id] = pend, []
-        if ready:
-            _safe_put(self._queue, (stream_id, batch), self._check_error)
+                # enqueue INSIDE the lock: releasing it first would let a
+                # concurrent producer enqueue batch k+1 before batch k,
+                # breaking per-stream order.  The put cannot deadlock —
+                # the worker drains the queue without taking this lock.
+                _safe_put(self._queue, (stream_id, batch), self._check_error)
 
     def _flush_stream(self, stream_id: str) -> None:
         with self._lock:
             batch, self._pending[stream_id] = self._pending[stream_id], []
-        if batch:
-            _safe_put(self._queue, (stream_id, batch), self._check_error)
+            if batch:  # inside the lock, same ordering argument as push_frame
+                _safe_put(self._queue, (stream_id, batch), self._check_error)
 
     def close(self) -> None:
         """Flush all partial batches, emit footers, stop the worker."""
@@ -118,6 +120,10 @@ class MultiStreamEncoder:
         _safe_put(self._queue, None, self._check_error)
         self._worker.join(timeout=600)
         self._check_error()
+        if self._worker.is_alive():
+            # emitting footers while the worker still appends batches
+            # would silently corrupt every stream's file
+            raise TimeoutError("encoder worker did not drain within 600 s")
         for sid, w in self._writers.items():
             self._sink(sid, w.finish())
 
@@ -225,13 +231,28 @@ class MultiStreamDecoder:
         self._worker.join(timeout=600)
         self._finalizer.join(timeout=600)
         self._check_error()
+        if self._worker.is_alive() or self._finalizer.is_alive():
+            # returning success with undelivered batches would silently
+            # drop frames
+            raise TimeoutError("decoder pipeline did not drain within 600 s")
+
+    def _deliver_fin_sentinel(self) -> None:
+        """Deliver the finalizer its shutdown sentinel without ever hanging:
+        a healthy finalizer drains the queue (bounded put eventually lands)
+        and a dead one stops needing it."""
+        while self._finalizer.is_alive():
+            try:
+                self._finq.put(None, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def _run(self) -> None:
         try:
             while True:
                 item = self._queue.get()
                 if item is None:
-                    self._finq.put(None)
+                    self._deliver_fin_sentinel()
                     return
                 sid, data = item
                 self._readers[sid].decode(data)
@@ -240,17 +261,7 @@ class MultiStreamDecoder:
             # must keep interpreter-shutdown semantics, not become a
             # stored "worker failed" error
             self._error = e
-            # the finalizer only stops on its sentinel, so it MUST be
-            # delivered: a healthy finalizer drains the queue (bounded
-            # put eventually lands), and a dead one stops needing it —
-            # either way this loop terminates, and never leaks a
-            # finalizer blocked in get() forever
-            while self._finalizer.is_alive():
-                try:
-                    self._finq.put(None, timeout=0.5)
-                    return
-                except queue.Full:
-                    continue
+            self._deliver_fin_sentinel()
 
     def _run_fin(self) -> None:
         while True:

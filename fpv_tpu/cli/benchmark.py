@@ -58,8 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     profile = "fpv1"
     if "--profile" in argv:
         i = argv.index("--profile")
-        profile = argv[i + 1]
-        del argv[i : i + 2]
+        if i + 1 >= len(argv):
+            argv = []  # trailing --profile without a value: show usage
+        else:
+            profile = argv[i + 1]
+            del argv[i : i + 2]
     if len(argv) < 5:
         sys.stderr.write(
             "Usage: fpv-benchmark filename xsize ysize big_endian shift"

@@ -25,8 +25,11 @@ def main(argv: list[str] | None = None) -> int:
     profile = "fpv1"
     if "--profile" in argv:
         i = argv.index("--profile")
-        profile = argv[i + 1]
-        del argv[i : i + 2]
+        if i + 1 >= len(argv):
+            argv = []  # trailing --profile without a value: show usage
+        else:
+            profile = argv[i + 1]
+            del argv[i : i + 2]
     if len(argv) < 4:
         sys.stderr.write(
             "Usage: fpv-encode xsize ysize big_endian shift [threads]"

@@ -30,6 +30,11 @@ def inspect_bytes(data: bytes) -> dict:
         "header_bytes": fpvt.HEADER_SIZE,
         "sections": [],
     }
+    # geometry-validated parses, like the readers: crafted plane_size /
+    # nframes fields must not drive a read-only accounting tool into
+    # multi-GB allocations
+    psize = header.ysize * header.xsize
+    pvsize = (header.ysize // 4) * (header.xsize // 4)
     pos = fpvt.HEADER_SIZE
     while pos < len(data):
         if len(data) - pos < 9:
@@ -40,7 +45,9 @@ def inspect_bytes(data: bytes) -> dict:
         if size < 9 or size > len(data) - pos:
             raise ValueError("corrupt section size")
         if stype == fpvt.SECTION_DELTA:
-            dflags, hs, ls = fpvt.parse_delta_section(data, pos)
+            dflags, hs, ls = fpvt.parse_delta_section(
+                data, pos, plane_size=psize
+            )
             entry = {
                 "type": "delta",
                 "bytes": size,
@@ -50,7 +57,9 @@ def inspect_bytes(data: bytes) -> dict:
                 entry["planes"]["low"] = _stream_breakdown(ls)
             out["sections"].append(entry)
         elif stype == fpvt.SECTION_BATCH:
-            pb = fpvt.parse_batch_section(data, pos)
+            pb = fpvt.parse_batch_section(
+                data, pos, plane_size=psize, preview_size=pvsize
+            )
             entry = {
                 "type": "batch",
                 "bytes": size,

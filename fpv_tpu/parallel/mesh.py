@@ -641,18 +641,24 @@ def _dryrun_production_config(mesh: Mesh, n_devices: int) -> None:
     imgs_s = shard_frames(frames, mesh)
     outs = step(imgs_s, jnp.asarray(dh), jnp.asarray(dl))
     jax.block_until_ready(outs)
-    # bit-exactness vs a single-device run of the same per-device slice
+    # bit-exactness vs single-device runs of EVERY device's slice (a
+    # sharding bug that corrupts only non-zero shards must not pass)
     per = b // n_devices
-    ref = fused_encode_batch(
-        jnp.asarray(frames[:per]), jnp.asarray(dh), jnp.asarray(dl),
-        shift, False, chunk_len, True, CODING_CTX16,
-    )
-    for got, want in zip(outs, ref):
-        g = np.asarray(got)[: np.asarray(want).shape[0]]
-        if not np.array_equal(g, np.asarray(want)):
-            raise AssertionError(
-                "sharded production-config encode not bit-exact"
-            )
+    for d in range(n_devices):
+        ref = fused_encode_batch(
+            jnp.asarray(frames[d * per : (d + 1) * per]),
+            jnp.asarray(dh), jnp.asarray(dl),
+            shift, False, chunk_len, True, CODING_CTX16,
+        )
+        for got, want in zip(outs, ref):
+            want = np.asarray(want)
+            L = np.asarray(got).shape[0] // n_devices
+            g = np.asarray(got)[d * L : d * L + want.shape[0]]
+            if not np.array_equal(g, want):
+                raise AssertionError(
+                    f"sharded production-config encode not bit-exact "
+                    f"(device {d})"
+                )
 
 
 def _dryrun_production_decode(mesh: Mesh, n_devices: int) -> None:
