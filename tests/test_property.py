@@ -75,3 +75,55 @@ def test_rans_plane_roundtrip_random(b, s, k, loc, scale, seed):
     stream = encode_plane_batch(planes, hist, chunk_len=k, engine="numpy")
     out = np.asarray(decode_plane_batch(stream, engine="numpy"))
     np.testing.assert_array_equal(out, planes)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    b=st.integers(1, 3),
+    s=st.integers(16, 2500),
+    k=st.sampled_from([32, 128, 512]),
+    scale=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_rans_ctx16_roundtrip_random(b, s, k, scale, seed):
+    """Context-coded (nibble alphabet, 32 conditional tables) plane batches
+    roundtrip for arbitrary even-valued content (the low-coding domain)."""
+    from fpv_tpu.ops.rans_layout import CODING_CTX16
+
+    rng = np.random.default_rng(seed)
+    planes = (
+        (rng.normal(0, scale, size=(b, s))).astype(np.int64) % 16 * 16
+    ).astype(np.uint8)  # low-nibble-zero values, like shift>=4 low planes
+    stream = encode_plane_batch(
+        planes, None, chunk_len=k, engine="numpy", coding=CODING_CTX16
+    )
+    out = np.asarray(decode_plane_batch(stream, engine="numpy"))
+    np.testing.assert_array_equal(out, planes)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    b=st.integers(1, 3),
+    s=st.integers(1, 3000),
+    const=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_rans_auto_policy_roundtrip_random(b, s, const, seed):
+    """lanes='auto' (narrow geometry + const short-circuit) roundtrips and
+    its streams survive a serialize -> parse cycle byte-exactly."""
+    from fpv_tpu.format import fpvt as _fpvt
+    from fpv_tpu.ops.rans_layout import CODING_CONST
+
+    rng = np.random.default_rng(seed)
+    if const:
+        planes = np.full((b, s), int(rng.integers(0, 256)), np.uint8)
+    else:
+        planes = rng.integers(0, 256, size=(b, s), dtype=np.uint8)
+    stream = encode_plane_batch(planes, None, engine="numpy", lanes="auto")
+    if const:
+        assert stream.coding == CODING_CONST
+    blob = _fpvt.serialize_plane_stream(stream)
+    parsed, end = _fpvt.parse_plane_stream(blob, 0, b, expect_size=s)
+    assert end == len(blob)
+    out = np.asarray(decode_plane_batch(parsed, engine="numpy"))
+    np.testing.assert_array_equal(out, planes)
