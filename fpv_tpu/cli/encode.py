@@ -61,9 +61,14 @@ def main(argv: list[str] | None = None) -> int:
     if profile == "fpvt":
         from fpv_tpu.api.fpvt_codec import FpvtWriter
 
+        # narrow=False: a pipe's total length is unknown, so the
+        # small-FILE state-saving policy can't apply — and a long pipe of
+        # mid-size frames must not pay host coding per batch (the hubs
+        # make the same call; one-shot small files go through
+        # encode_file_fpvt, which sizes the policy from the total)
         writer = FpvtWriter(
             xsize, ysize, shift=shift, big_endian=bool(big_endian),
-            delta_is_frame0=True,
+            delta_is_frame0=True, narrow=False,
         )
         batch: list[np.ndarray] = []
         initialized = False
