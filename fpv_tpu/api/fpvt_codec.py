@@ -1900,3 +1900,49 @@ def decode_file_fpvt(data: bytes) -> np.ndarray:
     if r.header.delta_is_frame0:
         outs.insert(0, r.frame0()[None])
     return np.concatenate(outs)
+
+
+def warmup_stream(
+    xsize: int,
+    ysize: int,
+    shift: int = 0,
+    big_endian: bool = False,
+    frames_per_batch: int = 16,
+    chunk_log2: int = 12,
+    device=None,
+    decode: bool = True,
+    previews: bool = False,
+) -> None:
+    """Pre-compile the fused encode (and decode) programs for a stream
+    geometry before traffic arrives.
+
+    Kernel compiles cost tens of seconds on a cold TPU host; a serving
+    process (MultiStreamEncoder/MultiStreamDecoder, FpvtStreamingReader)
+    that warms each camera geometry at startup serves its first real batch
+    at steady-state latency.  Same-geometry streams share compiled
+    executables, so one warmup covers every stream of that shape on the
+    device.
+
+    Synthetic noise frames drive the production program shapes (noise
+    defeats the CODING_CONST short-circuit; compiled decode programs are
+    additionally specialized on the per-batch predictor-decision flags, so
+    content whose decisions differ may still pay one smaller re-compile).
+    """
+    rng = np.random.default_rng(0)
+    frames = rng.integers(
+        0, 1 << (16 - shift), (frames_per_batch + 1, ysize, xsize), np.uint16
+    )
+    wri = FpvtWriter(
+        xsize, ysize, shift, big_endian, frames_per_batch, chunk_log2,
+        device=device, narrow=False,
+    )
+    parts = [wri.init(frames[0])]
+    parts.append(wri.encode_batch(frames[1:]))
+    parts.append(wri.finish())
+    if not decode:
+        return
+    rdr = FpvtReader(b"".join(parts), device=device)
+    if previews:
+        rdr.decode_batch_with_previews(0)
+    else:
+        rdr.decode_batch(0)

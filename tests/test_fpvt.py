@@ -582,3 +582,17 @@ def test_writer_rejects_oversize_device_batch():
         # only .shape[0] is read before the guard; a tiny stand-in array
         # exercises the check without 8 GB of frames
         w.encode_batch_bytes(np.zeros((1, 4, 4), np.uint16))
+
+
+def test_warmup_stream_runs_for_geometry():
+    """warmup_stream pre-compiles the fused encode/decode programs for a
+    geometry (with and without previews, optionally pinned to a device)."""
+    import jax
+
+    from fpv_tpu.api.fpvt_codec import warmup_stream
+
+    warmup_stream(32, 32, shift=4, frames_per_batch=2, chunk_log2=8)
+    warmup_stream(
+        32, 32, shift=4, frames_per_batch=2, chunk_log2=8,
+        previews=True, device=jax.devices()[-1],
+    )
