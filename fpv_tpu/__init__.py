@@ -41,3 +41,28 @@ from fpv_tpu.api.decoder import (  # noqa: F401
     StreamingDecoder,
     decode_file,
 )
+
+# FPVT-profile and serving names resolve lazily (PEP 562): they pull in the
+# device codec stack, which FPV1-only users shouldn't pay import time for
+_LAZY = {
+    "encode_file_fpvt": "fpv_tpu.api.fpvt_codec",
+    "decode_file_fpvt": "fpv_tpu.api.fpvt_codec",
+    "FpvtReader": "fpv_tpu.api.fpvt_codec",
+    "FpvtWriter": "fpv_tpu.api.fpvt_codec",
+    "FpvtStreamingReader": "fpv_tpu.api.fpvt_codec",
+    "warmup_stream": "fpv_tpu.api.fpvt_codec",
+    "MultiStreamEncoder": "fpv_tpu.api.multistream",
+    "MultiStreamDecoder": "fpv_tpu.api.multistream",
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'fpv_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
