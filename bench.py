@@ -15,7 +15,6 @@ every encoded batch is decoded and byte-compared before times are reported.
 from __future__ import annotations
 
 import json
-import os
 import pathlib
 import subprocess
 import sys

@@ -14,10 +14,8 @@ from typing import Callable
 
 import numpy as np
 
-from fpv_tpu.api.frame import FrameFlags
 from fpv_tpu.format import container
 from fpv_tpu.format.bits import out_of_bounds, read_u32le
-from fpv_tpu.models import predictors
 
 StreamCallback = Callable[[bool, np.ndarray | None, int, int, object], None]
 

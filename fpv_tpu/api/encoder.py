@@ -23,7 +23,7 @@ from typing import Callable
 import numpy as np
 
 from fpv_tpu.api import frame as frame_ops
-from fpv_tpu.api.frame import FrameFlags, FramePlanes
+from fpv_tpu.api.frame import FramePlanes
 from fpv_tpu.format import container
 
 Callback = Callable[[bytes, object], None]

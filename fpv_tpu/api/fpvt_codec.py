@@ -38,7 +38,6 @@ from fpv_tpu.format.fpvt import (
     F_SPATIAL_SHIFT,
     F_USE_DELTA,
     SPATIAL_CG2D,
-    SPATIAL_NONE,
     SPATIAL_UP,
     Header,
 )
@@ -689,7 +688,6 @@ def fused_decode_batch(
         BLOCK_LANES,
         BLOCK_ROWS,
         CTX_PROB_BITS,
-        RANS_L,
     )
     from fpv_tpu.entropy.plane_codec import _from_block_symbols
 

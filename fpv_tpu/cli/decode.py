@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -37,7 +37,6 @@ from fpv_tpu.ops.rans_layout import (
     CTX_NIDX,
     CTX_PROB_BITS,
     LANES_MIN,
-    RANS_L,
     chunk_lens,
 )
 
@@ -112,6 +111,7 @@ class PlaneStream:
     def value(self) -> int:
         """The constant byte of a CODING_CONST stream."""
         return int(self.freq[0])
+
 
 def const_plane_stream(
     nframes: int, plane_size: int, chunk_len: int, value: int

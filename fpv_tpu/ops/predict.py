@@ -22,7 +22,6 @@ Decode-side:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ from fpv_tpu.ops.rans_layout import (
     PROB_BITS,
     PROB_SCALE,
     RANS_L,
-    RENORM_SHIFT,
     SEG_LEN,
     num_segments,
 )

@@ -39,12 +39,10 @@ from fpv_tpu.ops.rans_layout import (
     BLOCK_LANES,
     BLOCK_ROWS,
     CTX_ALPHA,
-    CTX_NCTX,
     CTX_PROB_BITS,
     PROB_BITS,
     PROB_SCALE,
     RANS_L,
-    RENORM_SHIFT,
     SEG_LEN,
     num_segments,
 )

@@ -9,8 +9,6 @@ import numpy as np
 import pytest
 
 from fpv_tpu.batch.columnar import (
-    Batch,
-    BatchSchema,
     ColumnarBatchDecoder,
     ColumnarBatchEncoder,
     ImageType,

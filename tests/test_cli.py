@@ -8,7 +8,7 @@ import pytest
 
 from fpv_tpu.utils import testdata
 
-from conftest import REPO, ref_decode, ref_encode, requires_reference
+from conftest import REPO, ref_encode, requires_reference
 
 ENV_CPU = {"JAX_PLATFORMS": "cpu"}
 

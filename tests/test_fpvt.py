@@ -10,7 +10,6 @@ from fpv_tpu.api.fpvt_codec import (
     encode_file_fpvt,
 )
 from fpv_tpu.format import fpvt
-from fpv_tpu.ops.planes import unextract
 from fpv_tpu.utils import testdata
 
 
@@ -551,7 +550,7 @@ def test_fused_pack_u8_matches_slow_path(monkeypatch):
 
 
 def test_header_rejects_big_endian_large_shift():
-    from fpv_tpu.format.fpvt import HDR_F_BIG_ENDIAN, Header
+    from fpv_tpu.format.fpvt import Header
 
     hdr = Header(xsize=32, ysize=32, shift=12, big_endian=True)
     blob = bytearray(hdr.serialize())

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 from fpv_tpu.entropy.plane_codec import (
-    PlaneStream,
     decode_plane_batch,
     encode_plane_batch,
 )
