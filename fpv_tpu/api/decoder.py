@@ -196,9 +196,22 @@ class RandomAccessDecoder:
         return (img16 >> 8).astype(np.uint8)
 
 
-def decode_file(data: bytes) -> np.ndarray:
-    """Convenience one-shot decode of an FPV1 file -> [N, H, W] uint16."""
+def decode_file(data: bytes, num_threads: int = 0) -> np.ndarray:
+    """Convenience one-shot decode of an FPV1 file -> [N, H, W] uint16.
+
+    ``num_threads`` > 1 decodes frames concurrently: frames are
+    independent given the delta frame, and the hot stages (brotli, the CG
+    reconstruction scan) run in GIL-released native code — so unlike the
+    reference's single-threaded decoders (fusion_power_video.cc:866-1070)
+    this scales with host cores."""
     dec = RandomAccessDecoder()
     if not dec.init(data):
         raise ValueError("invalid FPV1 file")
+    if num_threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            return np.stack(
+                list(pool.map(dec.decode_frame, range(dec.numframes)))
+            )
     return np.stack([dec.decode_frame(i) for i in range(dec.numframes)])

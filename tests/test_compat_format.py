@@ -200,3 +200,19 @@ def test_decode_reference_grown_cg_previews_non_mult4():
         expect = generate_preview((imgs[i] >> 8).astype(np.uint8))
         np.testing.assert_array_equal(pv, expect)
     assert any_cg, "content did not trigger CG previews; test is vacuous"
+
+
+def test_decode_file_threaded_matches_sequential():
+    """Threaded decode_file (frames are independent; native stages release
+    the GIL) is pixel-identical to the sequential path — the reference's
+    decoders are single-threaded, so this is a strict multicore win."""
+    import fpv_tpu
+    from fpv_tpu.utils import testdata
+
+    frames = testdata.plasma_frames(6, 64, 64, bits=12)
+    raw = testdata.to_raw_bytes(frames)
+    imgs = np.frombuffer(raw, dtype="<u2").reshape(6, 64, 64)
+    data = fpv_tpu.encode_file(imgs, shift=4, num_threads=0)
+    seq = fpv_tpu.decode_file(data)
+    par = fpv_tpu.decode_file(data, num_threads=4)
+    np.testing.assert_array_equal(seq, par)
