@@ -227,9 +227,16 @@ def main() -> None:
     fpv1_ok = bool(
         (fpv_tpu.decode_file(fpv1_data) >> SHIFT == sub).all()
     )
+    fpv1_dec_times = []
+    for _ in range(3):
+        t0 = time.time()
+        fpv_tpu.decode_file(fpv1_data, num_threads=4)
+        fpv1_dec_times.append(time.time() - t0)
+    fpv1_dec_mps = sub.size / 1e6 / min(fpv1_dec_times)
     log(f"FPV1 compat encode (native, byte-exact): {fpv1_mps:.1f} MP/s "
         f"({8*len(fpv1_data)/sub.size:.3f} bpp, roundtrip {'ok' if fpv1_ok else 'FAIL'})"
-        f" vs reference {ref_mps:.1f} MP/s")
+        f" vs reference {ref_mps:.1f} MP/s; decode {fpv1_dec_mps:.1f} MP/s"
+        " (threaded; reference decoders are single-threaded)")
 
     # ---- device-resident codec throughput: frames pre-staged in HBM,
     # compressed stream left in HBM (the production serving scenario; the
@@ -467,6 +474,7 @@ def main() -> None:
         "bits_per_pixel": round(8 * len(data) / npix, 3),
         "lossless_roundtrip": True,
         "fpv1_encode_mpix_s": round(fpv1_mps, 2),
+        "fpv1_decode_mpix_s": round(fpv1_dec_mps, 2),
         "fpv1_vs_baseline": round(fpv1_mps / ref_mps, 3),
         "fpv1_lossless_roundtrip": fpv1_ok,
         "low_plane_vs_brotli": round(low_coded / br_low, 4),
