@@ -141,6 +141,16 @@ def parse_image(
     return DecodedImage(flags=flags, high=high, low=low)
 
 
+def _native_decompress_image():
+    """fpv_native.decompress_image if available (FPV_TPU_COMPAT_NATIVE=0
+    forces the Python/numpy path, the tested oracle)."""
+    import os
+
+    if os.environ.get("FPV_TPU_COMPAT_NATIVE") == "0":
+        return None
+    return getattr(brotli._native, "decompress_image", None)
+
+
 def decompress_image(
     data: bytes,
     xsize: int,
@@ -148,7 +158,20 @@ def decompress_image(
     delta_frame: np.ndarray | None = None,
     grown_size: int | None = None,
 ) -> np.ndarray:
-    """Full DecompressImage (fusion_power_video.cc:296-347) -> uint16 [H, W]."""
+    """Full DecompressImage (fusion_power_video.cc:296-347) -> uint16 [H, W].
+
+    Fast path: the whole pipeline (brotli planes, un-CG scan, delta add +
+    combine) runs in one GIL-released native call; the grown-preview UB
+    tolerance (``grown_size``) stays on the Python path."""
+    native = None if grown_size is not None else _native_decompress_image()
+    if native is not None:
+        delta = (
+            None
+            if delta_frame is None
+            else np.ascontiguousarray(delta_frame, dtype=np.uint16)
+        )
+        out = native(bytes(data), xsize, ysize, delta)
+        return np.frombuffer(out, dtype=np.uint16).reshape(ysize, xsize)
     img = parse_image(data, xsize, ysize, grown_size=grown_size)
     if img.flags & FrameFlags.USE_DELTA:
         if delta_frame is None:

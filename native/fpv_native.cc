@@ -210,6 +210,143 @@ PyObject* py_cg_encode(PyObject*, PyObject* args) {
   return out_obj;
 }
 
+enum : int { kUseDelta = 1, kUseCG = 2, kNoLow = 4 };
+
+// Decode one brotli stream out of buf starting at *pos; advances *pos to
+// the stream end (the reference's BrotliDecompress contract,
+// fusion_power_video.cc:186-214).  Runs without touching Python state so
+// callers can hold the GIL released.
+static bool BrotliDecompressVec(const uint8_t* buf, size_t len, size_t* pos,
+                                std::vector<uint8_t>* out) {
+  BrotliDecoderState* state =
+      BrotliDecoderCreateInstance(nullptr, nullptr, nullptr);
+  if (!state) return false;
+  size_t avail_in = len - *pos;
+  const uint8_t* next_in = buf + *pos;
+  BrotliDecoderResult result;
+  for (;;) {
+    size_t avail_out = 0;
+    result = BrotliDecoderDecompressStream(state, &avail_in, &next_in,
+                                           &avail_out, nullptr, nullptr);
+    if (result != BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT) break;
+    size_t out_size = 0;
+    const uint8_t* out_buf = BrotliDecoderTakeOutput(state, &out_size);
+    if (out_size > 0) out->insert(out->end(), out_buf, out_buf + out_size);
+  }
+  {
+    size_t out_size = 0;
+    const uint8_t* out_buf = BrotliDecoderTakeOutput(state, &out_size);
+    if (out_size > 0) out->insert(out->end(), out_buf, out_buf + out_size);
+  }
+  *pos = len - avail_in;
+  BrotliDecoderDestroyInstance(state);
+  return result == BROTLI_DECODER_RESULT_SUCCESS;
+}
+
+// decompress_image(image_bitstream, xsize, ysize, delta u16|None)
+//   -> u16 frame bytes (native-LE)
+//
+// Whole-image FPV1 decode fast path: the full DecompressImage pipeline
+// (fusion_power_video.cc:296-347 — flags byte, two concatenated brotli
+// plane streams, un-CG scan, delta add + plane combine) in one
+// GIL-released call.  The grown-preview UB tolerance stays in the Python
+// path (format/container.parse_image grown_size): this function rejects
+// mismatched plane sizes like the reference does.
+PyObject* py_decompress_image(PyObject*, PyObject* args) {
+  Py_buffer data, delta_buf = {};
+  PyObject* delta_obj;
+  Py_ssize_t xsize, ysize;
+  if (!PyArg_ParseTuple(args, "y*nnO", &data, &xsize, &ysize, &delta_obj))
+    return nullptr;
+  if (xsize <= 0 || ysize <= 0 || xsize > 65536 || ysize > 65536) {
+    PyBuffer_Release(&data);
+    PyErr_SetString(PyExc_ValueError, "invalid image dimensions");
+    return nullptr;
+  }
+  const size_t n = (size_t)xsize * (size_t)ysize;
+  if (data.len < 1) {
+    PyBuffer_Release(&data);
+    PyErr_SetString(PyExc_ValueError, "out of bounds");
+    return nullptr;
+  }
+  const uint8_t* in = (const uint8_t*)data.buf;
+  const int flags = in[0];
+  const bool use_delta = flags & kUseDelta;
+  const bool use_cg = flags & kUseCG;
+  const bool zero_low = flags & kNoLow;
+  const uint16_t* delta = nullptr;
+  if (delta_obj != Py_None) {
+    if (PyObject_GetBuffer(delta_obj, &delta_buf, PyBUF_SIMPLE) < 0 ||
+        (size_t)delta_buf.len != n * 2) {
+      PyBuffer_Release(&data);
+      if (delta_buf.obj) PyBuffer_Release(&delta_buf);
+      PyErr_SetString(PyExc_ValueError, "bad delta buffer");
+      return nullptr;
+    }
+    delta = (const uint16_t*)delta_buf.buf;
+  }
+  if (use_delta && !delta) {
+    PyBuffer_Release(&data);
+    if (delta) PyBuffer_Release(&delta_buf);
+    PyErr_SetString(PyExc_ValueError, "delta frame not given");
+    return nullptr;
+  }
+  PyObject* out_obj = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)(n * 2));
+  if (!out_obj) {
+    PyBuffer_Release(&data);
+    if (delta) PyBuffer_Release(&delta_buf);
+    return nullptr;
+  }
+  uint16_t* out = (uint16_t*)PyBytes_AS_STRING(out_obj);
+  const char* err = nullptr;
+  Py_BEGIN_ALLOW_THREADS;
+  do {
+    std::vector<uint8_t> low, high;
+    size_t pos = 1;
+    if (zero_low) {
+      low.assign(n, 0);
+    } else if (!BrotliDecompressVec(in, (size_t)data.len, &pos, &low)) {
+      err = "brotli decompression failed";
+      break;
+    }
+    if (!BrotliDecompressVec(in, (size_t)data.len, &pos, &high)) {
+      err = "brotli decompression failed";
+      break;
+    }
+    if (low.size() != n || high.size() != n) {
+      err = "wrong decompressed plane size";
+      break;
+    }
+    if (use_cg) {
+      uint8_t* p = high.data();
+      const size_t xs = (size_t)xsize;
+      for (size_t i = xs + 1; i < n; i++)
+        p[i] = (uint8_t)(p[i] +
+                         ClampedGradient(p[i - xs], p[i - 1], p[i - xs - 1]));
+    }
+    if (use_delta) {
+      // fusion_power_video.cc:340-343 wraparound semantics
+      for (size_t i = 0; i < n; i++) {
+        const uint8_t hi = (uint8_t)(high[i] + (uint8_t)(delta[i] >> 8));
+        const uint8_t lo = (uint8_t)(low[i] + (uint8_t)(delta[i] & 0xff));
+        out[i] = (uint16_t)(((uint16_t)hi << 8) | lo);
+      }
+    } else {
+      for (size_t i = 0; i < n; i++)
+        out[i] = (uint16_t)(((uint16_t)high[i] << 8) | low[i]);
+    }
+  } while (0);
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&data);
+  if (delta) PyBuffer_Release(&delta_buf);
+  if (err) {
+    Py_DECREF(out_obj);
+    PyErr_SetString(PyExc_ValueError, err);
+    return nullptr;
+  }
+  return out_obj;
+}
+
 // ---------------------------------------------------------------------------
 // Whole-frame FPV1 compress fast path.
 //
@@ -256,8 +393,6 @@ static bool BrotliQ1(const uint8_t* data, size_t n, std::vector<uint8_t>* out) {
   out->resize(encoded);
   return true;
 }
-
-enum : int { kUseDelta = 1, kUseCG = 2, kNoLow = 4 };
 
 // compress_frame(img u16 native-LE, xsize, ysize, shift, big_endian,
 //                delta_high|None, delta_low|None, use_delta_frame,
@@ -465,6 +600,9 @@ PyMethodDef methods[] = {
      "brotli_decompress_stream(data, pos=0) -> (bytes, end_pos)"},
     {"brotli_max_compressed_size", py_brotli_max_compressed_size, METH_VARARGS,
      "brotli_max_compressed_size(n) -> int"},
+    {"decompress_image", py_decompress_image, METH_VARARGS,
+     "decompress_image(image_bitstream, xsize, ysize, delta_u16|None) -> "
+     "u16 frame bytes (whole-image FPV1 decode in one GIL-released call)"},
     {"cg_decode", py_cg_decode, METH_VARARGS,
      "cg_decode(residual, xsize) -> bytes (flat-buffer inverse CG scan)"},
     {"cg_encode", py_cg_encode, METH_VARARGS,

@@ -216,3 +216,28 @@ def test_decode_file_threaded_matches_sequential():
     seq = fpv_tpu.decode_file(data)
     par = fpv_tpu.decode_file(data, num_threads=4)
     np.testing.assert_array_equal(seq, par)
+
+
+def test_native_decompress_image_matches_python_path(monkeypatch):
+    """The whole-image native decode fast path is bit-exact vs the
+    numpy/python oracle across flag configurations (delta on/off, CG,
+    NO_LOW_BYTES), and malformed bitstreams raise ValueError on both."""
+    import fpv_tpu
+    from fpv_tpu.format import container
+    from fpv_tpu.utils import testdata
+
+    if container._native_decompress_image() is None:
+        pytest.skip("native extension not built")
+    for bits, shift in [(12, 4), (8, 8), (16, 0)]:
+        frames = testdata.plasma_frames(5, 48, 64, bits=bits)
+        raw = testdata.to_raw_bytes(frames)
+        imgs = np.frombuffer(raw, dtype="<u2").reshape(5, 48, 64)
+        data = fpv_tpu.encode_file(imgs, shift=shift, num_threads=0)
+        nat = fpv_tpu.decode_file(data)
+        monkeypatch.setenv("FPV_TPU_COMPAT_NATIVE", "0")
+        ref = fpv_tpu.decode_file(data)
+        monkeypatch.delenv("FPV_TPU_COMPAT_NATIVE")
+        np.testing.assert_array_equal(nat, ref)
+    # malformed: truncated brotli stream raises ValueError (both paths)
+    with pytest.raises(ValueError):
+        container.decompress_image(b"\x00\x01\x02", 8, 8)
