@@ -96,6 +96,47 @@ PyObject* py_brotli_compress_into(PyObject*, PyObject* args) {
   return PyLong_FromSize_t(encoded);
 }
 
+enum : int { kUseDelta = 1, kUseCG = 2, kNoLow = 4 };
+
+// Decode one brotli stream out of buf starting at *pos; advances *pos to
+// the stream end (the reference's BrotliDecompress contract,
+// fusion_power_video.cc:186-214).  Runs without touching Python state so
+// callers can hold the GIL released.  ``cap``: abort (returning false) as
+// soon as the output exceeds this many bytes — callers that know the
+// exact plane size pass it so a crafted brotli bomb cannot allocate
+// arbitrarily; pass SIZE_MAX for unbounded streams.
+static bool BrotliDecompressVec(const uint8_t* buf, size_t len, size_t* pos,
+                                std::vector<uint8_t>* out,
+                                size_t cap = (size_t)-1) {
+  BrotliDecoderState* state =
+      BrotliDecoderCreateInstance(nullptr, nullptr, nullptr);
+  if (!state) return false;
+  size_t avail_in = len - *pos;
+  const uint8_t* next_in = buf + *pos;
+  BrotliDecoderResult result;
+  for (;;) {
+    size_t avail_out = 0;
+    result = BrotliDecoderDecompressStream(state, &avail_in, &next_in,
+                                           &avail_out, nullptr, nullptr);
+    if (result != BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT) break;
+    size_t out_size = 0;
+    const uint8_t* out_buf = BrotliDecoderTakeOutput(state, &out_size);
+    if (out_size > 0) out->insert(out->end(), out_buf, out_buf + out_size);
+    if (out->size() > cap) {
+      BrotliDecoderDestroyInstance(state);
+      return false;  // oversize: fail the frame instead of growing on
+    }
+  }
+  {
+    size_t out_size = 0;
+    const uint8_t* out_buf = BrotliDecoderTakeOutput(state, &out_size);
+    if (out_size > 0) out->insert(out->end(), out_buf, out_buf + out_size);
+  }
+  *pos = len - avail_in;
+  BrotliDecoderDestroyInstance(state);
+  return result == BROTLI_DECODER_RESULT_SUCCESS && out->size() <= cap;
+}
+
 // Decode ONE brotli stream starting at pos; returns (bytes, end_pos) —
 // mirrors the reference's BrotliDecompress wrapper that supports two
 // concatenated streams (fusion_power_video.cc:186-214).
@@ -108,36 +149,15 @@ PyObject* py_brotli_decompress_stream(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "pos out of range");
     return nullptr;
   }
-  BrotliDecoderState* state = BrotliDecoderCreateInstance(nullptr, nullptr, nullptr);
-  if (!state) {
-    PyBuffer_Release(&buf);
-    PyErr_SetString(PyExc_RuntimeError, "couldn't init brotli decoder");
-    return nullptr;
-  }
   std::vector<uint8_t> out;
-  size_t avail_in = (size_t)(buf.len - pos);
-  const uint8_t* next_in = (const uint8_t*)buf.buf + pos;
-  BrotliDecoderResult result;
+  size_t end_pos = (size_t)pos;
+  bool ok;
   Py_BEGIN_ALLOW_THREADS;
-  for (;;) {
-    size_t avail_out = 0;
-    result = BrotliDecoderDecompressStream(state, &avail_in, &next_in,
-                                           &avail_out, nullptr, nullptr);
-    if (result != BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT) break;
-    size_t out_size = 0;
-    const uint8_t* out_buf = BrotliDecoderTakeOutput(state, &out_size);
-    if (out_size > 0) out.insert(out.end(), out_buf, out_buf + out_size);
-  }
-  {
-    size_t out_size = 0;
-    const uint8_t* out_buf = BrotliDecoderTakeOutput(state, &out_size);
-    if (out_size > 0) out.insert(out.end(), out_buf, out_buf + out_size);
-  }
+  ok = BrotliDecompressVec((const uint8_t*)buf.buf, (size_t)buf.len, &end_pos,
+                           &out);
   Py_END_ALLOW_THREADS;
-  size_t end_pos = (size_t)buf.len - avail_in;
-  BrotliDecoderDestroyInstance(state);
   PyBuffer_Release(&buf);
-  if (result != BROTLI_DECODER_RESULT_SUCCESS) {
+  if (!ok) {
     PyErr_SetString(PyExc_ValueError, "brotli decompression failed");
     return nullptr;
   }
@@ -210,39 +230,6 @@ PyObject* py_cg_encode(PyObject*, PyObject* args) {
   return out_obj;
 }
 
-enum : int { kUseDelta = 1, kUseCG = 2, kNoLow = 4 };
-
-// Decode one brotli stream out of buf starting at *pos; advances *pos to
-// the stream end (the reference's BrotliDecompress contract,
-// fusion_power_video.cc:186-214).  Runs without touching Python state so
-// callers can hold the GIL released.
-static bool BrotliDecompressVec(const uint8_t* buf, size_t len, size_t* pos,
-                                std::vector<uint8_t>* out) {
-  BrotliDecoderState* state =
-      BrotliDecoderCreateInstance(nullptr, nullptr, nullptr);
-  if (!state) return false;
-  size_t avail_in = len - *pos;
-  const uint8_t* next_in = buf + *pos;
-  BrotliDecoderResult result;
-  for (;;) {
-    size_t avail_out = 0;
-    result = BrotliDecoderDecompressStream(state, &avail_in, &next_in,
-                                           &avail_out, nullptr, nullptr);
-    if (result != BROTLI_DECODER_RESULT_NEEDS_MORE_OUTPUT) break;
-    size_t out_size = 0;
-    const uint8_t* out_buf = BrotliDecoderTakeOutput(state, &out_size);
-    if (out_size > 0) out->insert(out->end(), out_buf, out_buf + out_size);
-  }
-  {
-    size_t out_size = 0;
-    const uint8_t* out_buf = BrotliDecoderTakeOutput(state, &out_size);
-    if (out_size > 0) out->insert(out->end(), out_buf, out_buf + out_size);
-  }
-  *pos = len - avail_in;
-  BrotliDecoderDestroyInstance(state);
-  return result == BROTLI_DECODER_RESULT_SUCCESS;
-}
-
 // decompress_image(image_bitstream, xsize, ysize, delta u16|None)
 //   -> u16 frame bytes (native-LE)
 //
@@ -291,25 +278,28 @@ PyObject* py_decompress_image(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "delta frame not given");
     return nullptr;
   }
-  PyObject* out_obj = PyBytes_FromStringAndSize(nullptr, (Py_ssize_t)(n * 2));
+  // bytearray, not bytes: np.frombuffer over it yields a WRITABLE array,
+  // matching the python path's mutability (consumers unshift in place)
+  PyObject* out_obj = PyByteArray_FromStringAndSize(nullptr, (Py_ssize_t)(n * 2));
   if (!out_obj) {
     PyBuffer_Release(&data);
     if (delta) PyBuffer_Release(&delta_buf);
     return nullptr;
   }
-  uint16_t* out = (uint16_t*)PyBytes_AS_STRING(out_obj);
+  uint16_t* out = (uint16_t*)PyByteArray_AS_STRING(out_obj);
   const char* err = nullptr;
   Py_BEGIN_ALLOW_THREADS;
+  try {
   do {
     std::vector<uint8_t> low, high;
     size_t pos = 1;
     if (zero_low) {
       low.assign(n, 0);
-    } else if (!BrotliDecompressVec(in, (size_t)data.len, &pos, &low)) {
+    } else if (!BrotliDecompressVec(in, (size_t)data.len, &pos, &low, n)) {
       err = "brotli decompression failed";
       break;
     }
-    if (!BrotliDecompressVec(in, (size_t)data.len, &pos, &high)) {
+    if (!BrotliDecompressVec(in, (size_t)data.len, &pos, &high, n)) {
       err = "brotli decompression failed";
       break;
     }
@@ -336,6 +326,10 @@ PyObject* py_decompress_image(PyObject*, PyObject* args) {
         out[i] = (uint16_t)(((uint16_t)high[i] << 8) | low[i]);
     }
   } while (0);
+  } catch (...) {
+    // bad_alloc etc. must not unwind through CPython C frames
+    err = "out of memory decoding frame";
+  }
   Py_END_ALLOW_THREADS;
   PyBuffer_Release(&data);
   if (delta) PyBuffer_Release(&delta_buf);

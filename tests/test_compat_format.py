@@ -241,3 +241,26 @@ def test_native_decompress_image_matches_python_path(monkeypatch):
     # malformed: truncated brotli stream raises ValueError (both paths)
     with pytest.raises(ValueError):
         container.decompress_image(b"\x00\x01\x02", 8, 8)
+
+
+def test_native_decode_writable_and_bomb_capped():
+    """Native-path decode output is writable (consumers unshift in place,
+    python-path parity), and an image bitstream whose planes decompress
+    larger than the claimed dimensions raises ValueError instead of
+    allocating unboundedly."""
+    import fpv_tpu
+    from fpv_tpu.format import container
+    from fpv_tpu.format.bits import read_u32le
+    from fpv_tpu.utils import testdata
+
+    frames = testdata.plasma_frames(3, 64, 64, bits=12)
+    raw = testdata.to_raw_bytes(frames)
+    imgs = np.frombuffer(raw, dtype="<u2").reshape(3, 64, 64)
+    data = fpv_tpu.encode_file(imgs, shift=4, num_threads=0)
+    out = fpv_tpu.decode_file(data)
+    out >>= 4  # must not raise: the decode path returns writable arrays
+    # the delta image bitstream decoded with lying (smaller) dims
+    dsize = read_u32le(data, 8)
+    img_bs = data[8 + 5 : 8 + dsize]
+    with pytest.raises(ValueError):
+        container.decompress_image(img_bs, 8, 8)
