@@ -15,6 +15,7 @@ every encoded batch is decoded and byte-compared before times are reported.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import subprocess
 import sys
@@ -108,8 +109,44 @@ def _accelerator_alive(timeout_s: float = 180.0) -> str | None:
     return result[0]
 
 
+def _accelerator_alive_retrying(
+    attempts: int = 4, spacing_s: float = 60.0
+) -> str | None:
+    """Subprocess probes with retries, then the in-process watchdog.
+
+    A flapping tunnel can recover between attempts, but a HUNG backend
+    init poisons the process forever (the init lock never releases), so
+    retries only make sense in fresh subprocesses; the parent touches jax
+    only after a clean subprocess probe.  FPV_TPU_BENCH_PROBE_RETRIES
+    overrides the attempt count."""
+    attempts = int(os.environ.get("FPV_TPU_BENCH_PROBE_RETRIES", attempts))
+    code = ("import numpy, jax, jax.numpy as jnp; "
+            "numpy.asarray(jnp.arange(8).sum())")
+    last = "no probe ran"
+    for i in range(max(1, attempts)):
+        if i:
+            log(f"accelerator probe retry {i + 1}/{attempts} "
+                f"in {spacing_s:.0f}s ({last})")
+            time.sleep(spacing_s)
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, timeout=180,
+            )
+        except subprocess.TimeoutExpired:
+            last = "device backend init hung (subprocess probe, 180s)"
+            continue
+        if p.returncode == 0:
+            # device answered in a clean process: safe for THIS process
+            # to init the backend (watchdog still guards a mid-run flap)
+            return _accelerator_alive()
+        last = (f"device probe exited rc={p.returncode}: "
+                f"{p.stderr.decode()[-200:]}")
+    return last
+
+
 def main() -> None:
-    env_error = _accelerator_alive()
+    env_error = _accelerator_alive_retrying()
     if env_error is not None:
         log(f"FATAL: accelerator unreachable - no capture ({env_error})")
         # distinct metric name: a consumer keying on the throughput metric
