@@ -110,14 +110,48 @@ def format_report(info: dict) -> str:
     return "\n".join(lines)
 
 
+def check_bytes(data: bytes) -> list[str]:
+    """Decode-verify every batch section -> list of failure strings.
+
+    The rANS chunk states double as integrity checks (rans_layout docs):
+    a corrupt payload that still parses decodes to mismatching final
+    states, which the engines surface as ValueError.  This walks the
+    file's sections through the real decode path and reports per-batch
+    results — the ops counterpart of the reference benchmark's roundtrip
+    verification (/root/reference/benchmark.cc:193-285), usable without
+    the original raw capture."""
+    from fpv_tpu.api.fpvt_codec import FpvtReader
+
+    failures: list[str] = []
+    try:
+        rdr = FpvtReader(data)
+    except ValueError as e:
+        return [f"unreadable file: {e}"]
+    for i in range(rdr.num_batches):
+        try:
+            rdr.decode_batch(i)
+        except ValueError as e:
+            failures.append(f"batch {i}: {e}")
+    return failures
+
+
 def main(argv=None) -> int:
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv if argv is not None else sys.argv[1:])
+    check = "--check" in argv
+    if check:
+        argv.remove("--check")
     if len(argv) != 1:
-        print("usage: fpv-inspect file.fpvt", file=sys.stderr)
+        print("usage: fpv-inspect [--check] file.fpvt", file=sys.stderr)
         return 2
     with open(argv[0], "rb") as f:
         data = f.read()
     print(format_report(inspect_bytes(data)))
+    if check:
+        failures = check_bytes(data)
+        for msg in failures:
+            print(f"CHECK FAIL: {msg}", file=sys.stderr)
+        print("check: " + ("FAILED" if failures else "ok (all batches decode)"))
+        return 1 if failures else 0
     return 0
 
 

@@ -341,3 +341,31 @@ def test_sampled_decision_penalty_bounded():
     fooled_max = -(-n // 16)
     bound = exact_len + fooled_max * int(h * w * 1.25)
     assert len(data_sampled) <= bound, (len(data_sampled), exact_len, bound)
+
+
+def test_inspect_check_mode(tmp_path):
+    """fpv-inspect --check decode-verifies every batch: clean files pass,
+    a corrupted payload is reported with its batch index."""
+    from fpv_tpu.cli.inspect import check_bytes, main as inspect_main
+
+    fr = testdata.plasma_frames(5, 32, 32, bits=12, seed=4)
+    data = encode_file_fpvt(fr, shift=4, frames_per_batch=2, chunk_log2=6)
+    assert check_bytes(data) == []
+    p = tmp_path / "ok.fpvt"
+    p.write_bytes(data)
+    assert inspect_main(["--check", str(p)]) == 0
+    # corrupt bytes inside the LAST batch's high-stream PAYLOAD region
+    # (headers/tables must stay intact so the file still parses)
+    off, nfr = fpvt.parse_footer(data)[-1]
+    pb = fpvt.parse_batch_section(data, off)
+    p = off + 9 + 8 + 9 * nfr  # high stream start
+    pay0 = p + 4 + 20 + 512 + 4 * pb.high.num_chunks + 4 * pb.high.num_groups
+    assert pb.high.payload.size >= 8
+    bad = bytearray(data)
+    for i in range(pay0, pay0 + 8):
+        bad[i] ^= 0x5A
+    failures = check_bytes(bytes(bad))
+    assert failures and any("batch 1" in f for f in failures)
+    p2 = tmp_path / "bad.fpvt"
+    p2.write_bytes(bytes(bad))
+    assert inspect_main(["--check", str(p2)]) == 1
