@@ -147,6 +147,21 @@ def _accelerator_alive_retrying(
 
 def main() -> None:
     env_error = _accelerator_alive_retrying()
+    if env_error is not None and "no response" in env_error:
+        # the SUBPROCESS probe answered but THIS process's backend init
+        # hung: a handshake race that poisons the process (the init lock
+        # never releases), observed on the tunneled device.  The device is
+        # demonstrably reachable, so re-exec the bench in a fresh process
+        # instead of reporting an environment failure.  Bounded: each exec
+        # increments FPV_TPU_BENCH_EXECS.
+        execs = int(os.environ.get("FPV_TPU_BENCH_EXECS", "0"))
+        if execs < 3:
+            log(f"in-process init hung after a clean subprocess probe; "
+                f"re-exec {execs + 1}/3")
+            os.environ["FPV_TPU_BENCH_EXECS"] = str(execs + 1)
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
     if env_error is not None:
         log(f"FATAL: accelerator unreachable - no capture ({env_error})")
         # distinct metric name: a consumer keying on the throughput metric

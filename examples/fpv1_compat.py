@@ -46,6 +46,14 @@ def main() -> None:
     frame3 = r.decode_frame(3)
     preview3 = r.decode_preview(3)
     print(f"random access: frame {frame3.shape}, preview {preview3.shape}")
+
+    # migrate the archive to the TPU-native container (and back) without
+    # re-running the capture pipeline — pixels preserved exactly
+    fpvt_data = fpv_tpu.transcode_to_fpvt(data, shift=4)
+    back = fpv_tpu.transcode_to_fpv1(fpvt_data)
+    assert np.array_equal(fpv_tpu.decode_file(back), out)
+    print(f"transcode: FPV1 {len(data)} B -> FPVT {len(fpvt_data)} B -> "
+          f"FPV1 {len(back)} B, lossless")
     print("ok")
 
 

@@ -53,6 +53,9 @@ _LAZY = {
     "warmup_stream": "fpv_tpu.api.fpvt_codec",
     "MultiStreamEncoder": "fpv_tpu.api.multistream",
     "MultiStreamDecoder": "fpv_tpu.api.multistream",
+    "transcode": "fpv_tpu.api.transcode",
+    "transcode_to_fpvt": "fpv_tpu.api.transcode",
+    "transcode_to_fpv1": "fpv_tpu.api.transcode",
 }
 
 

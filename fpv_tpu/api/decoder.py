@@ -131,6 +131,15 @@ class RandomAccessDecoder:
     def numframes(self) -> int:
         return len(self._frame_offsets)
 
+    @property
+    def delta_frame(self) -> np.ndarray:
+        """The stream's delta frame (left-aligned uint16 [H, W]); valid
+        after :meth:`init`.  Exposed for transcoding: the reference keeps
+        it private (fusion_power_video.h:143-172)."""
+        if self._delta is None:
+            raise RuntimeError("init() has not succeeded")
+        return self._delta.reshape(self._ysize, self._xsize)
+
     def init(self, data: bytes) -> bool:
         """Parse header, delta frame and footer; True on success."""
         try:

@@ -1334,6 +1334,13 @@ class FpvtReader:
     def frame0(self) -> np.ndarray:
         """The synthesized first frame when the header declares the delta
         frame doubles as frame 0 (left-aligned u16, like decode_batch)."""
+        return self.delta_frame()
+
+    def delta_frame(self) -> np.ndarray:
+        """The file's delta frame (left-aligned uint16 [H, W]) — the frame
+        every batch's delta prediction references.  Same pixels as
+        :meth:`frame0` when HDR_F_DELTA_IS_FRAME0 is set; exposed
+        unconditionally for transcoding."""
         with self._on_device():
             return np.asarray(
                 combine_planes(

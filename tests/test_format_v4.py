@@ -369,3 +369,38 @@ def test_inspect_check_mode(tmp_path):
     p2 = tmp_path / "bad.fpvt"
     p2.write_bytes(bytes(bad))
     assert inspect_main(["--check", str(p2)]) == 1
+
+
+def test_inspect_fpv1_accounting_sums_to_file_size():
+    from fpv_tpu.api.encoder import encode_file
+    from fpv_tpu.cli.inspect import (
+        check_fpv1_bytes,
+        format_report_fpv1,
+        inspect_fpv1_bytes,
+    )
+
+    fr = testdata.plasma_frames(4, 40, 48, bits=12, seed=3)
+    data = encode_file(fr, shift=4)
+    info = inspect_fpv1_bytes(data)
+    assert info["profile"] == "fpv1"
+    assert len(info["frames"]) == 4
+    # every byte attributed: header + delta + frames + footer == file
+    total = info["header_bytes"] + sum(
+        s["bytes"] for s in info["sections"]
+    ) + sum(f["bytes"] for f in info["frames"])
+    assert total == len(data) == info["file_bytes"]
+    # component totals + framing == file as well
+    t = info["totals"]
+    dim = info["sections"][0]["image"]
+    assert (
+        t["low"] + t["high"] + t["preview"] + t["framing"]
+        + dim["low"] + dim["high"] + 1  # + delta image flags byte
+        == len(data)
+    )
+    assert "FPV1" in format_report_fpv1(info)
+    assert check_fpv1_bytes(data) == []
+    # a corrupted footer must surface in --check (FPV1 carries no payload
+    # checksums, so --check can only guarantee structural decodability)
+    bad = bytearray(data)
+    bad[-1] ^= 0xFF
+    assert check_fpv1_bytes(bytes(bad)) != []
