@@ -78,6 +78,23 @@ def test_fpvt_to_fpv1_drops_timestamps_with_warning():
     np.testing.assert_array_equal(decode_file(out), _fpvt_decode(fpvt))
 
 
+def test_fpv1_to_fpvt_big_endian_roundtrip():
+    # big-endian raw contract: the FPVT header records it, and the final
+    # FPV1 re-encode reproduces the same decoded pixels
+    frames = testdata.plasma_frames(3, 16, 24, bits=12)
+    raw = testdata.to_raw_bytes(frames, shift=4, big_endian=True)
+    imgs = np.frombuffer(raw, dtype="<u2").reshape(3, 16, 24)
+    fpv1 = encode_file(imgs, shift=4, big_endian=True)
+    out = transcode_to_fpvt(fpv1, shift=4, big_endian=True)
+    from fpv_tpu.format.fpvt import Header
+
+    hdr = Header.parse(out)
+    assert hdr.big_endian and hdr.shift == 4
+    np.testing.assert_array_equal(_fpvt_decode(out), decode_file(fpv1))
+    back = transcode_to_fpv1(out)
+    np.testing.assert_array_equal(decode_file(back), decode_file(fpv1))
+
+
 def test_transcode_same_profile_is_identity():
     frames = testdata.plasma_frames(2, 16, 16)
     fpv1 = encode_file(frames)
