@@ -205,14 +205,21 @@ class RandomAccessDecoder:
         return (img16 >> 8).astype(np.uint8)
 
 
-def decode_file(data: bytes, num_threads: int = 0) -> np.ndarray:
+def decode_file(
+    data: bytes, num_threads: int = 0, dtype=np.uint16
+) -> np.ndarray:
     """Convenience one-shot decode of an FPV1 file -> [N, H, W] uint16.
 
     ``num_threads`` > 1 decodes frames concurrently: frames are
     independent given the delta frame, and the hot stages (brotli, the CG
     reconstruction scan) run in GIL-released native code — so unlike the
     reference's single-threaded decoders (fusion_power_video.cc:866-1070)
-    this scales with host cores."""
+    this scales with host cores.
+
+    ``dtype=np.uint8`` returns the original 8-bit samples of a stream that
+    was encoded from uint8 frames (shift==8 layout: the sample is the high
+    byte).  FPV1 files record no bit depth, so the caller asserts it —
+    exactly like the reference CLI's shift argument."""
     dec = RandomAccessDecoder()
     if not dec.init(data):
         raise ValueError("invalid FPV1 file")
@@ -220,7 +227,11 @@ def decode_file(data: bytes, num_threads: int = 0) -> np.ndarray:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=num_threads) as pool:
-            return np.stack(
+            out = np.stack(
                 list(pool.map(dec.decode_frame, range(dec.numframes)))
             )
-    return np.stack([dec.decode_frame(i) for i in range(dec.numframes)])
+    else:
+        out = np.stack([dec.decode_frame(i) for i in range(dec.numframes)])
+    if np.dtype(dtype) == np.uint8:
+        return (out >> 8).astype(np.uint8)
+    return out.astype(dtype, copy=False)

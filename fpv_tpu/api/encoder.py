@@ -108,6 +108,20 @@ class Encoder:
         self._bytes_written = 0
         self._finished = False
 
+    def _coerce(self, img: np.ndarray) -> np.ndarray:
+        """Accept uint8 frames (Frame's 8-bit ctor,
+        fusion_power_video.cc:453-465): widening to uint16 is
+        value-preserving and the shift==8 LE split stores exactly the
+        sample bytes as the single high plane, so the bitstream matches
+        the reference ctor's byte-for-byte."""
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            from fpv_tpu.ops.planes import validate_u8_config
+
+            validate_u8_config(self._shift, self._big_endian)
+            img = img.astype(np.uint16)
+        return np.ascontiguousarray(img, dtype=np.uint16)
+
     def max_queued(self) -> int:
         """Max frames in flight (fusion_power_video.cc:1171-1177)."""
         if not self._num_threads:
@@ -125,9 +139,7 @@ class Encoder:
         """Write header + delta-frame chunk (Encoder::Init,
         fusion_power_video.cc:1086-1106)."""
         self._xsize, self._ysize = int(xsize), int(ysize)
-        img = np.ascontiguousarray(delta_frame, dtype=np.uint16).reshape(
-            ysize, xsize
-        )
+        img = self._coerce(delta_frame).reshape(ysize, xsize)
         self._delta = frame_ops.split_planes(img, self._shift, self._big_endian)
         # Compress a copy of the delta frame: preview generated but dropped
         # by OutputCore; no delta prediction; CG optional.
@@ -164,7 +176,7 @@ class Encoder:
         """
         if self._delta is None:
             raise RuntimeError("init() must be called first")
-        img = np.array(img, dtype=np.uint16, copy=True)
+        img = np.array(self._coerce(img), copy=True)
         args = (
             img,
             self._xsize,
@@ -217,7 +229,14 @@ def encode_file(
     num_threads: int = 4,
     delta_frame: np.ndarray | None = None,
 ) -> bytes:
-    """Convenience one-shot encode of [N, H, W] uint16 frames -> FPV1 bytes."""
+    """Convenience one-shot encode of [N, H, W] uint16 frames -> FPV1 bytes.
+
+    uint8 frames are accepted directly (shift auto-selects 8, the
+    reference's 8-bit Frame ctor layout)."""
+    from fpv_tpu.ops.planes import resolve_u8_shift
+
+    frames = np.asarray(frames)
+    shift = resolve_u8_shift(frames.dtype, shift, big_endian)
     frames = np.asarray(frames, dtype=np.uint16)
     if frames.ndim != 3:
         raise ValueError("frames must be [N, H, W]")

@@ -1069,7 +1069,15 @@ class FpvtWriter:
         return jnp.asarray(arr)
 
     def init(self, delta_frame: np.ndarray) -> bytes:
-        """Header + delta section bytes; keeps the delta planes on device."""
+        """Header + delta section bytes; keeps the delta planes on device.
+
+        uint8 delta frames are accepted (8-bit direct input): widening is
+        value-preserving and the shift==8 LE split recovers the same
+        single-plane layout as Frame's uint8 ctor."""
+        if np.asarray(delta_frame).dtype == np.uint8:
+            from fpv_tpu.ops.planes import validate_u8_config
+
+            validate_u8_config(self.header.shift, self.header.big_endian)
         img = self._put(
             np.asarray(delta_frame, dtype=np.uint16).reshape(
                 1, self.header.ysize, self.header.xsize
@@ -1152,7 +1160,17 @@ class FpvtWriter:
             raise RuntimeError("init() must be called first")
         from fpv_tpu.entropy.plane_codec import engine_name, narrow_max_syms
 
-        imgs = self._put(np.asarray(imgs, dtype=np.uint16))
+        imgs = np.asarray(imgs)
+        if imgs.dtype == np.uint8:
+            # 8-bit direct input rides the shift==8 single-plane layout
+            # (Frame's uint8 ctor, fusion_power_video.cc:453-465); the
+            # device split consumes uint8 natively, halving the upload
+            from fpv_tpu.ops.planes import validate_u8_config
+
+            validate_u8_config(self.header.shift, self.header.big_endian)
+        else:
+            imgs = np.asarray(imgs, dtype=np.uint16)
+        imgs = self._put(imgs)
         b = imgs.shape[0]
         # previews of H<4 or W<4 frames have zero pixels: skip the stream
         has_pv = (self.header.ysize // 4) * (self.header.xsize // 4) > 0
@@ -1829,8 +1847,14 @@ def file_encode_setup(
     keep every batch on the fused device path instead of paying host
     coding per batch."""
     from fpv_tpu.entropy.plane_codec import narrow_max_syms
+    from fpv_tpu.ops.planes import resolve_u8_shift
 
-    frames = np.asarray(frames, dtype=np.uint16)
+    frames = np.asarray(frames)
+    shift = resolve_u8_shift(frames.dtype, shift, big_endian)
+    if frames.dtype != np.uint8:
+        # uint8 bodies stay uint8: the device split handles them directly
+        # (ops/planes.split_planes) and uploads carry half the bytes
+        frames = np.asarray(frames, dtype=np.uint16)
     n, h, w = frames.shape
     if timestamps is not None:
         timestamps = np.asarray(timestamps, dtype=np.int64)
@@ -1895,16 +1919,27 @@ def encode_file_fpvt(
     return b"".join(parts)
 
 
-def decode_file_fpvt(data: bytes) -> np.ndarray:
-    """One-shot FPVT decode -> [N, H, W] uint16 (left-aligned values)."""
+def decode_file_fpvt(data: bytes, dtype=np.uint16) -> np.ndarray:
+    """One-shot FPVT decode -> [N, H, W] uint16 (left-aligned values).
+
+    ``dtype=np.uint8`` returns the original 8-bit samples of a file
+    written from uint8 frames; unlike FPV1 the header records ``shift``,
+    so the request is validated against the stream."""
     from concurrent.futures import ThreadPoolExecutor
 
     r = FpvtReader(data)
+    if np.dtype(dtype) == np.uint8:
+        from fpv_tpu.ops.planes import validate_u8_config
+
+        validate_u8_config(r.header.shift, r.header.big_endian)
     with ThreadPoolExecutor(max_workers=2) as pool:
         outs = list(pool.map(r.decode_batch, range(r.num_batches)))
     if r.header.delta_is_frame0:
         outs.insert(0, r.frame0()[None])
-    return np.concatenate(outs)
+    out = np.concatenate(outs)
+    if np.dtype(dtype) == np.uint8:
+        return (out >> 8).astype(np.uint8)
+    return out.astype(dtype, copy=False)
 
 
 def warmup_stream(

@@ -70,6 +70,18 @@ def split_planes(
     from fpv_tpu.ops.planes import validate_shift
 
     validate_shift(shift, big_endian)
+    if np.asarray(img).dtype == np.uint8:
+        # 8-bit direct input: the sample bytes ARE the high plane and the
+        # low plane is absent (Frame's uint8 ctor,
+        # fusion_power_video.cc:453-465 — which ignores shift/endianness).
+        # Identical bitstream to widening to uint16 and splitting with
+        # shift=8 little-endian; session layers enforce that stream config
+        # so the file's decode contract (unextract shift) holds.
+        high = np.ascontiguousarray(img, dtype=np.uint8)
+        return FramePlanes(
+            high=high, low=None, flags=int(FrameFlags.NO_LOW_BYTES),
+            timestamp=timestamp,
+        )
     img = np.ascontiguousarray(img, dtype=np.uint16)
     flags = 0
     low: np.ndarray | None

@@ -147,6 +147,12 @@ class ArrowEncoder:
                 f: Future = Future()
                 f.set_exception(RuntimeError("encoder closing"))
                 return f
+        if np.asarray(img).dtype == np.uint8:
+            # 8-bit direct input (Frame's uint8 ctor,
+            # fusion_power_video.cc:453-465); see columnar.push_frame
+            from fpv_tpu.ops.planes import validate_u8_config
+
+            validate_u8_config(self._shift, self._big_endian)
         img = np.asarray(img, dtype=np.uint16).reshape(self._ysize, self._xsize)
         if self._delta is None:
             self._delta = frame_ops.split_planes(

@@ -363,6 +363,14 @@ class ColumnarBatchEncoder:
                 f: Future = Future()
                 f.set_exception(RuntimeError("encoder closing"))
                 return f
+        if np.asarray(img).dtype == np.uint8:
+            # 8-bit direct input (Frame's uint8 ctor,
+            # fusion_power_video.cc:453-465): widen — value-preserving,
+            # and the shift==8 LE split stores the sample bytes as the
+            # single high plane
+            from fpv_tpu.ops.planes import validate_u8_config
+
+            validate_u8_config(self._shift, self._big_endian)
         img = np.asarray(img, dtype=np.uint16).reshape(self._ysize, self._xsize)
         if self._delta is None:
             # first frame doubles as the delta frame; handled synchronously

@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def validate_shift(shift: int, big_endian: bool) -> None:
@@ -33,6 +34,34 @@ def validate_shift(shift: int, big_endian: bool) -> None:
         )
 
 
+def validate_u8_config(shift: int, big_endian: bool) -> None:
+    """8-bit direct input is only decodable under shift=8 little-endian.
+
+    The container records no bit depth (FPV1 has no depth field at all;
+    FPVT records ``shift``), so a uint8 frame must ride the shift==8
+    single-plane layout for decode-side unextract to return the original
+    samples.  Session layers call this before accepting uint8 frames."""
+    if shift != 8 or big_endian:
+        raise ValueError(
+            "uint8 frames require a shift=8 little-endian stream "
+            f"(got shift={shift}, big_endian={big_endian}); widen to "
+            "uint16 yourself for other configurations"
+        )
+
+
+def resolve_u8_shift(dtype, shift: int, big_endian: bool) -> int:
+    """Auto-select shift=8 for uint8 input at the file-level encoders.
+
+    shift==0 (the default) promotes to 8; an explicit shift must already
+    be 8.  Returns the effective shift."""
+    if np.dtype(dtype) != np.uint8:
+        return shift
+    if shift == 0:
+        shift = 8
+    validate_u8_config(shift, big_endian)
+    return shift
+
+
 @functools.partial(jax.jit, static_argnames=("shift", "big_endian"))
 def split_planes(img: jax.Array, shift: int = 0, big_endian: bool = False):
     """uint16 [B, H, W] -> (high u8, low u8, nonzero_low bool[B]).
@@ -45,6 +74,15 @@ def split_planes(img: jax.Array, shift: int = 0, big_endian: bool = False):
     (fusion_power_video.cc:399-403, 429-433).
     """
     validate_shift(shift, big_endian)
+    if img.dtype == jnp.uint8:
+        # 8-bit direct input (Frame's uint8 ctor,
+        # fusion_power_video.cc:453-465): sample bytes are the high plane,
+        # no low plane.  Equals the uint16 LE shift==8 split of the widened
+        # image; callers configure the stream as shift=8 little-endian.
+        # Keeping the upload uint8 halves host->device traffic.
+        high = img
+        low = jnp.zeros_like(img)
+        return high, low, jnp.zeros(img.shape[0], dtype=jnp.bool_)
     img = img.astype(jnp.uint16)
     if big_endian:
         if shift == 0:
