@@ -452,6 +452,10 @@ def sharded_encode_file(
     chunk_log2: int = 12,
     delta_frame: np.ndarray | None = None,
     timestamps: np.ndarray | None = None,
+    _put_group=None,
+    _put_delta=None,
+    _pull=None,
+    _pull_payload=None,
 ) -> bytes:
     """Encode [N, H, W] u16 frames into ONE FPVT file, batch sections
     data-parallel over ``mesh``: every group of mesh-size full batches runs
@@ -472,7 +476,15 @@ def sharded_encode_file(
     Device compute and host packaging pipeline two deep: group g's sections
     package (one thread per device slice) while group g+1 computes.
     ``timestamps``: optional per-frame i64 array (encode_file_fpvt
-    semantics).  Expects a data-only mesh (space axis of size 1)."""
+    semantics).  Expects a data-only mesh (space axis of size 1).
+
+    ``_put_group`` / ``_put_delta`` / ``_pull`` are placement hooks for the
+    multi-controller (multi-host) path: with a process-spanning mesh the
+    inputs must become global arrays (each process contributing only its
+    addressable slice) and the outputs must be gathered to every process
+    before host packaging (parallel.distributed.distributed_encode_file
+    passes make_array_from_callback / process_allgather here).  Defaults
+    are the single-process placements."""
     from concurrent.futures import ThreadPoolExecutor
 
     from fpv_tpu.api.fpvt_codec import (
@@ -481,6 +493,16 @@ def sharded_encode_file(
     )
     from fpv_tpu.format import fpvt as _fpvt
 
+    if _put_group is None:
+        _put_group = lambda arr: shard_frames(arr, mesh)  # noqa: E731
+    if _put_delta is None:
+        _put_delta = lambda a: a  # noqa: E731
+    if _pull is None:
+        _pull = np.asarray
+    if _pull_payload is None:
+        # payloads stay device arrays locally (package_encoded_batch pulls
+        # them bucketed); the multi-host path gathers them to numpy instead
+        _pull_payload = lambda p: p  # noqa: E731
     ndev = mesh.shape["data"]
     bpb = frames_per_batch
     wri, header, body, ts_body = file_encode_setup(
@@ -512,8 +534,8 @@ def sharded_encode_file(
         order; ``base`` = the group's first frame index in ``body``);
         slices are independent so they package concurrently on ``dpool``
         (one pool reused across all groups)."""
-        small_g, st_g = np.asarray(outs[0]), np.asarray(outs[1])
-        pays = outs[2:]
+        small_g, st_g = _pull(outs[0]), _pull(outs[1])
+        pays = [_pull_payload(p) for p in outs[2:]]
         L = small_g.size // ndev
         SL = st_g.size // ndev
         plens = [p.shape[0] // ndev for p in pays]
@@ -542,9 +564,9 @@ def sharded_encode_file(
     with ThreadPoolExecutor(max_workers=min(ndev, 8)) as dpool:
         for s in range(0, n_grouped, ndev * bpb):
             outs = step(
-                shard_frames(body[s : s + ndev * bpb], mesh),
-                wri._delta_high,
-                wri._delta_low,
+                _put_group(body[s : s + ndev * bpb]),
+                _put_delta(wri._delta_high),
+                _put_delta(wri._delta_low),
             )
             if pend is not None:
                 for sec in package_group(dpool, *pend):
