@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import statistics
 import subprocess
 import sys
 import time
@@ -209,6 +210,29 @@ def main() -> None:
 
     _ = np.asarray(jnp.asarray(np.ones(256, np.uint8)) + 1)
 
+    # ---- link-bandwidth probe: the host<->device path on this dev harness
+    # is an RPC tunnel whose rate drifts 2-3x between sessions; measuring it
+    # IN the same session lets the e2e numbers be decomposed into codec time
+    # vs link time (the JSON carries both, so a reader can attribute a slow
+    # e2e capture to the link with evidence).  32 MB 2-D u8 arrays — the
+    # tunnel client's rate is shape-sensitive (flat 1-D pulls ~4x slower).
+    probe = np.zeros((16384, 2048), np.uint8)
+    probe_mb = probe.nbytes / 1e6
+    ups, downs = [], []
+    dev_probe = jax.block_until_ready(jnp.asarray(probe))  # setup cost out
+    for _ in range(3):
+        t0 = time.time()
+        dev_probe = jax.block_until_ready(jnp.asarray(probe))
+        ups.append(time.time() - t0)
+        t0 = time.time()
+        np.asarray(dev_probe)
+        downs.append(time.time() - t0)
+    link_up = probe_mb / statistics.median(ups)
+    link_down = probe_mb / statistics.median(downs)
+    del dev_probe, probe
+    log(f"link probe: up {link_up:.1f} MB/s, down {link_down:.1f} MB/s "
+        "(median of 3)")
+
     from concurrent.futures import ThreadPoolExecutor
 
     def encode_once() -> bytes:
@@ -246,19 +270,21 @@ def main() -> None:
     # ---- end-to-end (host->host) throughput. NOTE: on this dev harness the
     # device is behind a ~45 MB/s RPC tunnel, so e2e is link-bound; real TPU
     # hosts attach over PCIe (>16 GB/s) where the device numbers dominate.
+    # Tunnel-crossing numbers use MEDIAN of 3 (the tunnel's rate drifts; a
+    # single lucky/unlucky capture should not be the shipping number).
     times = []
     for _ in range(3):
         t0 = time.time()
         encode_once()
         times.append(time.time() - t0)
-    e2e_enc = npix / 1e6 / min(times)
+    e2e_enc = npix / 1e6 / statistics.median(times)
 
     times = []
     for _ in range(3):
         t0 = time.time()
         decode_file_fpvt(data)
         times.append(time.time() - t0)
-    e2e_dec = npix / 1e6 / min(times)
+    e2e_dec = npix / 1e6 / statistics.median(times)
 
     # ---- FPV1 compat path (byte-exact reference format): whole-frame
     # native pipeline (split+heuristics+prediction+brotli in one C call,
@@ -430,10 +456,24 @@ def main() -> None:
         return pixels[0], time.time() - t0
 
     _hub_run(1)  # compile warmup (decode_preview=False specialization)
+    # same-session 1-stream vs 2-stream aggregate: with one attached chip
+    # both streams share one device AND one tunnel, so the expected gain is
+    # only the issue/finalize overlap; the ratio plus the link decomposition
+    # below documents whether the hub or the link bounds aggregate serving
+    hub1_px, hub1_dt = _hub_run(1)
+    hub1_dec = hub1_px / 1e6 / hub1_dt
     hub_px, hub_dt = _hub_run()
     hub_dec = hub_px / 1e6 / hub_dt
-    log(f"multistream hub decode (2 streams): {hub_dec:.1f} Mpix/s"
-        f" ({hub_px/1e6:.0f} Mpix in {hub_dt:.1f}s)")
+    # link-bound ceiling for the hub workload: every stream's payload rides
+    # up and its frame bytes ride down the SAME tunnel
+    hub_link_ceiling = (
+        hub_px / 1e6
+        / (2 * len(data) / (link_up * 1e6) + 2 * npix * 2 / (link_down * 1e6))
+    )
+    log(f"multistream hub decode: 1 stream {hub1_dec:.1f} Mpix/s; "
+        f"2 streams {hub_dec:.1f} Mpix/s aggregate "
+        f"({hub_px/1e6:.0f} Mpix in {hub_dt:.1f}s; "
+        f"shared-link ceiling {hub_link_ceiling:.1f} Mpix/s)")
 
     # ---- low-plane ratio vs brotli-q1 (the reference's entropy coder):
     # the context-coded nibble mode should win on the residual low plane
@@ -452,10 +492,54 @@ def main() -> None:
         f" (marginal {dev_enc_s*1000:.0f} ms / {BATCH} frames); "
         f"single-dispatch {dev_enc_1shot:.1f} Mpix/s")
 
-    log(f"e2e encode: {e2e_enc:.1f} Mpix/s, e2e decode: {e2e_dec:.1f} Mpix/s"
-        " (tunnel link-bound)")
+    # ---- e2e decomposition: model each e2e time as link transfers (at the
+    # measured tunnel rate) + codec device time, and project what the same
+    # codec does on a production host link (PCIe v4 x16 ~16 GB/s; override
+    # with FPV_TPU_NOMINAL_LINK_MBS).  model ~= measured attributes the e2e
+    # gap to the link with evidence; projected is the shippable claim.
+    nominal = float(os.environ.get("FPV_TPU_NOMINAL_LINK_MBS", "16000"))
+    t_codec_enc = npix / 1e6 / dev_enc_1shot
+    t_codec_dec = npix / 1e6 / dev_dec
+
+    def _e2e_model(up_mbs: float, down_mbs: float):
+        t_enc = (frames.nbytes / (up_mbs * 1e6) + t_codec_enc
+                 + len(data) / (down_mbs * 1e6))
+        t_dec = (len(data) / (up_mbs * 1e6) + t_codec_dec
+                 + npix * 2 / (down_mbs * 1e6))
+        return npix / 1e6 / t_enc, npix / 1e6 / t_dec
+
+    e2e_enc_model, e2e_dec_model = _e2e_model(link_up, link_down)
+    e2e_enc_proj, e2e_dec_proj = _e2e_model(nominal, nominal)
+    log(f"e2e encode: {e2e_enc:.1f} Mpix/s (link+codec model "
+        f"{e2e_enc_model:.1f}), e2e decode: {e2e_dec:.1f} Mpix/s (model "
+        f"{e2e_dec_model:.1f}) — tunnel link-bound; projected at "
+        f"{nominal:.0f} MB/s link: encode {e2e_enc_proj:.1f}, "
+        f"decode {e2e_dec_proj:.1f} Mpix/s")
     log(f"vs reference encode: device single-dispatch "
         f"{dev_enc_1shot/ref_mps:.2f}x, e2e {e2e_enc/ref_mps:.2f}x")
+
+    # ---- cold-start with a warm persistent compilation cache: a FRESH
+    # process warms this exact stream geometry; the persistent cache
+    # (fpv_tpu.__init__._enable_jit_cache) should make it compile-free.
+    warm_cache_s = None
+    try:
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "from fpv_tpu.api.fpvt_codec import warmup_stream; "
+             f"warmup_stream({W}, {H}, shift={SHIFT}, "
+             f"frames_per_batch={BATCH})"],
+            capture_output=True, timeout=600, cwd=REPO,
+        )
+        if p.returncode == 0:
+            warm_cache_s = time.time() - t0
+            log(f"fresh-process warmup with warm cache: {warm_cache_s:.1f}s"
+                " (process start -> stream geometry ready)")
+        else:
+            log(f"warm-cache warmup probe failed rc={p.returncode}: "
+                f"{p.stderr.decode()[-200:]}")
+    except subprocess.TimeoutExpired:
+        log("warm-cache warmup probe timed out (600s)")
 
     # ---- compression-ratio parity across corpus types (size vs the live
     # reference binary; one shape so all corpora share compiled programs)
@@ -521,8 +605,20 @@ def main() -> None:
         "device_encode_sustained_mpix_s": round(dev_enc, 2),
         "e2e_encode_mpix_s": round(e2e_enc, 2),
         "e2e_decode_mpix_s": round(e2e_dec, 2),
+        "link_up_mb_s": round(link_up, 1),
+        "link_down_mb_s": round(link_down, 1),
+        "e2e_encode_model_mpix_s": round(e2e_enc_model, 2),
+        "e2e_decode_model_mpix_s": round(e2e_dec_model, 2),
+        "e2e_encode_projected_mpix_s": round(e2e_enc_proj, 2),
+        "e2e_decode_projected_mpix_s": round(e2e_dec_proj, 2),
         "device_decode_mpix_s": round(dev_dec, 2),
         "multistream_decode_mpix_s": round(hub_dec, 2),
+        "multistream_decode_1stream_mpix_s": round(hub1_dec, 2),
+        "multistream_aggregate_ratio": round(hub_dec / max(hub1_dec, 1e-9), 3),
+        "multistream_link_ceiling_mpix_s": round(hub_link_ceiling, 2),
+        "warm_cache_warmup_s": (
+            round(warm_cache_s, 1) if warm_cache_s is not None else None
+        ),
         "bits_per_pixel": round(8 * len(data) / npix, 3),
         "lossless_roundtrip": True,
         "fpv1_encode_mpix_s": round(fpv1_mps, 2),

@@ -1952,9 +1952,15 @@ def warmup_stream(
     device=None,
     decode: bool = True,
     previews: bool = False,
+    mesh=None,
 ) -> None:
     """Pre-compile the fused encode (and decode) programs for a stream
     geometry before traffic arrives.
+
+    ``mesh``: optionally also warm the sharded whole-file programs
+    (parallel.mesh.sharded_encode_file / sharded_decode_file) for this
+    geometry over the given jax.sharding.Mesh — multi-chip pipelines pay
+    their own compiles.
 
     Kernel compiles cost tens of seconds on a cold TPU host; a serving
     process (MultiStreamEncoder/MultiStreamDecoder, FpvtStreamingReader)
@@ -1986,3 +1992,20 @@ def warmup_stream(
         rdr.decode_batch_with_previews(0)
     else:
         rdr.decode_batch(0)
+    if mesh is not None:
+        from fpv_tpu.parallel.mesh import (
+            sharded_decode_file,
+            sharded_encode_file,
+        )
+
+        ndev = mesh.shape["data"]
+        n = ndev * frames_per_batch
+        mframes = rng.integers(
+            0, 1 << (16 - shift), (n + 1, ysize, xsize), np.uint16
+        )
+        mdata = sharded_encode_file(
+            mframes, mesh, shift=shift, big_endian=big_endian,
+            frames_per_batch=frames_per_batch, chunk_log2=chunk_log2,
+        )
+        if decode:
+            sharded_decode_file(mdata, mesh, want_previews=previews)
