@@ -508,41 +508,23 @@ def encode_plane_batch(
 
 
 
-def decode_plane_batch(
-    stream: PlaneStream, check: bool = True, engine: str | None = None
-):
-    """Decode a PlaneStream -> [B, S] uint8 (device array on pallas engine)."""
-    engine = engine or engine_name()
+def pallas_decode_args(stream: PlaneStream):
+    """Production decode_pallas launch arguments for ``stream``.
+
+    Shared by decode_plane_batch and ops.rans_bound (which times
+    latency-model replicas of the decode kernel — the replicas must share
+    the production launch configuration by construction, so they take
+    their arguments from the same code path).  Returns (args, kwargs) for
+    ``rans_pallas.decode_pallas``.
+    """
+    from fpv_tpu.ops import rans_pallas as rp
+
     b, s, k = stream.nframes, stream.plane_size, stream.chunk_len
-    if stream.coding == CODING_CONST:
-        return np.full((b, s), stream.value, np.uint8)
-    if stream.lanes != BLOCK_LANES:
-        engine = "numpy"  # narrow streams are host-coded
     lens = chunk_lens(b, s, k, stream.lanes)
     nblocks = len(lens) // stream.lanes
     states = stream.states.astype(np.uint32)
     counts = stream.block_counts.astype(np.int64)
     ctx = stream.coding == CODING_CTX16
-    prob_bits = CTX_PROB_BITS if ctx else 12
-
-    if engine == "numpy":
-        if ctx:
-            syms, ok = rans_numpy.decode_blocks_ctx(
-                states, stream.block_counts, stream.payload, lens,
-                stream.freq, k, lanes=stream.lanes,
-            )
-            syms = (syms << 4).astype(np.uint8)
-        else:
-            syms, ok = rans_numpy.decode_blocks(
-                states, stream.block_counts, stream.payload, lens,
-                stream.freq, k, lanes=stream.lanes,
-            )
-        if check and not ok.all():
-            raise ValueError("rANS stream integrity check failed")
-        return _deinterleave_np(syms, b * s, k, stream.lanes).reshape(b, s)
-
-    from fpv_tpu.ops import rans_pallas as rp
-
     if ctx:
         fc, symtab = rp.ctx_decode_table_arrays(stream.freq)
     else:
@@ -561,18 +543,55 @@ def decode_plane_batch(
         jnp.asarray(counts.astype(np.int32)),
         rows_alloc,
     )
-    syms, ok = rp.decode_pallas(
+    args = (
         jnp.asarray(counts.reshape(-1, 1, 1).astype(np.int32)),
         jnp.asarray(states.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
         jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS)),
         jnp.asarray(symtab),
         jnp.asarray(fc),
         words_d,
-        chunk_len=k,
-        nblocks=nblocks,
-        prob_bits=prob_bits,
-        ctx_mode=ctx,
     )
+    kwargs = dict(
+        chunk_len=k, nblocks=nblocks,
+        prob_bits=CTX_PROB_BITS if ctx else 12, ctx_mode=ctx,
+    )
+    return args, kwargs
+
+
+def decode_plane_batch(
+    stream: PlaneStream, check: bool = True, engine: str | None = None
+):
+    """Decode a PlaneStream -> [B, S] uint8 (device array on pallas engine)."""
+    engine = engine or engine_name()
+    b, s, k = stream.nframes, stream.plane_size, stream.chunk_len
+    if stream.coding == CODING_CONST:
+        return np.full((b, s), stream.value, np.uint8)
+    if stream.lanes != BLOCK_LANES:
+        engine = "numpy"  # narrow streams are host-coded
+    lens = chunk_lens(b, s, k, stream.lanes)
+    states = stream.states.astype(np.uint32)
+    ctx = stream.coding == CODING_CTX16
+
+    if engine == "numpy":
+        if ctx:
+            syms, ok = rans_numpy.decode_blocks_ctx(
+                states, stream.block_counts, stream.payload, lens,
+                stream.freq, k, lanes=stream.lanes,
+            )
+            syms = (syms << 4).astype(np.uint8)
+        else:
+            syms, ok = rans_numpy.decode_blocks(
+                states, stream.block_counts, stream.payload, lens,
+                stream.freq, k, lanes=stream.lanes,
+            )
+        if check and not ok.all():
+            raise ValueError("rANS stream integrity check failed")
+        return _deinterleave_np(syms, b * s, k, stream.lanes).reshape(b, s)
+
+    args, kwargs = pallas_decode_args(stream)
+    from fpv_tpu.ops import rans_pallas as rp
+
+    syms, ok = rp.decode_pallas(*args, **kwargs)
     if check and not bool(jnp.all(ok == 1)):
         raise ValueError("rANS stream integrity check failed")
     out = _from_block_symbols(syms, b, s, k)

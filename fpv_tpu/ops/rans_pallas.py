@@ -415,7 +415,17 @@ def _decode_kernel(
     nseg: int,
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
+    stub_tables: bool = False,
+    stub_window: bool = False,
 ):
+    """``stub_tables`` / ``stub_window`` build latency-model replicas of
+    this kernel for ops.rans_bound (never used for real decoding): the
+    serial state->renorm dependency chain is preserved exactly while the
+    table gathers (claimed VLIW-hidden) and/or the word-window rank+select
+    machinery are replaced by arithmetic stand-ins of the same dependency
+    shape.  Comparing replica step time against the real kernel's makes
+    the "decode is chain-bound" claim falsifiable (docs/DECODE_BOUND.md).
+    """
     fmask = (1 << prob_bits) - 1
     scale = 1 << prob_bits
     lens = [lens_ref[u] for u in range(NSUB)]
@@ -443,7 +453,14 @@ def _decode_kernel(
         win = words_ref[u, pl.ds(al, 16), :]
         active = (seg_lo + jl) < lens[u]
         slot = (x & (scale - 1)).astype(jnp.int32)
-        if ctx_mode:
+        if stub_tables:
+            # model stand-ins with the same chain shape (slot -> f/cum ->
+            # xn) but no VMEM gathers; absolute values are irrelevant to
+            # timing because every op below is unconditional
+            sym = slot & 0xFF
+            f = ((slot & (fmask >> 2)) + 1).astype(jnp.uint32)
+            cum = jnp.uint32(0) * f
+        elif ctx_mode:
             # ctx decode tables are density-packed (ctx_decode_table_arrays):
             # nibble symbols 8/u32 (rows 0-3) and 14-bit fc entries 2/u32 —
             # 6 row gathers per step instead of 12
@@ -453,10 +470,20 @@ def _decode_kernel(
         else:
             sym = _lookup_sym(sym_tab, slot, max(1, scale >> 9))
             e = _lookup_tab(fc, sym)
-        f = (e & fmask) + 1
-        cum = e >> prob_bits
+        if not stub_tables:
+            f = (e & fmask) + 1
+            cum = e >> prob_bits
         xn = f * (x >> prob_bits) + (slot.astype(jnp.uint32) - cum)
         renorm = active & (xn < RANS_L)
+        if stub_window:
+            # keep the chain through the cross-lane reduction and the
+            # renorm merge, but replace the rank + word-window machinery
+            # with a constant word
+            cnt = jnp.sum(renorm.astype(jnp.int32))
+            base = ptr - cnt
+            xn2 = jnp.where(renorm, (xn << 16) | jnp.uint32(0x8000), xn)
+            x = jnp.where(active, xn2, x)
+            return x, base, sym, jnp.where(active, sym, 0)
         incl = _row_cumsum(renorm.astype(jnp.int32))
         row_tot = jnp.broadcast_to(
             incl[:, BLOCK_COLS - 1 :], (BLOCK_ROWS, BLOCK_COLS)
@@ -720,6 +747,7 @@ def encode_pallas(
     jax.jit,
     static_argnames=(
         "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode",
+        "stub_tables", "stub_window",
     ),
 )
 def decode_pallas(
@@ -734,8 +762,13 @@ def decode_pallas(
     interpret: bool = False,
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
+    stub_tables: bool = False,
+    stub_window: bool = False,
 ):
-    """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128])."""
+    """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128]).
+
+    ``stub_tables``/``stub_window`` select the latency-model replica
+    kernels used by ops.rans_bound (outputs are then meaningless)."""
     interpret = _auto_interpret(interpret)
     k = chunk_len
     kseg = min(k, SEG_LEN)
@@ -746,6 +779,7 @@ def decode_pallas(
     kernel = functools.partial(
         _decode_kernel, chunk_len=k, kseg=kseg, nseg=nseg,
         prob_bits=prob_bits, ctx_mode=ctx_mode,
+        stub_tables=stub_tables, stub_window=stub_window,
     )
     npad = (-nblocks) % NSUB
     if npad:
