@@ -518,6 +518,22 @@ def main() -> None:
     log(f"vs reference encode: device single-dispatch "
         f"{dev_enc_1shot/ref_mps:.2f}x, e2e {e2e_enc/ref_mps:.2f}x")
 
+    # ---- decode bound fraction: is the rANS decode kernel at its serial
+    # dependency-chain bound?  T_chain/T_full from interleaved replica
+    # timing (docs/DECODE_BOUND.md); keeps the plateau claim measured,
+    # not asserted.
+    bound = {}
+    try:
+        from fpv_tpu.ops.rans_bound import bound_report
+
+        bound = bound_report(nblocks=32, reps=3)
+        log(f"decode bound: full {bound['full_msym_s']:.0f} Msym/s, "
+            f"chain ceiling {bound['chain_ceiling_msym_s']:.0f}, "
+            f"fraction {bound['decode_bound_fraction']:.3f} "
+            f"(core {bound['core_fraction']:.3f})")
+    except Exception as e:  # noqa: BLE001 — bench must not die on a probe
+        log(f"decode bound probe failed: {e}")
+
     # ---- cold-start with a warm persistent compilation cache: a FRESH
     # process warms this exact stream geometry; the persistent cache
     # (fpv_tpu.__init__._enable_jit_cache) should make it compile-free.
@@ -618,6 +634,15 @@ def main() -> None:
         "multistream_link_ceiling_mpix_s": round(hub_link_ceiling, 2),
         "warm_cache_warmup_s": (
             round(warm_cache_s, 1) if warm_cache_s is not None else None
+        ),
+        "decode_bound_fraction": (
+            round(bound["decode_bound_fraction"], 3) if bound else None
+        ),
+        "decode_chain_ceiling_msym_s": (
+            round(bound["chain_ceiling_msym_s"], 1) if bound else None
+        ),
+        "rans_decode_msym_s": (
+            round(bound["full_msym_s"], 1) if bound else None
         ),
         "bits_per_pixel": round(8 * len(data) / npix, 3),
         "lossless_roundtrip": True,

@@ -579,17 +579,17 @@ def batch_decode_args(
     states = np.concatenate(
         [s.states for s in coded] or [np.zeros(0, np.uint32)]
     ).astype(np.uint32)
+    # fused single-gather decode tables, one [32,128] u32 per plane; the
+    # fcs arg survives for kernel arity but is unread on the fused path
     fcs = np.zeros((3, 4, 128), np.uint32)
-    sym_tabs = np.zeros((3, 8, 128), np.uint32)
+    sym_tabs = np.zeros((3, 32, 128), np.uint32)
     for i, st in enumerate(streams):
         if const_planes[i]:
             continue
         if st.coding:
-            fc_i, sym_i = rp.ctx_decode_table_arrays(st.freq)
+            sym_tabs[i] = rp.ctx_fused_table_arrays(st.freq)
         else:
-            fc_i, _finv, sym_i = rp.table_arrays(st.freq)
-        fcs[i, :2] = fc_i
-        sym_tabs[i] = sym_i
+            sym_tabs[i] = rp.fused_table_arrays(st.freq)
     spatial = (pb.frame_flags >> F_SPATIAL_SHIFT) & 3
     pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
     arrays = dict(
@@ -746,6 +746,7 @@ def fused_decode_batch(
             nblocks,
             prob_bits=CTX_PROB_BITS if ctx else 12,
             ctx_mode=ctx,
+            fused_tab=True,
         )
         out_plane = _from_block_symbols(syms, b, s, chunk_len)
         if ctx:
@@ -839,6 +840,7 @@ def fused_decode_frame(
             nb,
             prob_bits=CTX_PROB_BITS if ctx else 12,
             ctx_mode=ctx,
+            fused_tab=True,
         )
         flat = syms.reshape(-1)
         plane = jax.lax.dynamic_slice(flat, (off,), (s,)).astype(jnp.uint8)
@@ -917,6 +919,7 @@ def fused_decode_preview(
         words,
         chunk_len,
         nblocks,
+        fused_tab=True,
     )
     pv = _from_block_symbols(syms, b, s, chunk_len).reshape(b, ph, pw)
     pv = _inverse_preview(pv, flags, delta_high, pv_any_up, pv_any_cg,
@@ -1566,10 +1569,12 @@ class FpvtReader:
             pay = np.zeros(cap + rows * BLOCK_COLS, np.uint16)
             pay[:total] = st.payload[cum[b0 * nsegs] : cum[(b1 + 1) * nsegs]]
             off_in = j * s - b0 * span
+            # fused single-gather decode table; fc placeholder is unread
             if st.coding:
-                fc, sym = rp.ctx_decode_table_arrays(st.freq)
+                sym = rp.ctx_fused_table_arrays(st.freq)
             else:
-                fc, _finv, sym = rp.table_arrays(st.freq)
+                sym = rp.fused_table_arrays(st.freq)
+            fc = np.zeros((2, BLOCK_COLS), np.uint32)
             return (
                 jnp.asarray(pay), jnp.asarray(cnt),
                 jnp.asarray(states.astype(np.uint32)), jnp.asarray(lens),
@@ -1669,7 +1674,8 @@ class FpvtReader:
             cap = _quantize_cap(total, k, st.num_blocks)
             payload = np.zeros(cap + rows_alloc * BLOCK_COLS, np.uint16)
             payload[:total] = st.payload
-            fc, _finv, sym_tab = rp.table_arrays(st.freq)
+            sym_tab = rp.fused_table_arrays(st.freq)
+            fc = np.zeros((2, BLOCK_COLS), np.uint32)
             pv, ok = fused_decode_preview(
                 jnp.asarray(payload),
                 jnp.asarray(counts),

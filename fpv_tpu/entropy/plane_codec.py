@@ -525,10 +525,14 @@ def pallas_decode_args(stream: PlaneStream):
     states = stream.states.astype(np.uint32)
     counts = stream.block_counts.astype(np.int64)
     ctx = stream.coding == CODING_CTX16
+    # fused single-gather decode tables (one u32 entry per slot); fc is
+    # passed for arity but unread by the fused kernel path
     if ctx:
-        fc, symtab = rp.ctx_decode_table_arrays(stream.freq)
+        symtab = rp.ctx_fused_table_arrays(stream.freq)
+        fc = np.zeros((2, BLOCK_COLS), np.uint32)
     else:
-        fc, _finv, symtab = rp.table_arrays(stream.freq)
+        symtab = rp.fused_table_arrays(stream.freq)
+        fc = np.zeros((2, BLOCK_COLS), np.uint32)
     rows_q = _quantize_rows(int(counts.max()) if len(counts) else 0, k)
     rows_alloc = rows_q + 16  # window headroom
     total = int(counts.sum())
@@ -554,6 +558,7 @@ def pallas_decode_args(stream: PlaneStream):
     kwargs = dict(
         chunk_len=k, nblocks=nblocks,
         prob_bits=CTX_PROB_BITS if ctx else 12, ctx_mode=ctx,
+        fused_tab=True,
     )
     return args, kwargs
 

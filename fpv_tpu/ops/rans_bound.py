@@ -67,17 +67,32 @@ def _build_args(nblocks: int, seed: int = 0):
 
 def _time_decode(args, kwargs, *, reps: int = 5, **kw) -> float:
     """Best-of-N wall time of one decode_pallas call (seconds)."""
+    return _time_interleaved([(args, kwargs, kw)], reps=reps)[0]
 
-    def run():
+
+def _time_interleaved(variants, *, reps: int = 5) -> list[float]:
+    """Best-of-N wall times, measured ROUND-ROBIN across the variants.
+
+    The attached device's step time drifts by >+-5% over tens of seconds
+    (thermal / tunnel neighbors); sequential per-variant timing folds that
+    drift into the comparison (observed: a strictly-less-work stub
+    measuring SLOWER than the full kernel).  Interleaving puts every
+    variant under the same drift.
+    """
+
+    def run(v):
+        args, kwargs, kw = v
         out, _ok = rp.decode_pallas(*args, **kwargs, **kw)
         jax.block_until_ready(out)
 
-    run()  # compile
-    best = float("inf")
+    for v in variants:
+        run(v)  # compile
+    best = [float("inf")] * len(variants)
     for _ in range(reps):
-        t0 = time.time()
-        run()
-        best = min(best, time.time() - t0)
+        for i, v in enumerate(variants):
+            t0 = time.time()
+            run(v)
+            best[i] = min(best[i], time.time() - t0)
     return best
 
 
@@ -93,10 +108,13 @@ def bound_report(nblocks: int = 64, reps: int = 5) -> dict:
     args, kwargs, syms_total = _build_args(nblocks)
     k = kwargs["chunk_len"]
     nsteps = k  # fori_loop iterations per grid cell (kseg*nseg)
-    t_full = _time_decode(args, kwargs, reps=reps)
-    t_chain = _time_decode(args, kwargs, reps=reps, stub_tables=True)
-    t_core = _time_decode(
-        args, kwargs, reps=reps, stub_tables=True, stub_window=True
+    t_full, t_chain, t_core = _time_interleaved(
+        [
+            (args, kwargs, {}),
+            (args, kwargs, {"stub_tables": True}),
+            (args, kwargs, {"stub_tables": True, "stub_window": True}),
+        ],
+        reps=reps,
     )
     return {
         "nblocks": kwargs["nblocks"],

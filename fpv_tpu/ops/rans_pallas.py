@@ -40,6 +40,7 @@ from fpv_tpu.ops.rans_layout import (
     BLOCK_ROWS,
     CTX_ALPHA,
     CTX_PROB_BITS,
+    CTX_PROB_SCALE,
     PROB_BITS,
     PROB_SCALE,
     RANS_L,
@@ -82,6 +83,37 @@ def _lookup_tab(tab: jax.Array, idx: jax.Array) -> jax.Array:
         g = jnp.take_along_axis(_bcast_row(tab[r : r + 1]), col, axis=1)
         out = jnp.where(row == r, g, out)
     return out
+
+
+def _lookup_fused(tab: jax.Array, slot: jax.Array) -> jax.Array:
+    """slot [8,128] in [0, rows*128) -> full u32 entry, 1 entry/u32.
+
+    Used by the fused-table decode path (one slot-indexed gather replacing
+    the dependent slot->sym->fc gather PAIR).  The rans_bound measurement
+    showed the step loop pays the serial latency of that pair, not gather
+    issue count (prob_bits 12->10->8 row sweeps moved nothing), so this
+    trades 3x more row gathers — issued in parallel, latency-hidden — for
+    one less gather on the critical chain.  The select tree is merged as a
+    balanced OR reduction (log2 depth) instead of a linear where chain so
+    the merge itself stays off the chain too.
+    """
+    rows = tab.shape[0]
+    col = slot & 127
+    row = slot >> 7
+    parts = [
+        jnp.where(
+            row == r,
+            jnp.take_along_axis(_bcast_row(tab[r : r + 1]), col, axis=1),
+            jnp.uint32(0),
+        )
+        for r in range(rows)
+    ]
+    while len(parts) > 1:
+        parts = [
+            parts[i] | parts[i + 1] if i + 1 < len(parts) else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]
 
 
 def _lookup_sym(
@@ -415,10 +447,16 @@ def _decode_kernel(
     nseg: int,
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
+    fused_tab: bool = False,
     stub_tables: bool = False,
     stub_window: bool = False,
 ):
-    """``stub_tables`` / ``stub_window`` build latency-model replicas of
+    """``fused_tab`` selects the fused-table order-0 decode: sym_ref is a
+    [32,128] u32 slot->entry table (fused_table_arrays) and fc_ref goes
+    unread — one gather on the critical chain instead of the dependent
+    slot->sym->fc pair (see _lookup_fused).
+
+    ``stub_tables`` / ``stub_window`` build latency-model replicas of
     this kernel for ops.rans_bound (never used for real decoding): the
     serial state->renorm dependency chain is preserved exactly while the
     table gathers (claimed VLIW-hidden) and/or the word-window rank+select
@@ -459,7 +497,17 @@ def _decode_kernel(
             # timing because every op below is unconditional
             sym = slot & 0xFF
             f = ((slot & (fmask >> 2)) + 1).astype(jnp.uint32)
-            cum = jnp.uint32(0) * f
+            off = slot.astype(jnp.uint32) - f  # same shape as slot - cum
+        elif fused_tab:
+            # one slot-indexed gather yields (sym, f-1, off); ctx mode
+            # packs 4/7/7 bits at shifts 0/4/11, order-0 packs 8/12/12 at
+            # shifts 0/8/20 (ctx_fused_table_arrays / fused_table_arrays)
+            sym_bits = 4 if ctx_mode else 8
+            idx = (_ctx_from_prev(prev) * scale + slot) if ctx_mode else slot
+            e = _lookup_fused(sym_tab, idx)
+            sym = (e & ((1 << sym_bits) - 1)).astype(jnp.int32)
+            f = ((e >> sym_bits) & fmask) + 1
+            off = e >> (sym_bits + prob_bits)
         elif ctx_mode:
             # ctx decode tables are density-packed (ctx_decode_table_arrays):
             # nibble symbols 8/u32 (rows 0-3) and 14-bit fc entries 2/u32 —
@@ -470,10 +518,10 @@ def _decode_kernel(
         else:
             sym = _lookup_sym(sym_tab, slot, max(1, scale >> 9))
             e = _lookup_tab(fc, sym)
-        if not stub_tables:
+        if not (stub_tables or fused_tab):
             f = (e & fmask) + 1
-            cum = e >> prob_bits
-        xn = f * (x >> prob_bits) + (slot.astype(jnp.uint32) - cum)
+            off = slot.astype(jnp.uint32) - (e >> prob_bits)
+        xn = f * (x >> prob_bits) + off
         renorm = active & (xn < RANS_L)
         if stub_window:
             # keep the chain through the cross-lane reduction and the
@@ -495,10 +543,22 @@ def _decode_kernel(
         pos = base + rank
         rel = (pos >> 7) - al
         col = pos & 127
-        w = jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32)
-        for r in range(9):
-            gv = jnp.take_along_axis(_bcast_row(win[r : r + 1]), col, axis=1)
-            w = jnp.where(rel == r, gv, w)
+        # balanced OR-merge (log2 depth) keeps the 9-row select off the
+        # serial chain — the gathers themselves issue in parallel
+        wp = [
+            jnp.where(
+                rel == r,
+                jnp.take_along_axis(_bcast_row(win[r : r + 1]), col, axis=1),
+                jnp.uint32(0),
+            )
+            for r in range(9)
+        ]
+        while len(wp) > 1:
+            wp = [
+                wp[i] | wp[i + 1] if i + 1 < len(wp) else wp[i]
+                for i in range(0, len(wp), 2)
+            ]
+        w = wp[0]
         xn2 = jnp.where(renorm, (xn << 16) | (w & 0xFFFF), xn)
         x = jnp.where(active, xn2, x)
         # masked history for the context chain (padding decodes as 0,
@@ -573,6 +633,28 @@ def table_arrays(freq: np.ndarray):
     )
 
 
+def fused_table_arrays(freq: np.ndarray) -> np.ndarray:
+    """Order-0 DECODE table with one u32 entry per slot: [32, 128] u32.
+
+    entry = off << 20 | (f-1) << 8 | sym, where off = slot - cum[sym] (the
+    value the step loop otherwise derives as slot - cum).  off < f <= 4096
+    and f-1 < 4096 so the packing is exact.  One slot-indexed gather then
+    yields everything the state update needs — see _lookup_fused for why
+    this beats the denser two-table layout.
+    """
+    freq = np.asarray(freq, dtype=np.uint32)
+    cum = np.zeros(256, dtype=np.uint32)
+    cum[1:] = np.cumsum(freq)[:-1]
+    sym_of_slot = np.repeat(
+        np.arange(256, dtype=np.uint32), freq.astype(np.int64)
+    )
+    slots = np.arange(PROB_SCALE, dtype=np.uint32)
+    off = slots - cum[sym_of_slot]
+    f1 = freq[sym_of_slot] - 1
+    entries = (off << np.uint32(20)) | (f1 << np.uint32(8)) | sym_of_slot
+    return entries.reshape(PROB_SCALE // BLOCK_COLS, BLOCK_COLS)
+
+
 def ctx_table_arrays(freq_ctx: np.ndarray):
     """Context-mode ENCODE tables: (fc [4,128] u32 = (f-1)|cum_within<<7,
     sym_packed [8,128] u32 covering NCTX*128 = 4096 slots)."""
@@ -590,6 +672,27 @@ def ctx_table_arrays(freq_ctx: np.ndarray):
         fc.reshape(4, 128).astype(np.uint32),
         packed.reshape(BLOCK_ROWS, BLOCK_COLS),
     )
+
+
+def ctx_fused_table_arrays(freq_ctx: np.ndarray) -> np.ndarray:
+    """Ctx-mode DECODE table with one u32 entry per (ctx, slot): [32,128].
+
+    Global index = ctx * 128 + slot; entry = off << 11 | (f-1) << 4 | sym
+    (nibble sym 4b, 7-bit f-1 and off = slot - cum_within_ctx).  The fused
+    single-gather layout — see fused_table_arrays / _lookup_fused.
+    """
+    from fpv_tpu.ops.rans_numpy import ctx_tables
+
+    freq32, cum, sym_of_slot = ctx_tables(freq_ctx)
+    n = len(sym_of_slot)  # CTX_NCTX * 128 = 4096
+    idx = np.arange(n, dtype=np.uint32)
+    ctxi = idx >> CTX_PROB_BITS
+    sym = sym_of_slot.astype(np.uint32)
+    pair = ctxi * CTX_ALPHA + sym
+    f1 = freq32[pair].astype(np.uint32) - 1
+    off = (idx & (CTX_PROB_SCALE - 1)) - cum[pair].astype(np.uint32)
+    entries = (off << np.uint32(11)) | (f1 << np.uint32(4)) | sym
+    return entries.reshape(n // BLOCK_COLS, BLOCK_COLS)
 
 
 def ctx_decode_table_arrays(freq_ctx: np.ndarray):
@@ -747,7 +850,7 @@ def encode_pallas(
     jax.jit,
     static_argnames=(
         "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode",
-        "stub_tables", "stub_window",
+        "fused_tab", "stub_tables", "stub_window",
     ),
 )
 def decode_pallas(
@@ -762,10 +865,14 @@ def decode_pallas(
     interpret: bool = False,
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
+    fused_tab: bool = False,
     stub_tables: bool = False,
     stub_window: bool = False,
 ):
     """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128]).
+
+    With ``fused_tab`` the order-0 sym_tab argument must be the [32,128]
+    fused_table_arrays layout (fc is still passed but goes unread).
 
     ``stub_tables``/``stub_window`` select the latency-model replica
     kernels used by ops.rans_bound (outputs are then meaningless)."""
@@ -778,7 +885,7 @@ def decode_pallas(
     wrows = words.shape[1]
     kernel = functools.partial(
         _decode_kernel, chunk_len=k, kseg=kseg, nseg=nseg,
-        prob_bits=prob_bits, ctx_mode=ctx_mode,
+        prob_bits=prob_bits, ctx_mode=ctx_mode, fused_tab=fused_tab,
         stub_tables=stub_tables, stub_window=stub_window,
     )
     npad = (-nblocks) % NSUB
@@ -815,7 +922,7 @@ def decode_pallas(
                          lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
                          lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda m, g: (0, 0),
+            pl.BlockSpec((sym_tab.shape[0], 128), lambda m, g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((fc.shape[0], 128), lambda m, g: (0, 0),
                          memory_space=pltpu.VMEM),

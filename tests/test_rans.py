@@ -243,6 +243,99 @@ def test_pallas_kernels_match_numpy_engine():
     np.testing.assert_array_equal(out_np[mask], symbols[mask])
 
 
+def test_fused_table_decode_matches():
+    """fused_tab decode (one slot-indexed gather, fused_table_arrays) is
+    bit-exact vs the two-table order-0 decode on the same stream."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy.plane_codec import _interleave_np
+    from fpv_tpu.ops import rans_pallas as rp
+
+    rng = np.random.default_rng(3)
+    B, S, K = 2, 900, 64
+    data = rng.normal(100, 25, size=(B, S)).astype(np.uint8)
+    lens = chunk_lens(B, S, K)
+    nblocks = len(lens) // BLOCK_LANES
+    symbols = _interleave_np(data, K, nblocks)
+    freq = normalize_freqs(np.bincount(data.reshape(-1), minlength=256))
+    states, counts, payload = rn.encode_blocks(symbols, lens, freq)
+
+    fused = rp.fused_table_arrays(freq)
+    assert fused.shape == (32, 128)
+    fc, _finv, _symtab = rp.table_arrays(freq)
+    wrows = rp.words_rows(K)
+    words_padded = np.zeros((nblocks, wrows * 128), np.uint32)
+    off = 0
+    for m in range(nblocks):
+        words_padded[m, : counts[m]] = payload[off : off + counts[m]]
+        off += counts[m]
+    out, ok = rp.decode_pallas(
+        jnp.asarray(counts.reshape(nblocks, 1, 1).astype(np.int32)),
+        jnp.asarray(states.reshape(nblocks, 8, 128)),
+        jnp.asarray(lens.reshape(nblocks, 8, 128)),
+        jnp.asarray(fused),
+        jnp.asarray(fc),
+        jnp.asarray(words_padded.reshape(nblocks, wrows, 128)),
+        K, nblocks, interpret=True, fused_tab=True,
+    )
+    assert np.asarray(ok).all()
+    out_np = (
+        np.asarray(out).reshape(nblocks, K, BLOCK_LANES)
+        .transpose(0, 2, 1).reshape(-1, K).astype(np.uint8)
+    )
+    mask = np.arange(K)[None, :] < lens[:, None]
+    np.testing.assert_array_equal(out_np[mask], symbols[mask])
+
+
+def test_ctx_fused_table_decode_matches():
+    """fused_tab ctx decode (ctx_fused_table_arrays) is bit-exact vs the
+    nib+fc-pair ctx decode on the same stream."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy.plane_codec import _interleave_np
+    from fpv_tpu.entropy.tables import normalize_freqs_ctx
+    from fpv_tpu.ops import rans_pallas as rp
+
+    frames = testdata.plasma_frames(2, 40, 64, bits=12, seed=9)
+    plane = ((frames << 4) & 0xF0).astype(np.uint8).reshape(2, -1)
+    K = 32
+    lens = chunk_lens(2, plane.shape[1], K)
+    nb = len(lens) // BLOCK_LANES
+    sym4 = (_interleave_np(plane, K, nb) >> 4).astype(np.uint8)
+    idx = rn.encode_ctx_indices(sym4, lens)
+    mask = np.arange(K)[None, :] < lens[:, None]
+    hist = np.bincount(idx[mask].reshape(-1), minlength=512)
+    freq = normalize_freqs_ctx(hist)
+    _f32, cum, _sos = rn.ctx_tables(freq)
+    states, counts, payload = rn.encode_blocks(
+        idx, lens, freq, prob_bits=7, cum=cum
+    )
+    fused = rp.ctx_fused_table_arrays(freq)
+    assert fused.shape == (32, 128)
+    fc_dec, _symtab = rp.ctx_decode_table_arrays(freq)
+    wrows = rp.words_rows(K)
+    words_padded = np.zeros((nb, wrows * 128), np.uint32)
+    off = 0
+    for m in range(nb):
+        words_padded[m, : counts[m]] = payload[off : off + counts[m]]
+        off += counts[m]
+    out, ok = rp.decode_pallas(
+        jnp.asarray(counts.reshape(nb, 1, 1).astype(np.int32)),
+        jnp.asarray(states.reshape(nb, 8, 128)),
+        jnp.asarray(lens.reshape(nb, 8, 128)),
+        jnp.asarray(fused),
+        jnp.asarray(fc_dec),
+        jnp.asarray(words_padded.reshape(nb, wrows, 128)),
+        K, nb, interpret=True, prob_bits=7, ctx_mode=True, fused_tab=True,
+    )
+    assert np.asarray(ok).all()
+    out_np = (
+        np.asarray(out).reshape(nb, K, BLOCK_LANES)
+        .transpose(0, 2, 1).reshape(-1, K).astype(np.uint8)
+    )
+    np.testing.assert_array_equal(out_np[mask], sym4[mask])
+
+
 def test_segmented_chunks_kernel_matches_numpy():
     """chunk_len > SEG_LEN: the segmented Pallas kernels (state carry across
     grid steps) are bit-exact vs the numpy engine, and roundtrip."""
