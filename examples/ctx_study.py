@@ -93,22 +93,27 @@ def study(name: str, frames: np.ndarray, shift: int) -> dict:
 
 
 def main():
+    import sys
+
     from fpv_tpu.utils import testdata
 
+    # --fast: tiny corpora so the script stays CI-runnable (the recorded
+    # round-4 numbers in docs/ROUND4.md come from the full size)
+    n, d = (4, 128) if "--fast" in sys.argv else (16, 512)
     rng = np.random.default_rng(0)
-    pl = testdata.plasma_frames(16, 512, 512, bits=12, seed=5).astype(np.int32)
-    dark = rng.poisson(50, (16, 512, 512)).astype(np.uint16)
-    dark[rng.random((16, 512, 512)) < 1e-4] = 4000
+    pl = testdata.plasma_frames(n, d, d, bits=12, seed=5).astype(np.int32)
+    dark = rng.poisson(50, (n, d, d)).astype(np.uint16)
+    dark[rng.random((n, d, d)) < 1e-4] = 4000
     corpora = [
-        ("plasma12s", testdata.plasma_frames(16, 512, 512, bits=12, seed=5), 4),
-        ("noise16", testdata.noise_frames(16, 512, 512, bits=16), 0),
-        ("ramp12s", np.tile((np.arange(512 * 512) % 4096).astype(np.uint16)
-                            .reshape(1, 512, 512), (16, 1, 1)), 4),
+        ("plasma12s", testdata.plasma_frames(n, d, d, bits=12, seed=5), 4),
+        ("noise16", testdata.noise_frames(n, d, d, bits=16), 0),
+        ("ramp12s", np.tile((np.arange(d * d) % 4096).astype(np.uint16)
+                            .reshape(1, d, d), (n, 1, 1)), 4),
         ("mixed12", np.clip(pl + rng.normal(0, 8, pl.shape), 0, 4095)
          .astype(np.uint16), 4),
         ("dark12", dark, 4),
         ("drift12", np.stack([np.roll(pl[0], (i, i), (0, 1))
-                              for i in range(16)]).astype(np.uint16), 4),
+                              for i in range(n)]).astype(np.uint16), 4),
     ]
     print(f"{'corpus':<10} {'order0':>7} {'prev':>7} {'save%':>6} "
           f"{'W':>7} {'save%':>6} {'W+N':>7} {'save%':>6}")

@@ -448,6 +448,7 @@ def _decode_kernel(
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
     fused_tab: bool = False,
+    slim_carry: bool = False,
     stub_tables: bool = False,
     stub_window: bool = False,
 ):
@@ -566,8 +567,20 @@ def _decode_kernel(
         prev_next = jnp.where(active, sym, 0)
         return x, base, sym, prev_next
 
+    # slim_carry drops the prev-symbol history from the non-ctx loop carry
+    # (it is only live in ctx mode).  MEASURED NEGATIVE: the interleaved A/B
+    # had the slim variant 2.8% SLOWER — the extra carry evidently pads the
+    # schedule rather than spilling — so the default keeps the full carry;
+    # the flag stays for re-measurement on future toolchains.
+    carry_prev = ctx_mode or not slim_carry
+    zero_prev = jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32)
+
     def step(jl, carry):
-        xs, ptrs, accs, prevs = carry
+        if carry_prev:
+            xs, ptrs, accs, prevs = carry
+        else:
+            xs, ptrs, accs = carry
+            prevs = (zero_prev,) * NSUB
         sub = jl & 3
         new_xs, new_ptrs, new_accs, new_prevs = [], [], [], []
         for u in range(NSUB):
@@ -581,25 +594,27 @@ def _decode_kernel(
             new_ptrs.append(base)
             new_accs.append(acc)
             new_prevs.append(prev_next)
-        return (tuple(new_xs), tuple(new_ptrs), tuple(new_accs),
-                tuple(new_prevs))
+        out = (tuple(new_xs), tuple(new_ptrs), tuple(new_accs))
+        return out + ((tuple(new_prevs),) if carry_prev else ())
 
     x0 = tuple(xscr[u] for u in range(NSUB))
     p0 = tuple(count_ref[u, 0] for u in range(NSUB))
     a0 = tuple(
         jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(NSUB)
     )
-    pr0 = tuple(
-        (prevscr[u] if ctx_mode
-         else jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32))
-        for u in range(NSUB)
-    )
-    xs, ptrs, _, prevs = jax.lax.fori_loop(0, kseg, step, (x0, p0, a0, pr0))
+    carry0 = (x0, p0, a0)
+    if carry_prev:
+        carry0 = carry0 + (
+            tuple((prevscr[u] if ctx_mode else zero_prev)
+                  for u in range(NSUB)),
+        )
+    res = jax.lax.fori_loop(0, kseg, step, carry0)
+    xs, ptrs = res[0], res[1]
     for u in range(NSUB):
         xscr[u] = xs[u]
         okscr[u, 0] = okscr[u, 0] & (ptrs[u] == 0).astype(jnp.int32)
         if ctx_mode:
-            prevscr[u] = prevs[u]
+            prevscr[u] = res[3][u]
 
     @pl.when(g == nseg - 1)
     def _():
@@ -850,7 +865,7 @@ def encode_pallas(
     jax.jit,
     static_argnames=(
         "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode",
-        "fused_tab", "stub_tables", "stub_window",
+        "fused_tab", "slim_carry", "stub_tables", "stub_window",
     ),
 )
 def decode_pallas(
@@ -866,6 +881,7 @@ def decode_pallas(
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
     fused_tab: bool = False,
+    slim_carry: bool = False,
     stub_tables: bool = False,
     stub_window: bool = False,
 ):
@@ -886,6 +902,7 @@ def decode_pallas(
     kernel = functools.partial(
         _decode_kernel, chunk_len=k, kseg=kseg, nseg=nseg,
         prob_bits=prob_bits, ctx_mode=ctx_mode, fused_tab=fused_tab,
+        slim_carry=slim_carry,
         stub_tables=stub_tables, stub_window=stub_window,
     )
     npad = (-nblocks) % NSUB

@@ -11,9 +11,10 @@ from conftest import REPO
 
 @pytest.mark.parametrize(
     "script", ["fpv1_compat.py", "fpvt_pipeline.py", "serving_hubs.py",
-               "multichip.py"]
+               "multichip.py", "ctx_study.py --fast"]
 )
 def test_example_runs(script):
+    script, *extra = script.split()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -24,7 +25,7 @@ def test_example_runs(script):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
     p = subprocess.run(
-        [sys.executable, str(REPO / "examples" / script)],
+        [sys.executable, str(REPO / "examples" / script), *extra],
         capture_output=True, cwd=REPO, env=env, timeout=900,
     )
     assert p.returncode == 0, p.stderr.decode()[-2000:]
