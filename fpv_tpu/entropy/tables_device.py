@@ -139,25 +139,31 @@ def encode_tables_ctx_device(freq: jax.Array) -> jax.Array:
     return fc.reshape(4, 128)
 
 
-def decode_tables_device(freq: jax.Array) -> jax.Array:
-    """freq u32 [256] -> packed symbol table [8, 128] u32 on device.
+def fused_decode_tables_device(freq: jax.Array) -> jax.Array:
+    """freq u32 [256] -> fused single-gather decode table [32, 128] u32.
 
-    Device twin of the ``sym_packed`` output of rans_pallas.table_arrays:
-    slot s maps to the symbol whose cumulative range contains s, i.e. the
-    number of inclusive cumulative sums <= s (a compare-reduce; no scatter).
+    Device twin of rans_pallas.fused_table_arrays: one entry per slot,
+    ``off << 20 | (f-1) << 8 | sym``.  Per-slot f/cum are fetched with a
+    one-hot [PROB_SCALE, 256] matmul (MXU-friendly; no scatter/gather).
+    All values < 2**13 so the f32 accumulation is exact.
     """
-    cum = jnp.cumsum(freq.astype(jnp.int32))
+    cum_incl = jnp.cumsum(freq.astype(jnp.int32))  # [256]
     slots = jnp.arange(PROB_SCALE, dtype=jnp.int32)
     sym = jnp.sum(
-        cum[None, :] <= slots[:, None], axis=1, dtype=jnp.int32
-    ).astype(jnp.uint32)
-    packed = (
-        sym[0::4]
-        | (sym[1::4] << 8)
-        | (sym[2::4] << 16)
-        | (sym[3::4] << 24)
+        cum_incl[None, :] <= slots[:, None], axis=1, dtype=jnp.int32
+    )  # [PROB_SCALE], 0..255
+    onehot = (sym[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :])
+    onehot = onehot.astype(jnp.float32)
+    f_slot = onehot @ freq.astype(jnp.float32)
+    cum_excl = (cum_incl - freq.astype(jnp.int32)).astype(jnp.float32)
+    off = slots - (onehot @ cum_excl).astype(jnp.int32)
+    f1 = f_slot.astype(jnp.int32) - 1
+    entries = (
+        (off.astype(jnp.uint32) << 20)
+        | (f1.astype(jnp.uint32) << 8)
+        | sym.astype(jnp.uint32)
     )
-    return packed.reshape(8, 128)
+    return entries.reshape(PROB_SCALE // 128, 128)
 
 
 def encode_tables_device(freq: jax.Array):

@@ -95,8 +95,8 @@ def _local_codec_roundtrip(
         _to_block_symbols,
     )
     from fpv_tpu.entropy.tables_device import (
-        decode_tables_device,
         encode_tables_device,
+        fused_decode_tables_device,
         normalize_freqs_device,
     )
     from fpv_tpu.ops import rans_pallas as rp
@@ -116,7 +116,7 @@ def _local_codec_roundtrip(
             mask = (jax.lax.psum(mask, axis) > 0).astype(jnp.int32)
         freq = normalize_freqs_device(hist, mask)
         fc, _finv = encode_tables_device(freq)
-        sym_tab = decode_tables_device(freq)
+        sym_tab = fused_decode_tables_device(freq)
         lens, nblocks = _plane_geometry(b, s, chunk_len)
         syms = _to_block_symbols(m[name].reshape(b, -1), chunk_len, nblocks)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
@@ -126,6 +126,7 @@ def _local_codec_roundtrip(
         syms2, ok = rp.decode_pallas(
             counts, states, lens_dev, sym_tab, fc,
             words.astype(jnp.uint32), chunk_len, nblocks,
+            fused_tab=True,
         )
         rec[name] = _from_block_symbols(syms2, b, s, chunk_len)
         oks.append(jnp.all(ok == 1))

@@ -94,6 +94,30 @@ def test_normalize_freqs_device_masked():
     assert np.all(freq_all >= 1)
 
 
+def test_fused_decode_tables_device_matches_host():
+    """Device fused-table builder (one-hot matmul) == host builder, for
+    both dense and narrow-support freq tables."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy.tables_device import (
+        fused_decode_tables_device,
+        normalize_freqs_device,
+    )
+    from fpv_tpu.ops import rans_pallas as rp
+
+    rng = np.random.default_rng(21)
+    hists = [
+        rng.integers(0, 1000, size=256),
+        np.r_[rng.integers(1, 50, size=16), np.zeros(240, np.int64)],
+    ]
+    for hist in hists:
+        freq = np.asarray(normalize_freqs_device(jnp.asarray(hist)))
+        dev = np.asarray(fused_decode_tables_device(jnp.asarray(freq)))
+        host = rp.fused_table_arrays(freq)
+        assert dev.dtype == host.dtype and dev.shape == host.shape
+        assert np.array_equal(dev, host)
+
+
 def test_masked_tables_roundtrip_both_engines():
     """Narrow-support plane + exact mask: encode/decode on both engines."""
     rng = np.random.default_rng(14)
