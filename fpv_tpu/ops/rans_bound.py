@@ -43,13 +43,14 @@ import jax
 from fpv_tpu.ops import rans_pallas as rp
 
 
-def _build_args(nblocks: int, seed: int = 0):
+def _build_args(nblocks: int, seed: int = 0, ctx: bool = False):
     """Encode a synthetic high plane through the production codec path.
 
     Content mimics post-CG high-plane residuals (plasma-like: small
     mostly-positive values with a heavy zero mode) so the replicas time a
-    realistic renorm density.  Returns production decode_pallas (args,
-    kwargs) plus the symbol count.
+    realistic renorm density.  With ``ctx`` the plane is nibble-coded
+    through the CTX16 path (the production low-plane coding).  Returns
+    production decode_pallas (args, kwargs) plus the symbol count.
     """
     from fpv_tpu.entropy import plane_codec as pc
 
@@ -59,7 +60,10 @@ def _build_args(nblocks: int, seed: int = 0):
     plane = ((-(vals & 1) ^ (vals >> 1)) & 0xFF).astype(np.uint8)
     plane = plane.reshape(1, -1)
     hist = np.bincount(plane.reshape(-1), minlength=256)
-    stream = pc.encode_plane_batch(plane, hist, engine="pallas")
+    stream = pc.encode_plane_batch(
+        plane, hist, engine="pallas",
+        coding=pc.CODING_CTX16 if ctx else pc.CODING_ORDER0,
+    )
     args, kwargs = pc.pallas_decode_args(stream)
     args = tuple(jax.block_until_ready(a) for a in args)
     return args, kwargs, n
@@ -70,7 +74,7 @@ def _time_decode(args, kwargs, *, reps: int = 5, **kw) -> float:
     return _time_interleaved([(args, kwargs, kw)], reps=reps)[0]
 
 
-def _time_interleaved(variants, *, reps: int = 5) -> list[float]:
+def _time_interleaved(variants, *, reps: int = 5, fn=None) -> list[float]:
     """Best-of-N wall times, measured ROUND-ROBIN across the variants.
 
     The attached device's step time drifts by >+-5% over tens of seconds
@@ -79,14 +83,24 @@ def _time_interleaved(variants, *, reps: int = 5) -> list[float]:
     measuring SLOWER than the full kernel).  Interleaving puts every
     variant under the same drift.
     """
+    fn = fn or rp.decode_pallas
 
     def run(v):
         args, kwargs, kw = v
-        out, _ok = rp.decode_pallas(*args, **kwargs, **kw)
+        out = fn(*args, **kwargs, **kw)
         jax.block_until_ready(out)
+        return out
 
     for v in variants:
-        run(v)  # compile
+        out = run(v)  # compile
+    # Tunnel artifact guard: under the dev harness's tunneled device,
+    # block_until_ready is a NO-OP until the process has performed at
+    # least one device->host fetch (measured: 0.1 ms "timings" of a 40 ms
+    # kernel when nothing was ever fetched; real times from the very next
+    # call after a 4-byte fetch).  Fetch one tiny slice once, after
+    # warmup, so every timed block_until_ready below is real.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
     best = [float("inf")] * len(variants)
     for _ in range(reps):
         for i, v in enumerate(variants):
@@ -100,7 +114,7 @@ def bound_report(nblocks: int = 64, reps: int = 5) -> dict:
     """Measure T_full / T_chain / T_core on production launch configs.
 
     Returns a dict with per-step nanoseconds (a "step" = one fori_loop
-    iteration decoding NSUB x 8 x 128 symbols in one grid cell; cells in
+    iteration decoding NSUB_DEC x 8 x 128 symbols in one grid cell; cells in
     the same grid pass run concurrently across the decode units, so the
     per-step figure is wall time / steps-per-grid-cell), the bound
     fraction, and the chain-ceiling throughput of the current design.
@@ -120,7 +134,7 @@ def bound_report(nblocks: int = 64, reps: int = 5) -> dict:
         "nblocks": kwargs["nblocks"],
         "chunk_len": k,
         "steps_per_cell": nsteps,
-        "grid_cells": kwargs["nblocks"] // rp.NSUB,
+        "grid_cells": kwargs["nblocks"] // rp.NSUB_DEC,
         "step_full_ns": 1e9 * t_full / nsteps,
         "step_chain_ns": 1e9 * t_chain / nsteps,
         "step_core_ns": 1e9 * t_core / nsteps,
@@ -131,7 +145,99 @@ def bound_report(nblocks: int = 64, reps: int = 5) -> dict:
     }
 
 
+def _build_encode_args(nblocks: int, seed: int = 0):
+    """Production-shaped order-0 ENCODE launch args for the same synthetic
+    plane as _build_args.  Returns (args, kwargs, nsyms)."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy import plane_codec as pc
+    from fpv_tpu.entropy.tables import normalize_freqs
+
+    rng = np.random.default_rng(seed)
+    k = pc.DEFAULT_CHUNK_LEN
+    n = nblocks * k * 1024
+    vals = rng.geometric(0.35, n).astype(np.int64) - 1
+    plane = ((-(vals & 1) ^ (vals >> 1)) & 0xFF).astype(np.uint8)
+    plane = plane.reshape(1, -1)
+    hist = np.bincount(plane.reshape(-1), minlength=256)
+    freq = normalize_freqs(hist, ensure_all=True, floor_mask=hist > 0)
+    fc, _finv, _sym = rp.table_arrays(freq)
+    lens = pc.chunk_lens(1, n, k)
+    nb = len(lens) // 1024
+    syms = pc._to_block_symbols(jnp.asarray(plane), k, nb)
+    lens_dev = jnp.asarray(lens.reshape(nb, 8, 128))
+    args = tuple(
+        jax.block_until_ready(a) for a in (syms, lens_dev, jnp.asarray(fc))
+    )
+    return args, dict(chunk_len=k, nblocks=nb), n
+
+
+def nsub_encode_report(nblocks: int = 64, reps: int = 7) -> dict:
+    """Encode-side twin of nsub_report (see its docstring)."""
+    args, kwargs, syms_total = _build_encode_args(nblocks)
+    variants, labels = [], []
+    for ns in (1, 2, 4, 8):
+        try:
+            out = rp.encode_pallas(*args, **kwargs, nsub=ns)
+            jax.block_until_ready(out)
+        except Exception as e:  # noqa: BLE001 — record, don't crash
+            labels.append((ns, str(e).splitlines()[0][:120]))
+            continue
+        variants.append((args, kwargs, {"nsub": ns}))
+        labels.append((ns, None))
+    times = _time_interleaved(variants, reps=reps, fn=rp.encode_pallas)
+    res: dict = {"nblocks": kwargs["nblocks"], "chunk_len": kwargs["chunk_len"]}
+    ti = iter(times)
+    for ns, err in labels:
+        res[f"nsub{ns}_msym_s"] = (
+            None if err is not None else syms_total / 1e6 / next(ti)
+        )
+        if err is not None:
+            res[f"nsub{ns}_error"] = err
+    return res
+
+
+def nsub_report(nblocks: int = 64, reps: int = 7, ctx: bool = False) -> dict:
+    """A/B the decode kernel's per-cell ILP factor (``nsub`` independent
+    dependency chains per grid cell) on the production launch config.
+
+    The round-3 NSUB sweep predates the fused single-gather tables, which
+    changed the step's latency structure; this keeps the question measured.
+    Variants are timed round-robin interleaved (same drift discipline as
+    bound_report).  nsub=4 may exceed VMEM at production chunk_len — a
+    compile failure is recorded as ``null`` rather than raised.
+    """
+    args, kwargs, syms_total = _build_args(nblocks, ctx=ctx)
+    variants, labels = [], []
+    for ns in (1, 2, 4, 8):
+        try:
+            out, _ = rp.decode_pallas(*args, **kwargs, nsub=ns)
+            jax.block_until_ready(out)
+        except Exception as e:  # noqa: BLE001 — record, don't crash
+            labels.append((ns, str(e).splitlines()[0][:120]))
+            continue
+        variants.append((args, kwargs, {"nsub": ns}))
+        labels.append((ns, None))
+    times = _time_interleaved(variants, reps=reps)
+    res: dict = {"nblocks": kwargs["nblocks"], "chunk_len": kwargs["chunk_len"]}
+    ti = iter(times)
+    for ns, err in labels:
+        res[f"nsub{ns}_msym_s"] = (
+            None if err is not None else syms_total / 1e6 / next(ti)
+        )
+        if err is not None:
+            res[f"nsub{ns}_error"] = err
+    return res
+
+
 if __name__ == "__main__":
     import json
+    import sys
 
-    print(json.dumps(bound_report(), indent=2))
+    if "nsub_encode" in sys.argv[1:]:
+        rep = nsub_encode_report()
+    elif "nsub" in sys.argv[1:]:
+        rep = nsub_report()
+    else:
+        rep = bound_report()
+    print(json.dumps(rep, indent=2))

@@ -271,6 +271,13 @@ def _ctx_from_prev(prev: jax.Array) -> jax.Array:
 
 
 NSUB = 2  # independent sub-blocks per grid cell (ILP: two dependency chains)
+# Decode runs more chains per cell: with the round-4 fused single-gather
+# tables the decode step is latency- rather than issue-bound, and the
+# rans_bound.nsub_report sweep (5 interleaved captures, order-0 AND ctx16,
+# docs/ROUND4.md) had nsub=4 over nsub=2 in every one (median +3%).
+# Encode keeps 2: nsub>=4 exceeds VMEM (the kseg syms tile adds ~2 MB per
+# sub-block) and nsub=1 measured 6% SLOWER than 2 (nsub_encode_report).
+NSUB_DEC = 4
 
 
 def _encode_kernel(
@@ -280,6 +287,7 @@ def _encode_kernel(
     nseg: int,
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
+    nsub: int = NSUB,
 ):
     """One (cell, segment) grid step: encode ``kseg`` symbol steps of the
     cell's NSUB blocks into that segment's word region.
@@ -307,7 +315,7 @@ def _encode_kernel(
     fmask = (1 << prob_bits) - 1
     renorm_shift = 31 - prob_bits
     div_rounds = 1 if prob_bits >= 12 else 4
-    lens = [lens_ref[u] for u in range(NSUB)]
+    lens = [lens_ref[u] for u in range(nsub)]
     fc = fc_ref[:]
     g = pl.program_id(1)
     seg_lo = (nseg - 1 - g) * kseg  # global j of this segment's first symbol
@@ -319,7 +327,7 @@ def _encode_kernel(
     # LAST symbols), otherwise continue from the previous segment's states
     @pl.when(g == 0)
     def _():
-        for u in range(NSUB):
+        for u in range(nsub):
             states_ref[u] = jnp.full(
                 (BLOCK_ROWS, BLOCK_COLS), RANS_L, dtype=jnp.uint32
             )
@@ -398,10 +406,10 @@ def _encode_kernel(
         xs, ptrs, pks, rcs, es = carry
         # issue next step's independent lookups first so they overlap the
         # state-update dependency chains
-        es_next = tuple(_prefetch(u, t + 1) for u in range(NSUB))
-        adv = [advance(u, t, xs[u], es[u]) for u in range(NSUB)]
+        es_next = tuple(_prefetch(u, t + 1) for u in range(nsub))
+        adv = [advance(u, t, xs[u], es[u]) for u in range(nsub)]
         ptrs_new = tuple(
-            place(u, pks[u], rcs[u], ptrs[u]) for u in range(NSUB)
+            place(u, pks[u], rcs[u], ptrs[u]) for u in range(nsub)
         )
         return (
             tuple(a[0] for a in adv),
@@ -411,19 +419,19 @@ def _encode_kernel(
             es_next,
         )
 
-    x0 = tuple(states_ref[u] for u in range(NSUB))
-    p0 = tuple(jnp.int32(0) for _ in range(NSUB))
-    e0 = tuple(_prefetch(u, 0) for u in range(NSUB))
+    x0 = tuple(states_ref[u] for u in range(nsub))
+    p0 = tuple(jnp.int32(0) for _ in range(nsub))
+    e0 = tuple(_prefetch(u, 0) for u in range(nsub))
     pk0 = tuple(
-        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(NSUB)
+        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(nsub)
     )
     rc0 = tuple(
-        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32) for _ in range(NSUB)
+        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.int32) for _ in range(nsub)
     )
     xs, ptrs, pks, rcs, _ = jax.lax.fori_loop(
         0, kseg, step, (x0, p0, pk0, rc0, e0)
     )
-    for u in range(NSUB):
+    for u in range(nsub):
         states_ref[u] = xs[u]
         # drain the pipeline: place the final step's word group
         count_ref[u, 0] = place(u, pks[u], rcs[u], ptrs[u])
@@ -451,6 +459,7 @@ def _decode_kernel(
     slim_carry: bool = False,
     stub_tables: bool = False,
     stub_window: bool = False,
+    nsub: int = NSUB_DEC,
 ):
     """``fused_tab`` selects the fused-table order-0 decode: sym_ref is a
     [32,128] u32 slot->entry table (fused_table_arrays) and fc_ref goes
@@ -467,7 +476,7 @@ def _decode_kernel(
     """
     fmask = (1 << prob_bits) - 1
     scale = 1 << prob_bits
-    lens = [lens_ref[u] for u in range(NSUB)]
+    lens = [lens_ref[u] for u in range(nsub)]
     sym_tab = sym_ref[:]
     fc = fc_ref[:]
     g = pl.program_id(1)  # decode walks segments in stream (ascending) order
@@ -475,7 +484,7 @@ def _decode_kernel(
 
     @pl.when(g == 0)
     def _():
-        for u in range(NSUB):
+        for u in range(nsub):
             xscr[u] = states_ref[u]
             okscr[u, 0] = 1
             if ctx_mode:
@@ -580,10 +589,10 @@ def _decode_kernel(
             xs, ptrs, accs, prevs = carry
         else:
             xs, ptrs, accs = carry
-            prevs = (zero_prev,) * NSUB
+            prevs = (zero_prev,) * nsub
         sub = jl & 3
         new_xs, new_ptrs, new_accs, new_prevs = [], [], [], []
-        for u in range(NSUB):
+        for u in range(nsub):
             x, base, sym, prev_next = one(u, jl, xs[u], ptrs[u], prevs[u])
             acc = jnp.where(sub == 0, 0, accs[u])
             acc = acc | (sym.astype(jnp.uint32) << (8 * sub.astype(jnp.uint32)))
@@ -597,20 +606,20 @@ def _decode_kernel(
         out = (tuple(new_xs), tuple(new_ptrs), tuple(new_accs))
         return out + ((tuple(new_prevs),) if carry_prev else ())
 
-    x0 = tuple(xscr[u] for u in range(NSUB))
-    p0 = tuple(count_ref[u, 0] for u in range(NSUB))
+    x0 = tuple(xscr[u] for u in range(nsub))
+    p0 = tuple(count_ref[u, 0] for u in range(nsub))
     a0 = tuple(
-        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(NSUB)
+        jnp.zeros((BLOCK_ROWS, BLOCK_COLS), jnp.uint32) for _ in range(nsub)
     )
     carry0 = (x0, p0, a0)
     if carry_prev:
         carry0 = carry0 + (
             tuple((prevscr[u] if ctx_mode else zero_prev)
-                  for u in range(NSUB)),
+                  for u in range(nsub)),
         )
     res = jax.lax.fori_loop(0, kseg, step, carry0)
     xs, ptrs = res[0], res[1]
-    for u in range(NSUB):
+    for u in range(nsub):
         xscr[u] = xs[u]
         okscr[u, 0] = okscr[u, 0] & (ptrs[u] == 0).astype(jnp.int32)
         if ctx_mode:
@@ -618,7 +627,7 @@ def _decode_kernel(
 
     @pl.when(g == nseg - 1)
     def _():
-        for u in range(NSUB):
+        for u in range(nsub):
             seg_ok = okscr[u, 0] == 1
             ok_ref[u] = (
                 ((xscr[u] == RANS_L) & seg_ok) | (lens[u] == 0)
@@ -748,7 +757,7 @@ def _auto_interpret(interpret: bool) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode",
+        "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode", "nsub",
     ),
 )
 def encode_pallas(
@@ -761,6 +770,7 @@ def encode_pallas(
     interpret: bool = False,
     prob_bits: int = PROB_BITS,
     ctx_mode: bool = False,
+    nsub: int = NSUB,
 ):
     """Returns (states u32 [nblocks,8,128], words u16 [ngroups,Wrows,128],
     counts i32 [ngroups,1,1]) where ngroups = nblocks * num_segments(K):
@@ -774,11 +784,11 @@ def encode_pallas(
     wrows = words_rows(k)
     kernel = functools.partial(
         _encode_kernel, chunk_len=k, kseg=kseg, nseg=nseg,
-        prob_bits=prob_bits, ctx_mode=ctx_mode,
+        prob_bits=prob_bits, ctx_mode=ctx_mode, nsub=nsub,
     )
     # pad the block count to a NSUB multiple; pad sub-blocks are inactive
     # (all-zero lens) and emit nothing
-    npad = (-nblocks) % NSUB
+    npad = (-nblocks) % nsub
     if npad:
         syms = jnp.concatenate(
             [syms, jnp.zeros((npad, k, BLOCK_ROWS, BLOCK_COLS), syms.dtype)]
@@ -787,17 +797,17 @@ def encode_pallas(
             [lens, jnp.zeros((npad, BLOCK_ROWS, BLOCK_COLS), lens.dtype)]
         )
     nb_pad = nblocks + npad
-    ncells = nb_pad // NSUB
-    syms6 = syms.reshape(ncells, NSUB, nseg, kseg, BLOCK_ROWS, BLOCK_COLS)
-    lens4 = lens.reshape(ncells, NSUB, BLOCK_ROWS, BLOCK_COLS)
+    ncells = nb_pad // nsub
+    syms6 = syms.reshape(ncells, nsub, nseg, kseg, BLOCK_ROWS, BLOCK_COLS)
+    lens4 = lens.reshape(ncells, nsub, BLOCK_ROWS, BLOCK_COLS)
     inputs = [syms6, lens4, fc]
     in_specs = [
         pl.BlockSpec(
-            (None, NSUB, None, kseg, BLOCK_ROWS, BLOCK_COLS),
+            (None, nsub, None, kseg, BLOCK_ROWS, BLOCK_COLS),
             lambda m, g: (m, 0, nseg - 1 - g, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+        pl.BlockSpec((None, nsub, BLOCK_ROWS, BLOCK_COLS),
                      lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((fc.shape[0], 128), lambda m, g: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -811,11 +821,11 @@ def encode_pallas(
                 syms[:, kseg - 1 :: kseg][:, : nseg - 1],
             ],
             axis=1,
-        ).reshape(ncells, NSUB, nseg, BLOCK_ROWS, BLOCK_COLS)
+        ).reshape(ncells, nsub, nseg, BLOCK_ROWS, BLOCK_COLS)
         inputs.append(prevlast)
         in_specs.append(
             pl.BlockSpec(
-                (None, NSUB, None, BLOCK_ROWS, BLOCK_COLS),
+                (None, nsub, None, BLOCK_ROWS, BLOCK_COLS),
                 lambda m, g: (m, 0, nseg - 1 - g, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -825,27 +835,27 @@ def encode_pallas(
         grid=(ncells, nseg),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+            pl.BlockSpec((None, nsub, BLOCK_ROWS, BLOCK_COLS),
                          lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (None, NSUB, None, wrows, BLOCK_COLS),
+                (None, nsub, None, wrows, BLOCK_COLS),
                 lambda m, g: (m, 0, nseg - 1 - g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            # nseg ahead of NSUB: Mosaic requires the block's last two dims
+            # nseg ahead of nsub: Mosaic requires the block's last two dims
             # to equal the array's (the squeezed seg dim can't be trailing)
-            pl.BlockSpec((None, None, NSUB, 1),
+            pl.BlockSpec((None, None, nsub, 1),
                          lambda m, g: (m, nseg - 1 - g, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
-                (ncells, NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.uint32
+                (ncells, nsub, BLOCK_ROWS, BLOCK_COLS), jnp.uint32
             ),
             jax.ShapeDtypeStruct(
-                (ncells, NSUB, nseg, wrows, BLOCK_COLS), jnp.uint16
+                (ncells, nsub, nseg, wrows, BLOCK_COLS), jnp.uint16
             ),
-            jax.ShapeDtypeStruct((ncells, nseg, NSUB, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ncells, nseg, nsub, 1), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -865,7 +875,7 @@ def encode_pallas(
     jax.jit,
     static_argnames=(
         "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode",
-        "fused_tab", "slim_carry", "stub_tables", "stub_window",
+        "fused_tab", "slim_carry", "stub_tables", "stub_window", "nsub",
     ),
 )
 def decode_pallas(
@@ -884,6 +894,7 @@ def decode_pallas(
     slim_carry: bool = False,
     stub_tables: bool = False,
     stub_window: bool = False,
+    nsub: int = NSUB_DEC,
 ):
     """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128]).
 
@@ -903,9 +914,9 @@ def decode_pallas(
         _decode_kernel, chunk_len=k, kseg=kseg, nseg=nseg,
         prob_bits=prob_bits, ctx_mode=ctx_mode, fused_tab=fused_tab,
         slim_carry=slim_carry,
-        stub_tables=stub_tables, stub_window=stub_window,
+        stub_tables=stub_tables, stub_window=stub_window, nsub=nsub,
     )
-    npad = (-nblocks) % NSUB
+    npad = (-nblocks) % nsub
     if npad:
         counts = jnp.concatenate(
             [counts, jnp.zeros((npad * nseg, 1, 1), counts.dtype)]
@@ -921,53 +932,53 @@ def decode_pallas(
             [words, jnp.zeros((npad * nseg, wrows, BLOCK_COLS), words.dtype)]
         )
     nb_pad = nblocks + npad
-    ncells = nb_pad // NSUB
-    # counts arrive block-major (block, seg); the SMEM spec needs NSUB last
+    ncells = nb_pad // nsub
+    # counts arrive block-major (block, seg); the SMEM spec needs nsub last
     counts4 = jnp.transpose(
-        counts.reshape(ncells, NSUB, nseg, 1), (0, 2, 1, 3)
+        counts.reshape(ncells, nsub, nseg, 1), (0, 2, 1, 3)
     )
-    states4 = states.reshape(ncells, NSUB, BLOCK_ROWS, BLOCK_COLS)
-    lens4 = lens.reshape(ncells, NSUB, BLOCK_ROWS, BLOCK_COLS)
-    words5 = words.reshape(ncells, NSUB, nseg, wrows, BLOCK_COLS)
+    states4 = states.reshape(ncells, nsub, BLOCK_ROWS, BLOCK_COLS)
+    lens4 = lens.reshape(ncells, nsub, BLOCK_ROWS, BLOCK_COLS)
+    words5 = words.reshape(ncells, nsub, nseg, wrows, BLOCK_COLS)
     syms, ok = pl.pallas_call(
         kernel,
         grid=(ncells, nseg),
         in_specs=[
-            pl.BlockSpec((None, None, NSUB, 1), lambda m, g: (m, g, 0, 0),
+            pl.BlockSpec((None, None, nsub, 1), lambda m, g: (m, g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+            pl.BlockSpec((None, nsub, BLOCK_ROWS, BLOCK_COLS),
                          lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+            pl.BlockSpec((None, nsub, BLOCK_ROWS, BLOCK_COLS),
                          lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((sym_tab.shape[0], 128), lambda m, g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((fc.shape[0], 128), lambda m, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, NSUB, None, wrows, BLOCK_COLS),
+            pl.BlockSpec((None, nsub, None, wrows, BLOCK_COLS),
                          lambda m, g: (m, 0, g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(
-                (None, NSUB, None, kseg // 4, BLOCK_ROWS, BLOCK_COLS),
+                (None, nsub, None, kseg // 4, BLOCK_ROWS, BLOCK_COLS),
                 lambda m, g: (m, 0, g, 0, 0, 0), memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((None, NSUB, BLOCK_ROWS, BLOCK_COLS),
+            pl.BlockSpec((None, nsub, BLOCK_ROWS, BLOCK_COLS),
                          lambda m, g: (m, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
-                (ncells, NSUB, nseg, kseg // 4, BLOCK_ROWS, BLOCK_COLS),
+                (ncells, nsub, nseg, kseg // 4, BLOCK_ROWS, BLOCK_COLS),
                 jnp.uint32,
             ),
             jax.ShapeDtypeStruct(
-                (ncells, NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.int32
+                (ncells, nsub, BLOCK_ROWS, BLOCK_COLS), jnp.int32
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.uint32),
-            pltpu.SMEM((NSUB, 1), jnp.int32),
-            pltpu.VMEM((NSUB, BLOCK_ROWS, BLOCK_COLS), jnp.int32),
+            pltpu.VMEM((nsub, BLOCK_ROWS, BLOCK_COLS), jnp.uint32),
+            pltpu.SMEM((nsub, 1), jnp.int32),
+            pltpu.VMEM((nsub, BLOCK_ROWS, BLOCK_COLS), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

@@ -94,6 +94,48 @@ def test_normalize_freqs_device_masked():
     assert np.all(freq_all >= 1)
 
 
+def test_nsub_launch_geometry_bit_exact():
+    """nsub (per-cell ILP factor) is pure launch geometry: encode output
+    streams and decode symbol output are bit-identical across nsub=1/2/4,
+    including the non-multiple padding path (nblocks=3)."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy import plane_codec as pc
+    from fpv_tpu.entropy.tables import normalize_freqs
+    from fpv_tpu.ops import rans_pallas as rp
+
+    rng = np.random.default_rng(9)
+    k, nb = 32, 3
+    n = nb * k * 1024
+    vals = rng.geometric(0.35, n).astype(np.int64) - 1
+    plane = ((-(vals & 1) ^ (vals >> 1)) & 0xFF).astype(np.uint8)
+    plane = plane.reshape(1, -1)
+    hist = np.bincount(plane.reshape(-1), minlength=256)
+    freq = normalize_freqs(hist, ensure_all=True, floor_mask=hist > 0)
+    fc, _finv, _sym = rp.table_arrays(freq)
+    lens = pc.chunk_lens(1, n, k)
+    syms = pc._to_block_symbols(jnp.asarray(plane), k, nb)
+    lens_dev = jnp.asarray(lens.reshape(nb, 8, 128))
+    enc = {}
+    for ns in (1, 2, 4):
+        out = rp.encode_pallas(
+            syms, lens_dev, jnp.asarray(fc), chunk_len=k, nblocks=nb, nsub=ns
+        )
+        enc[ns] = tuple(np.asarray(o) for o in out)
+    for a, b in ((1, 2), (2, 4)):
+        for x, y in zip(enc[a], enc[b]):
+            assert np.array_equal(x, y)
+
+    stream = pc.encode_plane_batch(plane, hist, engine="numpy", chunk_len=k)
+    args, kwargs = pc.pallas_decode_args(stream)
+    dec = {}
+    for ns in (1, 2, 4):
+        s2, ok = rp.decode_pallas(*args, **kwargs, nsub=ns)
+        assert np.all(np.asarray(ok) == 1)
+        dec[ns] = np.asarray(s2)
+    assert np.array_equal(dec[1], dec[2]) and np.array_equal(dec[2], dec[4])
+
+
 def test_fused_decode_tables_device_matches_host():
     """Device fused-table builder (one-hot matmul) == host builder, for
     both dense and narrow-support freq tables."""
