@@ -338,7 +338,8 @@ def main() -> None:
     def _enc_chain1(im):
         return _reduce_all(
             fused_encode_batch(im, w0._delta_high, w0._delta_low, SHIFT,
-                               False, chunk_len, low_coding=w0._low_coding)
+                               False, chunk_len, low_coding=w0._low_coding,
+                               allow_prev=True)
         )
 
     @jax.jit
@@ -348,7 +349,8 @@ def main() -> None:
             acc = acc + _reduce_all(
                 fused_encode_batch(im ^ jnp.uint16(i), w0._delta_high,
                                    w0._delta_low, SHIFT, False, chunk_len,
-                                   low_coding=w0._low_coding)
+                                   low_coding=w0._low_coding,
+                               allow_prev=True)
             )
         return acc
 
@@ -373,7 +375,7 @@ def main() -> None:
     def encode_device_batch():
         small, _states, ph, pl2, pp = fused_encode_batch(
             imgs_dev, w0._delta_high, w0._delta_low, SHIFT, False, chunk_len,
-            low_coding=w0._low_coding,
+            low_coding=w0._low_coding, allow_prev=True,
         )
         small_np = np.asarray(small)
         total = 0

@@ -1,0 +1,141 @@
+"""Prev-frame (temporal) prediction study.
+
+The FPVT profile, like the reference (fusion_power_video.cc:517-544),
+predicts every frame against ONE static delta frame.  On TPU a
+batch-internal prev-frame delta is still batch-parallel-decodable: the
+inverse is a mod-256 cumulative sum along the frame axis (a cheap
+associative scan over B planes), something the reference's frame-at-a-time
+decoder was never positioned to exploit.  This script measures what that
+buys BEFORE paying for the format/kernel work.
+
+Method: for each bench corpus, both variants run the SAME decision
+procedure (per-frame temporal mode by exact wraparound-|residual| cost,
+then per-frame spatial predictor none/up/cg2d by exact cost), so the
+comparison isolates the prev-frame option:
+
+* static: temporal mode in {none, frame0-delta}          (shipping model)
+* +prev:  temporal mode in {none, frame0-delta, prev-frame}
+
+Sizes are shared-table order-0 batch entropies (matching the rANS coder up
+to the table constant, identical on both sides).  The low plane and the
+1/16-scale preview plane are included; previews predict against the
+reconstructible previous preview.
+
+Run: JAX_PLATFORMS=cpu python examples/temporal_study.py [--fast]
+Results recorded in docs/ROUND4.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def entropy_bits(sym: np.ndarray) -> float:
+    hist = np.bincount(sym.reshape(-1).astype(np.int64), minlength=256)
+    n = hist.sum()
+    if n == 0:
+        return 0.0
+    p = hist[hist > 0] / n
+    return float(-(p * np.log2(p)).sum() * n)
+
+
+def wrap_cost(res: np.ndarray) -> np.ndarray:
+    """Per-frame exact wraparound-|residual| cost, [B]."""
+    r = res.reshape(res.shape[0], -1).astype(np.int64)
+    return np.minimum(r, 256 - r).sum(axis=1)
+
+
+def best_spatial(plane: np.ndarray) -> np.ndarray:
+    """Per-frame best of {none, up, cg2d} by exact cost (same predictor
+    set as encode_model_step; exact instead of sampled for study
+    precision).  Returns the chosen residual planes."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.ops.predict import cg2d_encode, up_encode
+
+    p = jnp.asarray(plane.astype(np.uint8))
+    cands = np.stack(
+        [plane, np.asarray(up_encode(p)), np.asarray(cg2d_encode(p))]
+    )  # [3, B, H, W]
+    costs = np.stack([wrap_cost(c) for c in cands])  # [3, B]
+    pick = costs.argmin(axis=0)  # [B]
+    return cands[pick, np.arange(plane.shape[0])]
+
+
+def code_plane(plane: np.ndarray, delta: np.ndarray, allow_prev: bool,
+               spatial: bool = True) -> float:
+    """Model one byte plane batch: per-frame temporal mode (exact cost),
+    then per-frame spatial mode, then shared-table batch entropy (bits)."""
+    b = plane.shape[0]
+    p16 = plane.astype(np.int16)
+    cands = [plane, (p16 - delta.astype(np.int16)) % 256]
+    if allow_prev:
+        prev = np.concatenate([delta[None], plane[:-1]], axis=0)
+        cands.append((p16 - prev.astype(np.int16)) % 256)
+    cands = np.stack([c.astype(np.uint8) for c in cands])
+    costs = np.stack([wrap_cost(c) for c in cands])
+    pick = costs.argmin(axis=0)
+    chosen = cands[pick, np.arange(b)]
+    if spatial:
+        chosen = best_spatial(chosen)
+    return entropy_bits(chosen)
+
+
+def study(name: str, frames: np.ndarray, shift: int) -> dict:
+    from fpv_tpu.ops.preview import generate_preview
+
+    import jax.numpy as jnp
+
+    imgs = (frames.astype(np.uint16) << shift).astype(np.uint16)
+    high = (imgs >> 8).astype(np.uint8)
+    low = (imgs & 0xFF).astype(np.uint8)
+    pv = np.asarray(generate_preview(jnp.asarray(high)))
+    res = {"corpus": name}
+    total = {}
+    for mode, allow_prev in (("static", False), ("prev", True)):
+        hb = code_plane(high, high[0], allow_prev)
+        lb = code_plane(low, low[0], allow_prev, spatial=False)
+        pb = code_plane(pv, pv[0], allow_prev)
+        res[f"{mode}_high_bits"] = hb
+        res[f"{mode}_low_bits"] = lb
+        res[f"{mode}_pv_bits"] = pb
+        total[mode] = hb + lb + pb
+    res["static_total_bits"] = total["static"]
+    res["prev_total_bits"] = total["prev"]
+    res["save_pct"] = (
+        100.0 * (1 - total["prev"] / total["static"])
+        if total["static"] > 0 else 0.0
+    )
+    return res
+
+
+def main():
+    import sys
+
+    from fpv_tpu.utils import testdata
+
+    n, d = (4, 128) if "--fast" in sys.argv else (16, 512)
+    rng = np.random.default_rng(0)
+    pl = testdata.plasma_frames(n, d, d, bits=12, seed=5).astype(np.int32)
+    dark = rng.poisson(50, (n, d, d)).astype(np.uint16)
+    dark[rng.random((n, d, d)) < 1e-4] = 4000
+    corpora = [
+        ("plasma12s", testdata.plasma_frames(n, d, d, bits=12, seed=5), 4),
+        ("noise16", testdata.noise_frames(n, d, d, bits=16), 0),
+        ("ramp12s", np.tile((np.arange(d * d) % 4096).astype(np.uint16)
+                            .reshape(1, d, d), (n, 1, 1)), 4),
+        ("mixed12", np.clip(pl + rng.normal(0, 8, pl.shape), 0, 4095)
+         .astype(np.uint16), 4),
+        ("dark12", dark, 4),
+        ("drift12", np.stack([np.roll(pl[0], (i, i), (0, 1))
+                              for i in range(n)]).astype(np.uint16), 4),
+    ]
+    print(f"{'corpus':<10} {'static kB':>10} {'+prev kB':>10} {'save%':>7}")
+    for name, frames, shift in corpora:
+        r = study(name, frames, shift)
+        print(f"{r['corpus']:<10} {r['static_total_bits']/8192:10.1f} "
+              f"{r['prev_total_bits']/8192:10.1f} {r['save_pct']:7.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,12 @@ _DECISION_STRIDE = 16  # sampling stride for predictor decisions
 MAX_DEVICE_SYMS = (1 << 31) - 1
 _HIST_STRIDE = 16  # sampling stride for rANS table histograms
 
+# Prev-frame prediction anchor interval (encoder policy, not format): every
+# PREV_ANCHOR-th frame of a batch may not use F_USE_PREV, so a single-frame
+# random access decodes at most PREV_ANCHOR-1 extra frames.  Decoders accept
+# arbitrary chains (bounded by the batch — chains never cross sections).
+PREV_ANCHOR = 8
+
 
 def _sample_rows(plane: jax.Array, stride: int) -> jax.Array:
     """Row-strided sample of a [B, H, W] plane — contiguous reads (TPU-cheap),
@@ -193,7 +199,9 @@ def _batch_hist(plane: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shift", "big_endian", "use_delta_frame", "low_ctx"),
+    static_argnames=(
+        "shift", "big_endian", "use_delta_frame", "low_ctx", "allow_prev",
+    ),
 )
 def encode_model_step(
     imgs: jax.Array,
@@ -203,11 +211,20 @@ def encode_model_step(
     big_endian: bool = False,
     use_delta_frame: bool = True,
     low_ctx: bool = False,
+    allow_prev: bool = False,
 ):
     """The fused per-batch modeling program (everything but entropy coding).
 
     Returns residual planes, previews, per-frame decisions and batch
     histograms — all device arrays.
+
+    ``allow_prev`` adds the prev-frame temporal candidate (F_USE_PREV):
+    each frame may predict against the previous frame's planes instead of
+    the static delta frame.  Every PREV_ANCHOR-th frame is barred from it
+    so random access within a batch stays bounded (chains never exceed
+    PREV_ANCHOR-1 frames; pure encoder policy — decoders accept any
+    chain).  Frame 0's previous frame would be the delta section itself,
+    which the anchor at t=0 makes moot.
     """
     high, low, nonzero_low = split_planes(imgs, shift, big_endian)
     pv = generate_preview(high)
@@ -215,12 +232,36 @@ def encode_model_step(
     if use_delta_frame:
         dh = high - delta_high[None]
         dl = low - delta_low[None]
-        use_delta = _residual_cost(dh) < _residual_cost(high)
-        ud = use_delta[:, None, None]
-        high2 = jnp.where(ud, dh, high)
-        low2 = jnp.where(ud, dl, low)
+        cost_none = _residual_cost(high)
+        cost_stat = _residual_cost(dh)
+        if allow_prev:
+            prevh = jnp.concatenate([delta_high[None], high[:-1]], axis=0)
+            prevl = jnp.concatenate([delta_low[None], low[:-1]], axis=0)
+            dph = high - prevh
+            dpl = low - prevl
+            b = imgs.shape[0]
+            anchored = (jnp.arange(b) % PREV_ANCHOR) == 0
+            cost_prev = jnp.where(
+                anchored, jnp.float32(jnp.inf), _residual_cost(dph)
+            )
+            mode = jnp.argmin(
+                jnp.stack([cost_none, cost_stat, cost_prev]), axis=0
+            )
+            use_delta = mode == 1
+            use_prev = mode == 2
+            ud = use_delta[:, None, None]
+            up = use_prev[:, None, None]
+            high2 = jnp.where(up, dph, jnp.where(ud, dh, high))
+            low2 = jnp.where(up, dpl, jnp.where(ud, dl, low))
+        else:
+            use_delta = cost_stat < cost_none
+            use_prev = jnp.zeros(imgs.shape[0], jnp.bool_)
+            ud = use_delta[:, None, None]
+            high2 = jnp.where(ud, dh, high)
+            low2 = jnp.where(ud, dl, low)
     else:
         use_delta = jnp.zeros(imgs.shape[0], jnp.bool_)
+        use_prev = jnp.zeros(imgs.shape[0], jnp.bool_)
         high2, low2 = high, low
 
     # spatial decision from sampled row PAIRS (true neighbor statistics at a
@@ -295,6 +336,7 @@ def encode_model_step(
         low=low2,
         preview=pv3,
         use_delta=use_delta,
+        use_prev=use_prev,
         spatial=spatial,
         pv_spatial=pv_spatial,
         pv_use_delta=pv_use_delta,
@@ -333,6 +375,43 @@ def _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low):
     return combine_planes(h, l)
 
 
+@functools.partial(jax.jit, static_argnames=("any_prev",))
+def _apply_temporal_and_combine(
+    high, low, use_delta, use_prev, delta_high, delta_low,
+    any_prev: bool = False,
+):
+    """Invert the temporal prediction and combine planes -> u16 images.
+
+    Without F_USE_PREV frames this is the vectorized delta-add.  With them
+    the inverse is a mod-256 cumulative scan along the frame axis: frame t
+    adds the previous frame's reconstructed planes.  B scan steps of [H,W]
+    u8 adds — trivial HBM traffic next to the rANS kernels, and the price
+    of a temporal model the reference's per-frame decode loop could never
+    amortize (fusion_power_video.cc:517-544 is static-delta only)."""
+    if not any_prev:
+        return _apply_delta_and_combine(
+            high, low, use_delta, delta_high, delta_low
+        )
+    zero_h = jnp.zeros_like(delta_high)
+    zero_l = jnp.zeros_like(delta_low)
+
+    def step(carry, x):
+        ph, pl2 = carry
+        rh, rl, ud, up = x
+        pred_h = jnp.where(up, ph, jnp.where(ud, delta_high, zero_h))
+        pred_l = jnp.where(up, pl2, jnp.where(ud, delta_low, zero_l))
+        hh = rh + pred_h  # uint8 wraparound
+        ll = rl + pred_l
+        return (hh, ll), (hh, ll)
+
+    # frame 0's "previous frame" is the delta section (encoders anchor
+    # frame 0 anyway, making the two temporal modes coincide there)
+    _, (hs, ls) = jax.lax.scan(
+        step, (delta_high, delta_low), (high, low, use_delta, use_prev)
+    )
+    return combine_planes(hs, ls)
+
+
 # ---------------------------------------------------------------------------
 # fused single-program batch paths (pallas engine): one jit = one device
 # round trip per batch.  Table normalization, all three plane preps, rANS
@@ -352,6 +431,7 @@ def _plane_geometry(b: int, s: int, chunk_len: int):
     jax.jit,
     static_argnames=(
         "shift", "big_endian", "chunk_len", "use_delta_frame", "low_coding",
+        "allow_prev",
     ),
 )
 def fused_encode_batch(
@@ -363,14 +443,15 @@ def fused_encode_batch(
     chunk_len: int,
     use_delta_frame: bool = True,
     low_coding: int = 0,
+    allow_prev: bool = False,
 ):
     """Whole-batch FPVT encode as ONE device program.
 
     Returns (small u32 [L], states u32 [C], payload_high u16, payload_low
-    u16, payload_pv u16).  ``small`` packs, in order: use_delta, spatial,
-    pv_spatial, nonzero_low (B each), then per plane (high, low, preview):
-    freq[256] and block counts — only what the host needs to locate the
-    stream.  ``states`` concatenates the per-chunk final states of the
+    u16, payload_pv u16).  ``small`` packs, in order: use_delta, use_prev,
+    spatial, pv_spatial, nonzero_low (B each), then per plane (high, low,
+    preview): freq[256] and block counts — only what the host needs to
+    locate the stream.  ``states`` concatenates the per-chunk final states of the
     three planes; like the payloads it is part of the compressed stream
     and can stay in HBM until the file is written.  Payload buffers are
     worst-case-sized; their true lengths are the per-plane count sums.
@@ -398,11 +479,12 @@ def fused_encode_batch(
     low_ctx = low_coding == CODING_CTX16
     m = encode_model_step(
         imgs, delta_high, delta_low, shift, big_endian, use_delta_frame,
-        low_ctx,
+        low_ctx, allow_prev,
     )
     b = imgs.shape[0]
     small = [
         m["use_delta"].astype(jnp.uint32),
+        m["use_prev"].astype(jnp.uint32),
         m["spatial"].astype(jnp.uint32),
         m["pv_spatial"].astype(jnp.uint32),
         m["pv_use_delta"].astype(jnp.uint32),
@@ -535,7 +617,7 @@ def batch_decode_args(
     shard_maps the program over the stack.
     """
     from fpv_tpu.entropy.plane_codec import _quantize_cap
-    from fpv_tpu.format.fpvt import F_PV_USE_DELTA
+    from fpv_tpu.format.fpvt import F_PV_USE_DELTA, F_USE_PREV
     from fpv_tpu.ops import rans_pallas as rp
     from fpv_tpu.ops.rans_layout import BLOCK_COLS, CODING_CONST
 
@@ -611,6 +693,7 @@ def batch_decode_args(
         pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
         pv_any_cg=bool((pv_spatial == SPATIAL_CG2D).any()),
         any_pv_delta=bool((pb.frame_flags & F_PV_USE_DELTA).any()),
+        any_prev=bool((pb.frame_flags & F_USE_PREV).any()),
     )
     return arrays, static
 
@@ -622,9 +705,9 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     from fpv_tpu.ops.rans_layout import CODING_CTX16, CTX_NIDX, num_segments
 
     nseg = num_segments(chunk_len)
-    sizes = [b, b, b, b, b]
-    names = ["use_delta", "spatial", "pv_spatial", "pv_use_delta",
-             "nonzero_low"]
+    sizes = [b, b, b, b, b, b]
+    names = ["use_delta", "use_prev", "spatial", "pv_spatial",
+             "pv_use_delta", "nonzero_low"]
     st_sizes, st_names = [], []
     for name, s in (("high", h * w), ("low", h * w), ("preview", (h // 4) * (w // 4))):
         _lens, nblocks = _plane_geometry(b, s, chunk_len)
@@ -649,7 +732,8 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     jax.jit,
     static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
                      "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc",
-                     "low_ctx", "const_planes", "any_pv_delta", "pack_u8"),
+                     "low_ctx", "const_planes", "any_pv_delta", "pack_u8",
+                     "any_prev"),
 )
 def fused_decode_batch(
     payload: jax.Array,  # u16, all planes concatenated (+clamp-safe)
@@ -676,6 +760,7 @@ def fused_decode_batch(
     const_planes: tuple = (False, False, False),
     any_pv_delta: bool = False,
     pack_u8: bool = False,
+    any_prev: bool = False,
 ):
     """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok).
 
@@ -759,7 +844,10 @@ def fused_decode_batch(
     spatial = ((flags >> F_SPATIAL_SHIFT) & 3).astype(jnp.int32)
     high = _inverse_spatial(high, spatial, any_up, any_cg)
     use_delta = (flags & F_USE_DELTA) != 0
-    imgs = _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low)
+    use_prev = (flags & fpvt.F_USE_PREV) != 0
+    imgs = _apply_temporal_and_combine(
+        high, low, use_delta, use_prev, delta_high, delta_low, any_prev
+    )
     if pack_u8:
         # emit the frames as their little-endian byte stream [b*h, 2w] u8:
         # host->device tunnels pull u8 ~1.5x faster than u16 (the host views
@@ -984,7 +1072,7 @@ def package_encoded_batch(
 
     flags = FpvtWriter._pack_flags(
         seg("use_delta"), seg("spatial"), seg("pv_spatial"),
-        seg("nonzero_low"), seg("pv_use_delta"),
+        seg("nonzero_low"), seg("pv_use_delta"), seg("use_prev"),
     )
 
     def package(name, pay_dev, s):
@@ -1034,6 +1122,7 @@ class FpvtWriter:
         device=None,
         delta_is_frame0: bool = False,
         narrow: bool = True,
+        temporal_prev: bool = True,
     ) -> None:
         """``narrow``: apply the small-batch encoder policy (narrow lane
         counts + host coding for batches <= narrow_max_syms()).  The ~KB
@@ -1041,9 +1130,16 @@ class FpvtWriter:
         is small; host coding costs ~100x device throughput per batch, so
         long-lived writers (serving hubs, long videos of mid-size frames)
         should pass False — encode_file_fpvt / sharded_encode_file decide
-        automatically from the total frame count (file_encode_setup)."""
+        automatically from the total frame count (file_encode_setup).
+
+        ``temporal_prev``: allow per-frame prev-frame prediction
+        (F_USE_PREV, anchored every PREV_ANCHOR frames).  Strictly a
+        per-frame cost-compared option, so disabling it only forgoes the
+        temporal win; off is useful for A/B and for byte-stability against
+        v4-era captures."""
         self._device = device  # optional jax.Device pinning this stream
         self._narrow = narrow
+        self._allow_prev = temporal_prev
         self.header = Header(
             xsize=xsize,
             ysize=ysize,
@@ -1205,6 +1301,7 @@ class FpvtWriter:
                 self.header.shift,
                 self.header.big_endian,
                 low_ctx=bool(self._low_coding),
+                allow_prev=self._allow_prev,
             )
             from fpv_tpu.entropy.plane_codec import encode_plane_batch
 
@@ -1248,6 +1345,7 @@ class FpvtWriter:
                 np.asarray(m["pv_spatial"]),
                 np.asarray(m["nonzero_low"]),
                 np.asarray(m["pv_use_delta"]),
+                np.asarray(m["use_prev"]),
             )
         if timestamps is None:
             timestamps = np.full(b, -1, dtype=np.int64)
@@ -1255,17 +1353,21 @@ class FpvtWriter:
 
     @staticmethod
     def _pack_flags(
-        use_delta, spatial, pv_spatial, nonzero_low, pv_use_delta
+        use_delta, spatial, pv_spatial, nonzero_low, pv_use_delta,
+        use_prev=None,
     ) -> np.ndarray:
-        from fpv_tpu.format.fpvt import F_PV_USE_DELTA
+        from fpv_tpu.format.fpvt import F_PV_USE_DELTA, F_USE_PREV
 
-        return (
+        flags = (
             use_delta.astype(np.uint8) * F_USE_DELTA
             | (spatial.astype(np.uint8) << F_SPATIAL_SHIFT)
             | (~nonzero_low.astype(bool)).astype(np.uint8) * F_NO_LOW
             | (pv_spatial.astype(np.uint8) << F_PV_SPATIAL_SHIFT)
             | pv_use_delta.astype(np.uint8) * F_PV_USE_DELTA
         )
+        if use_prev is not None:
+            flags = flags | use_prev.astype(np.uint8) * F_USE_PREV
+        return flags
 
     def _encode_batch_fused(self, imgs: jax.Array, b: int):
         """One-jit encode; single small sync + bucketed payload pulls."""
@@ -1278,6 +1380,7 @@ class FpvtWriter:
             self.header.big_endian,
             self._chunk_len,
             low_coding=self._low_coding,
+            allow_prev=self._allow_prev,
         )
         return package_encoded_batch(
             np.asarray(small_d), np.asarray(states_d), pay_h, pay_l, pay_p,
@@ -1441,8 +1544,11 @@ class FpvtReader:
         else:
             low = jnp.zeros((b, h, w), jnp.uint8)
         use_delta = jnp.asarray((pb.frame_flags & F_USE_DELTA).astype(bool))
-        imgs = _apply_delta_and_combine(
-            high, low, use_delta, self._delta_high, self._delta_low
+        use_prev_np = (pb.frame_flags & fpvt.F_USE_PREV).astype(bool)
+        imgs = _apply_temporal_and_combine(
+            high, low, use_delta, jnp.asarray(use_prev_np),
+            self._delta_high, self._delta_low,
+            any_prev=bool(use_prev_np.any()),
         )
         pv = self._decode_previews_parsed(pb, b) if want_previews else None
         return np.asarray(imgs), pv
@@ -1529,16 +1635,38 @@ class FpvtReader:
             and st.chunk_len == k
             for st in (pb.high, pb.low)
         )
-        if engine_name() == "pallas" and blocks_ok:
+        # prev-frame chains: walk back to the nearest non-prev anchor; the
+        # writer bounds chains to PREV_ANCHOR-1 (encoder policy), so accept
+        # a small multiple and fall back to the full-batch decode beyond it
+        # (foreign encoders may chain arbitrarily far)
+        j0 = j
+        while j0 > 0 and pb.frame_flags[j0] & fpvt.F_USE_PREV:
+            j0 -= 1
+        if engine_name() == "pallas" and blocks_ok and j - j0 <= 2 * PREV_ANCHOR:
             with self._on_device():
-                return self._decode_frame_blocks(pb, b, j)
+                dh, dl = self._delta_high, self._delta_low
+                for t in range(j0, j + 1):
+                    img = self._decode_frame_blocks(pb, b, t, dh, dl)
+                    if t < j:
+                        # the chain's next frame predicts against THIS
+                        # frame's planes (split of the left-aligned u16)
+                        dh = (img >> 8).astype(jnp.uint8)
+                        dl = img.astype(jnp.uint8)
+                return np.asarray(img)
         self._cache = (bi, self.decode_batch(bi))
         return self._cache[1][j]
 
     def _decode_frame_blocks(
-        self, pb: fpvt.ParsedBatch, b: int, j: int
-    ) -> np.ndarray:
-        """One-dispatch decode of frame j from its covering blocks only."""
+        self, pb: fpvt.ParsedBatch, b: int, j: int,
+        delta_high: jax.Array | None = None,
+        delta_low: jax.Array | None = None,
+    ):
+        """One-dispatch decode of frame j from its covering blocks only
+        -> device [H, W] u16.
+
+        ``delta_high``/``delta_low`` override the prediction planes — the
+        prev-frame chain passes the previous frame's reconstructed planes
+        here, under which F_USE_PREV decodes exactly like F_USE_DELTA."""
         from fpv_tpu.entropy.plane_codec import _quantize_cap, _quantize_rows
         from fpv_tpu.ops import rans_pallas as rp
         from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_LANES, chunk_lens
@@ -1585,20 +1713,22 @@ class FpvtReader:
         ph = prep(pb.high)
         pl = prep(pb.low)
         flags = int(pb.frame_flags[j])
+        if delta_high is None:
+            delta_high, delta_low = self._delta_high, self._delta_low
         img, ok = fused_decode_frame(
             *ph[:5], *pl[:5],
             ph[5], ph[6], pl[5], pl[6],
-            self._delta_high, self._delta_low,
+            delta_high, delta_low,
             chunk_len=k, h=h, w=w, nbh=ph[7], nbl=pl[7],
             spatial=(flags >> F_SPATIAL_SHIFT) & 3,
-            use_delta=bool(flags & F_USE_DELTA),
+            use_delta=bool(flags & (F_USE_DELTA | fpvt.F_USE_PREV)),
             no_low=False,
             low_ctx=bool(pb.low.coding),
             rows_h=ph[8], rows_l=pl[8],
         )
         if not bool(np.asarray(ok)):
             raise ValueError("rANS stream integrity check failed")
-        return np.asarray(img)
+        return img
 
     def decode_batch_with_previews(
         self, index: int
@@ -1948,6 +2078,20 @@ def decode_file_fpvt(data: bytes, dtype=np.uint16) -> np.ndarray:
     return out.astype(dtype, copy=False)
 
 
+def _warmup_frames(rng, n: int, ysize: int, xsize: int, shift: int):
+    """Synthetic warmup batch: iid noise plus a strong per-frame brightness
+    drift, so non-anchor frames' prev-frame residual (one drift step) beats
+    both the static delta (t drift steps) and no prediction — the compiled
+    decode program is then the any_prev=True variant production streams
+    use.  Noise keeps every residual plane non-constant."""
+    maxv = 1 << (16 - shift)
+    noise = rng.integers(0, maxv // 64, (n, ysize, xsize), np.uint16)
+    drift = (np.arange(n, dtype=np.uint32) * (maxv // 16)) % maxv
+    return ((noise + drift[:, None, None].astype(np.uint16)) % maxv).astype(
+        np.uint16
+    )
+
+
 def warmup_stream(
     xsize: int,
     ysize: int,
@@ -1975,15 +2119,17 @@ def warmup_stream(
     executables, so one warmup covers every stream of that shape on the
     device.
 
-    Synthetic noise frames drive the production program shapes (noise
-    defeats the CODING_CONST short-circuit; compiled decode programs are
+    Synthetic drifting-noise frames drive the production program shapes:
+    per-frame noise defeats the CODING_CONST short-circuit, and a slow
+    brightness drift makes non-anchor frames pick prev-frame prediction so
+    the decode program compiled here is the any_prev=True variant real
+    temporally-correlated streams hit (compiled decode programs are
     additionally specialized on the per-batch predictor-decision flags, so
-    content whose decisions differ may still pay one smaller re-compile).
+    content whose decisions differ — e.g. a batch where NO frame picked
+    prev — may still pay one smaller re-compile).
     """
     rng = np.random.default_rng(0)
-    frames = rng.integers(
-        0, 1 << (16 - shift), (frames_per_batch + 1, ysize, xsize), np.uint16
-    )
+    frames = _warmup_frames(rng, frames_per_batch + 1, ysize, xsize, shift)
     wri = FpvtWriter(
         xsize, ysize, shift, big_endian, frames_per_batch, chunk_log2,
         device=device, narrow=False,
@@ -2006,9 +2152,7 @@ def warmup_stream(
 
         ndev = mesh.shape["data"]
         n = ndev * frames_per_batch
-        mframes = rng.integers(
-            0, 1 << (16 - shift), (n + 1, ysize, xsize), np.uint16
-        )
+        mframes = _warmup_frames(rng, n + 1, ysize, xsize, shift)
         mdata = sharded_encode_file(
             mframes, mesh, shift=shift, big_endian=big_endian,
             frames_per_batch=frames_per_batch, chunk_log2=chunk_log2,

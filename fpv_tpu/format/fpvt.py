@@ -22,9 +22,9 @@ from fpv_tpu.ops.rans_layout import (
 )
 
 MAGIC = b"FPVT"
-VERSION = 4  # v4: per-stream lane counts (narrow streams), CODING_CONST
-# plane streams, preview delta prediction (F_PV_USE_DELTA) -- older
-# decoders must reject
+VERSION = 5  # v5: prev-frame temporal prediction (F_USE_PREV).  v4 added
+# per-stream lane counts (narrow streams), CODING_CONST plane streams and
+# preview delta prediction (F_PV_USE_DELTA).  Older decoders must reject.
 PROFILE_RANS12 = 1
 
 SECTION_BATCH = 0
@@ -45,6 +45,17 @@ F_PV_SPATIAL_SHIFT = 4  # bits 4-5
 # preview stream (the LZ77 role of brotli on exact-repetition corpora,
 # /root/reference/fusion_power_video.cc:166-169).
 F_PV_USE_DELTA = 64
+# bit 7: the frame's main planes are delta-predicted against the PREVIOUS
+# frame's reconstructed planes (frame 0 of a batch would fall back to the
+# delta section, but encoders anchor it — see fpvt_codec.PREV_ANCHOR).
+# Mutually exclusive with F_USE_DELTA.  Decode inverts with a mod-256
+# cumulative scan along the frame axis — batch-parallel on device, the
+# temporal-prediction design the reference's frame-at-a-time decoder
+# cannot express (fusion_power_video.cc:517-544 predicts only against the
+# one static delta frame).  Batches stay independently decodable (chains
+# never cross a section boundary); random access within a batch walks back
+# to the nearest non-prev anchor frame (encoder-bounded to PREV_ANCHOR).
+F_USE_PREV = 128
 SPATIAL_NONE = 0
 SPATIAL_UP = 1
 SPATIAL_CG2D = 2

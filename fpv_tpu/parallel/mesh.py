@@ -85,7 +85,7 @@ def _local_codec_roundtrip(
     integrity checks, the preview roundtrip and the pixel-exact compare.
     """
     from fpv_tpu.api.fpvt_codec import (
-        _apply_delta_and_combine,
+        _apply_temporal_and_combine,
         _inverse_spatial,
         _plane_geometry,
         encode_model_step,
@@ -103,7 +103,9 @@ def _local_codec_roundtrip(
     from fpv_tpu.ops.rans_layout import BLOCK_COLS, BLOCK_ROWS
 
     b, h, w = imgs.shape
-    m = encode_model_step(imgs, delta_high, delta_low, shift, big_endian)
+    m = encode_model_step(
+        imgs, delta_high, delta_low, shift, big_endian, allow_prev=True
+    )
     rec = {}
     oks = []
     for name, s in (("high", h * w), ("low", h * w),
@@ -133,9 +135,9 @@ def _local_codec_roundtrip(
     high = _inverse_spatial(
         rec["high"].reshape(b, h, w), m["spatial"], True, True
     )
-    out = _apply_delta_and_combine(
-        high, rec["low"].reshape(b, h, w), m["use_delta"],
-        delta_high, delta_low,
+    out = _apply_temporal_and_combine(
+        high, rec["low"].reshape(b, h, w), m["use_delta"], m["use_prev"],
+        delta_high, delta_low, any_prev=True,
     )
     pv_ok = jnp.all(rec["preview"] == m["preview"].reshape(b, -1))
     ok_all = jnp.all(jnp.stack(oks)) & pv_ok & jnp.all(out == imgs)
@@ -183,6 +185,7 @@ def sharded_fused_encode(
     chunk_len: int = 512,
     use_delta_frame: bool = True,
     low_coding: int = 0,
+    allow_prev: bool = False,
 ):
     """shard_map of the production fused_encode_batch program: each device
     encodes its local frames into independent rANS streams (shard-local
@@ -200,7 +203,7 @@ def sharded_fused_encode(
     def fn(imgs, dh, dl):
         return fused_encode_batch(
             imgs, dh, dl, shift, big_endian, chunk_len, use_delta_frame,
-            low_coding,
+            low_coding, allow_prev,
         )
 
     sharded = shard_map(
@@ -366,7 +369,7 @@ def sharded_decode_file(data: bytes, mesh: Mesh, want_previews: bool = False):
         static = dict(rebuilt[0][1])
         for _a, s in rebuilt[1:]:
             for key in ("any_up", "any_cg", "pv_any_up", "pv_any_cg",
-                        "any_pv_delta"):
+                        "any_pv_delta", "any_prev"):
                 static[key] |= s[key]
         static["rows_alloc"] = rows
         args = [
@@ -524,7 +527,8 @@ def sharded_encode_file(
         n_grouped = 0
     step = (
         sharded_fused_encode(
-            mesh, shift, big_endian, k, low_coding=wri._low_coding
+            mesh, shift, big_endian, k, low_coding=wri._low_coding,
+            allow_prev=wri._allow_prev,
         )
         if n_grouped
         else None
@@ -659,7 +663,8 @@ def _dryrun_production_config(mesh: Mesh, n_devices: int) -> None:
     dh = (((delta.astype(np.uint32) << shift) >> 8) & 0xFF).astype(np.uint8)
     dl = ((delta.astype(np.uint32) << shift) & 0xFF).astype(np.uint8)
     step = sharded_fused_encode(
-        mesh, shift=shift, chunk_len=chunk_len, low_coding=CODING_CTX16
+        mesh, shift=shift, chunk_len=chunk_len, low_coding=CODING_CTX16,
+        allow_prev=True,
     )
     imgs_s = shard_frames(frames, mesh)
     outs = step(imgs_s, jnp.asarray(dh), jnp.asarray(dl))
@@ -671,7 +676,7 @@ def _dryrun_production_config(mesh: Mesh, n_devices: int) -> None:
         ref = fused_encode_batch(
             jnp.asarray(frames[d * per : (d + 1) * per]),
             jnp.asarray(dh), jnp.asarray(dl),
-            shift, False, chunk_len, True, CODING_CTX16,
+            shift, False, chunk_len, True, CODING_CTX16, True,
         )
         for got, want in zip(outs, ref):
             want = np.asarray(want)

@@ -11,7 +11,8 @@ from conftest import REPO
 
 @pytest.mark.parametrize(
     "script", ["fpv1_compat.py", "fpvt_pipeline.py", "serving_hubs.py",
-               "multichip.py", "ctx_study.py --fast"]
+               "multichip.py", "ctx_study.py --fast",
+               "temporal_study.py --fast"]
 )
 def test_example_runs(script):
     script, *extra = script.split()

@@ -595,3 +595,93 @@ def test_warmup_stream_runs_for_geometry():
         32, 32, shift=4, frames_per_batch=2, chunk_log2=8,
         previews=True, device=jax.devices()[-1],
     )
+
+
+def _drift_frames(n, h, w):
+    """Temporally-correlated corpus: frame t is frame 0 translated, so the
+    prev-frame residual is small while the static-delta residual grows."""
+    pl = testdata.plasma_frames(1, h, w, bits=12, seed=3)[0]
+    return np.stack(
+        [np.roll(pl, (2 * i, 3 * i), (0, 1)) for i in range(n)]
+    ).astype(np.uint16)
+
+
+def test_temporal_prev_roundtrip_smaller_and_anchored():
+    """F_USE_PREV (v5): drifting content picks prev-frame prediction, the
+    file is lossless AND smaller than the static-delta-only encoding, and
+    the writer's PREV_ANCHOR policy holds (anchor frames never use prev)."""
+    from fpv_tpu.api.fpvt_codec import PREV_ANCHOR, file_encode_setup
+
+    n, h, w = 12, 48, 64
+    frames = _drift_frames(n, h, w)
+    want = _leftaligned(frames, 4)
+    data = encode_file_fpvt(frames, shift=4, frames_per_batch=6, chunk_log2=8)
+    r = FpvtReader(data)
+    saw_prev = False
+    for off, _b in r._batches:
+        flags = r._parse_batch(off).frame_flags
+        up = (flags & fpvt.F_USE_PREV) != 0
+        saw_prev |= bool(up.any())
+        assert not up[::PREV_ANCHOR].any(), "anchor frame used prev"
+        both = (flags & fpvt.F_USE_PREV) & ((flags & fpvt.F_USE_DELTA) << 7)
+        assert not both.any(), "prev and static delta flagged together"
+    assert saw_prev, "drifting content never picked prev-frame prediction"
+    np.testing.assert_array_equal(decode_file_fpvt(data), want)
+
+    # static-only writer (temporal_prev=False): also lossless, but larger
+    wri, _hdr, body, _ts = file_encode_setup(
+        frames, 4, False, 6, 8, None, None
+    )
+    wri2 = FpvtWriter(
+        w, h, shift=4, frames_per_batch=6, chunk_log2=8,
+        temporal_prev=False, narrow=wri._narrow,
+        delta_is_frame0=wri.header.delta_is_frame0,
+    )
+    parts = [wri2.init(frames[0])]
+    for s in range(0, body.shape[0], 6):
+        sec = wri2.encode_batch_bytes(body[s : s + 6])
+        parts.append(wri2.add_batch(sec, min(6, body.shape[0] - s)))
+    parts.append(wri2.finish())
+    data_static = b"".join(parts)
+    np.testing.assert_array_equal(decode_file_fpvt(data_static), want)
+    assert len(data) < len(data_static), (
+        f"prev file {len(data)} not smaller than static {len(data_static)}"
+    )
+
+
+def test_temporal_prev_fused_paths_and_random_access(monkeypatch):
+    """Prev-frame prediction through the FUSED device programs (interpret
+    mode): whole-batch decode, previews-in-program, and the single-frame
+    random-access path, which must resolve prev chains by walking back to
+    the anchor (fused_decode_frame with the previous frame's planes)."""
+    monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
+    n, h, w = 6, 32, 128
+    frames = _drift_frames(n, h, w)
+    want = _leftaligned(frames, 4)
+    wri = FpvtWriter(w, h, shift=4, frames_per_batch=6, chunk_log2=5,
+                     narrow=False, delta_is_frame0=True)
+    parts = [wri.init(frames[0])]
+    parts.append(wri.add_batch(wri.encode_batch_bytes(frames[1:]), n - 1))
+    parts.append(wri.finish())
+    data = b"".join(parts)
+    r = FpvtReader(data)
+    pb = r._parse_batch(r._batches[0][0])
+    assert ((pb.frame_flags & fpvt.F_USE_PREV) != 0).any()
+    np.testing.assert_array_equal(decode_file_fpvt(data), want)
+    imgs, pv = r.decode_batch_with_previews(0)
+    np.testing.assert_array_equal(imgs, want[1:])
+    assert pv.shape == (n - 1, h // 4, w // 4)
+    # random access on every frame, defeating the batch cache so the
+    # chain path (blocks-only decode per chain frame) actually runs
+    for i in range(n):
+        r._cache = None
+        np.testing.assert_array_equal(r.decode_frame(i), want[i])
+
+
+def test_version4_files_rejected():
+    frames = testdata.plasma_frames(3, 32, 32)
+    data = bytearray(encode_file_fpvt(frames, frames_per_batch=3, chunk_log2=8))
+    assert data[4] == fpvt.VERSION
+    data[4] = 4  # masquerade as a v4 file (no F_USE_PREV semantics)
+    with pytest.raises(ValueError, match="version"):
+        FpvtReader(bytes(data))
