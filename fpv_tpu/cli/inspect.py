@@ -67,6 +67,13 @@ def inspect_bytes(data: bytes) -> dict:
                 "type": "batch",
                 "bytes": size,
                 "nframes": len(pb.frame_flags),
+                # per-frame temporal modes (v5): static delta / prev-frame
+                "frames_delta": int(
+                    ((pb.frame_flags & fpvt.F_USE_DELTA) != 0).sum()
+                ),
+                "frames_prev": int(
+                    ((pb.frame_flags & fpvt.F_USE_PREV) != 0).sum()
+                ),
                 "flags_ts_bytes": 9 * len(pb.frame_flags),
                 "planes": {"high": _stream_breakdown(pb.high)},
             }
@@ -96,6 +103,9 @@ def format_report(info: dict) -> str:
     lines = [f"file: {info['file_bytes']} B"]
     for sec in info["sections"]:
         extra = f" x{sec['nframes']}" if "nframes" in sec else ""
+        if sec.get("frames_prev") or sec.get("frames_delta"):
+            extra += (f" (delta {sec['frames_delta']}, "
+                      f"prev {sec['frames_prev']})")
         lines.append(f"  [{sec['type']}{extra}] {sec['bytes']} B")
         for name, br in sec.get("planes", {}).items():
             lines.append(
