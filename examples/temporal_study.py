@@ -18,8 +18,11 @@ comparison isolates the prev-frame option:
 
 Sizes are shared-table order-0 batch entropies (matching the rANS coder up
 to the table constant, identical on both sides).  The low plane and the
-1/16-scale preview plane are included; previews predict against the
-reconstructible previous preview.
+1/16-scale preview plane are included.  Remaining divergences from the
+shipped encoder (small, and identical across both variants): previews are
+static-only here as in the format; the study decides the low plane's
+temporal mode independently where the encoder ties it to the high plane's;
+and the low plane is priced order-0 where the encoder ctx16-codes it.
 
 Run: JAX_PLATFORMS=cpu python examples/temporal_study.py [--fast]
 Results recorded in docs/ROUND4.md.
@@ -65,7 +68,13 @@ def best_spatial(plane: np.ndarray) -> np.ndarray:
 def code_plane(plane: np.ndarray, delta: np.ndarray, allow_prev: bool,
                spatial: bool = True) -> float:
     """Model one byte plane batch: per-frame temporal mode (exact cost),
-    then per-frame spatial mode, then shared-table batch entropy (bits)."""
+    then per-frame spatial mode, then shared-table batch entropy (bits).
+
+    Mirrors the SHIPPED encoder policy: every PREV_ANCHOR-th frame is
+    barred from the prev candidate (fpvt_codec.PREV_ANCHOR), so these
+    numbers estimate — not upper-bound — the implementation's win."""
+    from fpv_tpu.api.fpvt_codec import PREV_ANCHOR
+
     b = plane.shape[0]
     p16 = plane.astype(np.int16)
     cands = [plane, (p16 - delta.astype(np.int16)) % 256]
@@ -73,7 +82,9 @@ def code_plane(plane: np.ndarray, delta: np.ndarray, allow_prev: bool,
         prev = np.concatenate([delta[None], plane[:-1]], axis=0)
         cands.append((p16 - prev.astype(np.int16)) % 256)
     cands = np.stack([c.astype(np.uint8) for c in cands])
-    costs = np.stack([wrap_cost(c) for c in cands])
+    costs = np.stack([wrap_cost(c) for c in cands]).astype(np.float64)
+    if allow_prev:
+        costs[2, ::PREV_ANCHOR] = np.inf  # anchor frames: no prev
     pick = costs.argmin(axis=0)
     chosen = cands[pick, np.arange(b)]
     if spatial:
@@ -95,7 +106,9 @@ def study(name: str, frames: np.ndarray, shift: int) -> dict:
     for mode, allow_prev in (("static", False), ("prev", True)):
         hb = code_plane(high, high[0], allow_prev)
         lb = code_plane(low, low[0], allow_prev, spatial=False)
-        pb = code_plane(pv, pv[0], allow_prev)
+        # previews are never USE_PREV-predicted (they stay decodable
+        # stand-alone, FORMAT_FPVT.md) — static in both variants
+        pb = code_plane(pv, pv[0], False)
         res[f"{mode}_high_bits"] = hb
         res[f"{mode}_low_bits"] = lb
         res[f"{mode}_pv_bits"] = pb

@@ -1430,6 +1430,11 @@ class FpvtReader:
                 dflags, dh_stream, dl_stream, h, w
             )
         self._batches = fpvt.parse_footer(data)
+        # last chain-decoded frame's reconstructed planes:
+        # (batch_index, frame_index, high u8, low u8) — lets sequential
+        # decode_frame calls continue a prev chain instead of re-decoding
+        # its prefix (amortized one blocks-decode per frame)
+        self._chain_cache: tuple | None = None
         self._frame_to_batch: list[tuple[int, int]] = []
         if self.header.delta_is_frame0:
             # frame 0 is the delta frame itself (HDR_F_DELTA_IS_FRAME0)
@@ -1645,13 +1650,18 @@ class FpvtReader:
         if engine_name() == "pallas" and blocks_ok and j - j0 <= 2 * PREV_ANCHOR:
             with self._on_device():
                 dh, dl = self._delta_high, self._delta_low
-                for t in range(j0, j + 1):
+                t0 = j0
+                cc = self._chain_cache
+                if cc is not None and cc[0] == bi and j0 <= cc[1] < j:
+                    # resume the chain from the cached reconstruction
+                    t0, dh, dl = cc[1] + 1, cc[2], cc[3]
+                for t in range(t0, j + 1):
                     img = self._decode_frame_blocks(pb, b, t, dh, dl)
-                    if t < j:
-                        # the chain's next frame predicts against THIS
-                        # frame's planes (split of the left-aligned u16)
-                        dh = (img >> 8).astype(jnp.uint8)
-                        dl = img.astype(jnp.uint8)
+                    # the chain's next frame predicts against THIS frame's
+                    # planes (split of the left-aligned u16)
+                    dh = (img >> 8).astype(jnp.uint8)
+                    dl = img.astype(jnp.uint8)
+                self._chain_cache = (bi, j, dh, dl)
                 return np.asarray(img)
         self._cache = (bi, self.decode_batch(bi))
         return self._cache[1][j]
@@ -2084,12 +2094,12 @@ def _warmup_frames(rng, n: int, ysize: int, xsize: int, shift: int):
     both the static delta (t drift steps) and no prediction — the compiled
     decode program is then the any_prev=True variant production streams
     use.  Noise keeps every residual plane non-constant."""
+    # int64 arithmetic: maxv = 65536 at shift=0 overflows uint16 scalars
+    # under NumPy 2, and tiny sample ranges (shift >= 11) need the floors
     maxv = 1 << (16 - shift)
-    noise = rng.integers(0, maxv // 64, (n, ysize, xsize), np.uint16)
-    drift = (np.arange(n, dtype=np.uint32) * (maxv // 16)) % maxv
-    return ((noise + drift[:, None, None].astype(np.uint16)) % maxv).astype(
-        np.uint16
-    )
+    noise = rng.integers(0, max(maxv // 64, 1), (n, ysize, xsize), np.int64)
+    drift = (np.arange(n, dtype=np.int64) * max(maxv // 16, 1)) % maxv
+    return ((noise + drift[:, None, None]) % maxv).astype(np.uint16)
 
 
 def warmup_stream(

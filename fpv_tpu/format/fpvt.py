@@ -24,7 +24,10 @@ from fpv_tpu.ops.rans_layout import (
 MAGIC = b"FPVT"
 VERSION = 5  # v5: prev-frame temporal prediction (F_USE_PREV).  v4 added
 # per-stream lane counts (narrow streams), CODING_CONST plane streams and
-# preview delta prediction (F_PV_USE_DELTA).  Older decoders must reject.
+# preview delta prediction (F_PV_USE_DELTA).  Older decoders must reject
+# newer files.  v4 files read losslessly under v5 semantics (frame-flag
+# bit 7 was reserved-zero in v4), so existing captures stay readable.
+READ_VERSIONS = (4, VERSION)
 PROFILE_RANS12 = 1
 
 SECTION_BATCH = 0
@@ -110,7 +113,7 @@ class Header:
          fpb, _r2) = struct.unpack_from("<4sBBHIIBBHIQ", data, 0)
         if magic != MAGIC:
             raise ValueError("not an FPVT file")
-        if version != VERSION:
+        if version not in READ_VERSIONS:
             raise ValueError(f"unsupported FPVT version {version}")
         # OOM guards, mirroring the reference (fusion_power_video.cc:891-895)
         if not (0 < xsize <= 65536 and 0 < ysize <= 65536):

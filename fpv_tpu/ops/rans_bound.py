@@ -84,6 +84,10 @@ def _time_interleaved(variants, *, reps: int = 5, fn=None) -> list[float]:
     variant under the same drift.
     """
     fn = fn or rp.decode_pallas
+    if not variants:
+        # every candidate failed to compile (the nsub reports record those
+        # as per-variant error strings instead of raising)
+        return []
 
     def run(v):
         args, kwargs, kw = v

@@ -678,10 +678,22 @@ def test_temporal_prev_fused_paths_and_random_access(monkeypatch):
         np.testing.assert_array_equal(r.decode_frame(i), want[i])
 
 
-def test_version4_files_rejected():
-    frames = testdata.plasma_frames(3, 32, 32)
+def test_version_compat_window():
+    """v4 files (bit 7 reserved-zero) read losslessly under v5 semantics;
+    other versions are rejected."""
+    # iid noise: no frame ever picks prev, so the v5 bytes with the version
+    # field relabeled ARE a valid v4 file (bit 7 unset everywhere)
+    frames = testdata.noise_frames(3, 32, 32)
     data = bytearray(encode_file_fpvt(frames, frames_per_batch=3, chunk_log2=8))
     assert data[4] == fpvt.VERSION
-    data[4] = 4  # masquerade as a v4 file (no F_USE_PREV semantics)
-    with pytest.raises(ValueError, match="version"):
-        FpvtReader(bytes(data))
+    pb = FpvtReader(bytes(data))._parse_batch(
+        FpvtReader(bytes(data))._batches[0][0]
+    )
+    assert not (pb.frame_flags & fpvt.F_USE_PREV).any()
+    want = decode_file_fpvt(bytes(data))
+    data[4] = 4
+    np.testing.assert_array_equal(decode_file_fpvt(bytes(data)), want)
+    for bad in (3, 6):
+        data[4] = bad
+        with pytest.raises(ValueError, match="version"):
+            FpvtReader(bytes(data))
