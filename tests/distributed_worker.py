@@ -30,6 +30,16 @@ def main() -> int:
     assert len(jax.local_devices()) == 4, jax.local_devices()
     assert len(jax.devices()) == 4 * nproc, jax.devices()
 
+    # Establish the Gloo context NOW, while inter-process skew is minimal
+    # (both workers have only done imports + init).  The context is created
+    # by the first cross-process collective with a fixed 30 s rendezvous
+    # timeout; if that first collective instead happened inside the heavy
+    # interpret-mode compiles below, 1-vCPU scheduling skew between the
+    # workers could exceed it (observed flake).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("fpv-dcn-worker-start")
+
     import hashlib
 
     import numpy as np

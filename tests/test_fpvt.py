@@ -678,6 +678,26 @@ def test_temporal_prev_fused_paths_and_random_access(monkeypatch):
         np.testing.assert_array_equal(r.decode_frame(i), want[i])
 
 
+def test_temporal_prev_random_access_out_of_order(monkeypatch):
+    """The chain cache must only accelerate, never corrupt: arbitrary
+    access order (backward jumps, repeats, cross-batch) stays exact."""
+    monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
+    n, h, w = 12, 32, 128
+    frames = _drift_frames(n, h, w)
+    want = _leftaligned(frames, 4)
+    wri = FpvtWriter(w, h, shift=4, frames_per_batch=6, chunk_log2=5,
+                     narrow=False, delta_is_frame0=True)
+    parts = [wri.init(frames[0])]
+    for s in range(1, n, 6):
+        sub = frames[s : s + 6]
+        parts.append(wri.add_batch(wri.encode_batch_bytes(sub), len(sub)))
+    parts.append(wri.finish())
+    r = FpvtReader(b"".join(parts))
+    for i in (5, 3, 5, 9, 2, 11, 0, 7, 7, 4):
+        r._cache = None  # defeat the batch cache; exercise the chain path
+        np.testing.assert_array_equal(r.decode_frame(i), want[i], err_msg=str(i))
+
+
 def test_version_compat_window():
     """v4 files (bit 7 reserved-zero) read losslessly under v5 semantics;
     other versions are rejected."""
