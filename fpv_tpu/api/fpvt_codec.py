@@ -568,10 +568,12 @@ def _fused_decodable(pb: "fpvt.ParsedBatch", chunk_len: int) -> bool:
     from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
     from fpv_tpu.ops.rans_layout import CODING_CONST as _CC
 
+    from fpv_tpu.ops.rans_layout import CODING_RAW as _CR
+
     for st in (pb.high, pb.low, pb.preview):
         if st is None:
             return False
-        if st.coding == _CC:
+        if st.coding in (_CC, _CR):
             continue
         if st.lanes != _BL or st.chunk_len != chunk_len:
             return False
@@ -619,7 +621,7 @@ def batch_decode_args(
     from fpv_tpu.entropy.plane_codec import _quantize_cap
     from fpv_tpu.format.fpvt import F_PV_USE_DELTA, F_USE_PREV
     from fpv_tpu.ops import rans_pallas as rp
-    from fpv_tpu.ops.rans_layout import BLOCK_COLS, CODING_CONST
+    from fpv_tpu.ops.rans_layout import BLOCK_COLS, CODING_CONST, CODING_RAW
 
     streams = [pb.high, pb.low, pb.preview]
     if len(pb.frame_flags) * pb.high.plane_size > MAX_DEVICE_SYMS:
@@ -627,13 +629,20 @@ def batch_decode_args(
             "batch too large for the device codec (2^31 symbols)"
         )
     # CODING_CONST planes carry no coded data: they are excluded from every
-    # concatenated array and flagged to the program instead
+    # concatenated array and flagged to the program instead.  CODING_RAW
+    # planes ride the shared payload buffer (their stored bytes, u16-packed)
+    # but contribute no counts/states/tables.
     const_planes = tuple(st.coding == CODING_CONST for st in streams)
+    raw_planes = tuple(st.coding == CODING_RAW for st in streams)
     const_vals = np.array(
         [st.value if c else 0 for st, c in zip(streams, const_planes)],
         np.uint32,
     )
-    coded = [st for st, c in zip(streams, const_planes) if not c]
+    coded = [
+        st
+        for st, c, r in zip(streams, const_planes, raw_planes)
+        if not (c or r)
+    ]
     need_rows = section_rows_need(pb, chunk_len)
     if rows_alloc is None:
         rows_alloc = need_rows
@@ -666,7 +675,7 @@ def batch_decode_args(
     fcs = np.zeros((3, 4, 128), np.uint32)
     sym_tabs = np.zeros((3, 32, 128), np.uint32)
     for i, st in enumerate(streams):
-        if const_planes[i]:
+        if const_planes[i] or raw_planes[i]:
             continue
         if st.coding:
             sym_tabs[i] = rp.ctx_fused_table_arrays(st.freq)
@@ -688,6 +697,7 @@ def batch_decode_args(
         rows_alloc=rows_alloc,
         low_ctx=bool(pb.low.coding == 1),
         const_planes=const_planes,
+        raw_planes=raw_planes,
         any_up=bool((spatial == SPATIAL_UP).any()),
         any_cg=bool((spatial == SPATIAL_CG2D).any()),
         pv_any_up=bool((pv_spatial == SPATIAL_UP).any()),
@@ -733,7 +743,7 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
                      "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc",
                      "low_ctx", "const_planes", "any_pv_delta", "pack_u8",
-                     "any_prev"),
+                     "any_prev", "raw_planes"),
 )
 def fused_decode_batch(
     payload: jax.Array,  # u16, all planes concatenated (+clamp-safe)
@@ -761,12 +771,16 @@ def fused_decode_batch(
     any_pv_delta: bool = False,
     pack_u8: bool = False,
     any_prev: bool = False,
+    raw_planes: tuple = (False, False, False),
 ):
     """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok).
 
     ``const_planes[pi]`` marks a CODING_CONST stream: the residual plane is
     ``const_vals[pi]`` everywhere and contributes nothing to counts/states/
-    payload (which are concatenations over the NON-const planes only)."""
+    payload (which are concatenations over the NON-const planes only).
+    ``raw_planes[pi]`` marks a CODING_RAW stream: the residual plane's bytes
+    sit verbatim (u16-packed) in the payload buffer at ``plane_offs[pi]`` —
+    an unpack instead of a rANS kernel launch."""
     from fpv_tpu.ops import rans_pallas as rp
     from fpv_tpu.ops.rans_layout import (
         BLOCK_COLS,
@@ -796,6 +810,15 @@ def fused_decode_batch(
             planes.append(
                 jnp.full((b, s), 0, jnp.uint8) + const_vals[pi].astype(jnp.uint8)
             )
+            continue
+        if raw_planes[pi]:
+            # stored plane: unpack the u16-packed bytes from the shared
+            # payload buffer (little-endian pairs) — no kernel, no checks
+            n = b * s
+            n2 = -(-n // 2)
+            wsl = jax.lax.dynamic_slice(payload, (plane_offs[pi],), (n2,))
+            byts = jnp.stack([wsl & 0xFF, wsl >> 8], axis=-1).reshape(-1)
+            planes.append(byts[:n].astype(jnp.uint8).reshape(b, s))
             continue
         c = nblocks * BLOCK_LANES
         cnt = counts[coff : coff + ngroups].astype(jnp.int32)
@@ -1039,6 +1062,54 @@ def _inverse_preview(
     return pv
 
 
+@functools.partial(jax.jit, static_argnames=("shift", "big_endian"))
+def _residual_planes_for_flags(
+    imgs: jax.Array,
+    delta_high: jax.Array,
+    delta_low: jax.Array,
+    use_delta: jax.Array,  # [B] bool
+    use_prev: jax.Array,  # [B] bool
+    spatial: jax.Array,  # [B] i32
+    pv_spatial: jax.Array,  # [B] i32
+    pv_use_delta: jax.Array,  # [B] bool
+    shift: int,
+    big_endian: bool,
+):
+    """Recompute the residual planes :func:`encode_model_step` produced,
+    given its (already-made) per-frame decisions -> (high, low, preview).
+
+    Integer-exact twin of the model step's transform half: the flags pin
+    every select, and all ops are u8 modular arithmetic, so the output
+    matches the fused encoder's residuals bit for bit.  Used by the host
+    packager when a plane's rANS stream loses to a CODING_RAW store — the
+    fused program's outputs are the coded streams only, so the raw bytes
+    are re-derived on device (cost paid only for incompressible planes,
+    where it replaces an equal-size payload pull)."""
+    high, low, _nz = split_planes(imgs, shift, big_endian)
+    pv = generate_preview(high)
+    prevh = jnp.concatenate([delta_high[None], high[:-1]], axis=0)
+    prevl = jnp.concatenate([delta_low[None], low[:-1]], axis=0)
+    ud = use_delta[:, None, None]
+    up = use_prev[:, None, None]
+    high2 = jnp.where(
+        up, high - prevh, jnp.where(ud, high - delta_high[None], high)
+    )
+    low2 = jnp.where(
+        up, low - prevl, jnp.where(ud, low - delta_low[None], low)
+    )
+    s1 = (spatial == SPATIAL_UP)[:, None, None]
+    s2 = (spatial == SPATIAL_CG2D)[:, None, None]
+    high3 = jnp.where(
+        s1, up_encode(high2), jnp.where(s2, cg2d_encode(high2), high2)
+    )
+    pv_delta = generate_preview(delta_high[None])[0]
+    pv2 = jnp.where(pv_use_delta[:, None, None], pv - pv_delta[None], pv)
+    p1 = (pv_spatial == SPATIAL_UP)[:, None, None]
+    p2 = (pv_spatial == SPATIAL_CG2D)[:, None, None]
+    pv3 = jnp.where(p1, up_encode(pv2), jnp.where(p2, cg2d_encode(pv2), pv2))
+    return high3, low2, pv3
+
+
 def package_encoded_batch(
     small: np.ndarray,
     states_all: np.ndarray,
@@ -1051,6 +1122,7 @@ def package_encoded_batch(
     w: int,
     chunk_len: int,
     low_coding: int,
+    raw_ctx: dict | None = None,
 ):
     """Host-side packaging of one :func:`fused_encode_batch` output into
     section streams: ``(flags, (high, low, preview) PlaneStreams)``.
@@ -1059,10 +1131,29 @@ def package_encoded_batch(
     may stay on device — only each stream's exact prefix is materialized
     (the bucketed pull).  Shared by FpvtWriter's fused path and the sharded
     file encoder (parallel/mesh.py), whose per-device output slices carry
-    exactly the single-device layout."""
+    exactly the single-device layout.
+
+    ``raw_ctx`` (dict with imgs, delta_high, delta_low, shift, big_endian —
+    the fused program's own inputs) enables the CODING_RAW policy: a plane
+    whose rANS stream is not smaller than a verbatim store is re-derived
+    via :func:`_residual_planes_for_flags` and stored raw.  The decision
+    uses exact serialized sizes computed from the counts ALONE, so the
+    losing payload is never pulled; without a context the coded stream is
+    kept (size-identical files require all packagers of one file to agree)."""
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    from fpv_tpu.entropy.plane_codec import PlaneStream, _quantize_cap
+    from fpv_tpu.entropy.plane_codec import (
+        PlaneStream,
+        _quantize_cap,
+        coded_stream_bytes,
+        raw_plane_stream,
+        raw_policy_enabled,
+        raw_stream_bytes,
+    )
+
+    if raw_ctx is not None and not raw_policy_enabled():
+        raw_ctx = None
 
     lay = _small_layout(b, h, w, chunk_len, low_coding)
 
@@ -1075,6 +1166,29 @@ def package_encoded_batch(
         seg("nonzero_low"), seg("pv_use_delta"), seg("use_prev"),
     )
 
+    rec_lock = threading.Lock()
+    rec_cache: dict = {}
+
+    def recover(name: str) -> np.ndarray:
+        """Residual bytes of one plane (lazy, one device program for all
+        three; thread-safe — package() runs on a pool)."""
+        with rec_lock:
+            if not rec_cache:
+                hi3, lo2, pv3 = _residual_planes_for_flags(
+                    jnp.asarray(raw_ctx["imgs"]),
+                    raw_ctx["delta_high"],
+                    raw_ctx["delta_low"],
+                    jnp.asarray(seg("use_delta").astype(bool)),
+                    jnp.asarray(seg("use_prev").astype(bool)),
+                    jnp.asarray(seg("spatial").astype(np.int32)),
+                    jnp.asarray(seg("pv_spatial").astype(np.int32)),
+                    jnp.asarray(seg("pv_use_delta").astype(bool)),
+                    shift=raw_ctx["shift"],
+                    big_endian=raw_ctx["big_endian"],
+                )
+                rec_cache.update(high=hi3, low=lo2, preview=pv3)
+            return np.asarray(rec_cache[name]).reshape(b, -1)
+
     def package(name, pay_dev, s):
         is_const, cval = seg(f"const_{name}")
         if is_const:
@@ -1085,10 +1199,14 @@ def package_encoded_batch(
         counts = seg(f"counts_{name}").astype(np.uint32)
         lo, hi = lay[f"states_{name}"]
         states = states_all[lo:hi].astype(np.uint32)
-        from fpv_tpu.ops.rans_layout import num_segments
+        from fpv_tpu.ops.rans_layout import BLOCK_LANES, num_segments
 
         total = int(counts.sum())
         nblocks = len(counts) // num_segments(chunk_len)
+        if raw_ctx is not None and s and raw_stream_bytes(
+            b * s
+        ) <= coded_stream_bytes(nblocks * BLOCK_LANES, len(counts), total):
+            return raw_plane_stream(b, s, chunk_len, recover(name))
         cap = _quantize_cap(total, chunk_len, nblocks)
         payload = np.asarray(pay_dev[: min(cap, pay_dev.shape[0])])[:total]
         coding = low_coding if name == "low" else 0
@@ -1223,6 +1341,7 @@ class FpvtWriter:
             self._chunk_len,
             mask=None if small else np.asarray(_support_mask(hres)),
             lanes="auto" if small else None,
+            allow_raw=True,
         )
         ls = (
             encode_plane_batch(
@@ -1240,6 +1359,7 @@ class FpvtWriter:
                     else np.asarray(_support_mask(low))
                 ),
                 lanes="auto" if small else None,
+                allow_raw=True,
             )
             if has_low
             else None
@@ -1386,6 +1506,13 @@ class FpvtWriter:
             np.asarray(small_d), np.asarray(states_d), pay_h, pay_l, pay_p,
             b=b, h=h, w=w, chunk_len=self._chunk_len,
             low_coding=self._low_coding,
+            raw_ctx=dict(
+                imgs=imgs,
+                delta_high=self._delta_high,
+                delta_low=self._delta_low,
+                shift=self.header.shift,
+                big_endian=self.header.big_endian,
+            ),
         )
 
     def add_batch(self, section: bytes, nframes: int) -> bytes:
@@ -1426,9 +1553,13 @@ class FpvtReader:
             data, fpvt.HEADER_SIZE, plane_size=h * w
         )
         with self._on_device():
-            self._delta_high, self._delta_low = _decode_delta_planes(
+            dh_, dl_ = _decode_delta_planes(
                 dflags, dh_stream, dl_stream, h, w
             )
+            # pin on device once: raw/const delta streams decode to host
+            # arrays, which would otherwise re-upload on every batch program
+            self._delta_high = jnp.asarray(dh_)
+            self._delta_low = jnp.asarray(dl_)
         self._batches = fpvt.parse_footer(data)
         # last chain-decoded frame's reconstructed planes:
         # (batch_index, frame_index, high u8, low u8) — lets sequential
@@ -1913,10 +2044,12 @@ class FpvtStreamingReader:
                 bytes(buf), fpvt.HEADER_SIZE, plane_size=h * w
             )
             with self._inner._on_device():
-                (
-                    self._inner._delta_high,
-                    self._inner._delta_low,
-                ) = _decode_delta_planes(dflags, dh_stream, dl_stream, h, w)
+                dh_, dl_ = _decode_delta_planes(
+                    dflags, dh_stream, dl_stream, h, w
+                )
+                # pin on device (raw/const delta streams decode to host)
+                self._inner._delta_high = jnp.asarray(dh_)
+                self._inner._delta_low = jnp.asarray(dl_)
             self._pos = fpvt.HEADER_SIZE + dsize
             if header.delta_is_frame0:
                 frame0 = self._inner.frame0()[None]

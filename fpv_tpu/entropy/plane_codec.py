@@ -33,6 +33,7 @@ from fpv_tpu.ops.rans_layout import (
     CODING_CONST,
     CODING_CTX16,
     CODING_ORDER0,
+    CODING_RAW,
     CTX_ALPHA,
     CTX_NIDX,
     CTX_PROB_BITS,
@@ -93,6 +94,8 @@ class PlaneStream:
     def num_blocks(self) -> int:
         from fpv_tpu.ops.rans_layout import num_blocks
 
+        if self.lanes == 0:  # CONST/RAW streams carry no chunk structure
+            return 0
         return num_blocks(
             self.nframes, self.plane_size, self.chunk_len, self.lanes
         )
@@ -111,6 +114,78 @@ class PlaneStream:
     def value(self) -> int:
         """The constant byte of a CODING_CONST stream."""
         return int(self.freq[0])
+
+    @property
+    def raw_bytes(self) -> np.ndarray:
+        """The stored bytes of a CODING_RAW stream (u8, [nframes*plane_size])."""
+        n = self.nframes * self.plane_size
+        return self.payload.view(np.uint8)[:n]
+
+
+def raw_plane_stream(
+    nframes: int, plane_size: int, chunk_len: int, data: np.ndarray
+) -> PlaneStream:
+    """A CODING_RAW stream: the plane-batch residual bytes stored verbatim
+    (packed little-endian into the u16 payload array; odd sizes pad one
+    byte that never serializes)."""
+    b = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    if b.size != nframes * plane_size:
+        raise ValueError("raw plane data size mismatch")
+    if b.size % 2:
+        b = np.concatenate([b, np.zeros(1, np.uint8)])
+    return PlaneStream(
+        nframes=nframes,
+        plane_size=plane_size,
+        chunk_len=chunk_len,
+        freq=np.zeros(0, np.uint16),
+        states=np.zeros(0, np.uint32),
+        block_counts=np.zeros(0, np.uint32),
+        payload=b.view("<u2"),
+        coding=CODING_RAW,
+        lanes=0,
+    )
+
+
+def raw_policy_enabled() -> bool:
+    """CODING_RAW encoder policy switch (FPV_TPU_RAW=0 disables — A/B and
+    byte-stability against pre-v6 writer behavior)."""
+    return os.environ.get("FPV_TPU_RAW", "1") != "0"
+
+
+def raw_stream_bytes(n: int) -> int:
+    """Serialized size of a CODING_RAW stream of n plane-batch bytes."""
+    size = 24 + n
+    return size + (-size) % 8
+
+
+def coded_stream_bytes(num_chunks: int, num_groups: int, total_words: int) -> int:
+    """Serialized size of an order-0/ctx16 rANS stream (exact twin of
+    format.fpvt.serialize_plane_stream's layout — the raw-vs-coded decision
+    compares these BEFORE materializing either byte string)."""
+    size = 24 + 512 + 4 * num_chunks + 4 * num_groups + 2 * total_words
+    return size + (-size) % 8
+
+
+def _maybe_raw(ps: PlaneStream, plane, allow_raw: bool) -> PlaneStream:
+    """Encoder policy: replace a coded stream with a CODING_RAW store of the
+    input residual bytes whenever that is not larger (ties go to raw — same
+    bytes, no decode kernel).  ``plane`` is the [B, S] residual the stream
+    was coded from."""
+    if (
+        not allow_raw
+        or not raw_policy_enabled()
+        or ps.coding not in (CODING_ORDER0, CODING_CTX16)
+    ):
+        return ps
+    n = ps.nframes * ps.plane_size
+    coded = coded_stream_bytes(
+        ps.num_chunks, ps.num_groups, int(ps.payload.size)
+    )
+    if raw_stream_bytes(n) <= coded:
+        return raw_plane_stream(
+            ps.nframes, ps.plane_size, ps.chunk_len, np.asarray(plane)
+        )
+    return ps
 
 
 def const_plane_stream(
@@ -376,6 +451,7 @@ def encode_plane_batch(
     coding: int = CODING_ORDER0,
     mask: np.ndarray | None = None,
     lanes: int | str | None = None,
+    allow_raw: bool | None = None,
 ) -> PlaneStream:
     """Encode a [B, S] (or [B, H, W]) uint8 plane batch.
 
@@ -396,6 +472,10 @@ def encode_plane_batch(
     default (None) and explicit lane counts pin the geometry (1024 = the
     device-kernel layout) and never change coding or chunk_len — tests and
     kernel callers rely on that.
+
+    ``allow_raw`` (default: on exactly for the policy modes "auto"/"wide")
+    replaces the coded stream with a CODING_RAW store whenever that is not
+    larger (incompressible planes; see rans_layout.CODING_RAW).
     """
     engine = engine or engine_name()
     b = plane.shape[0]
@@ -404,6 +484,8 @@ def encode_plane_batch(
     s = plane.shape[1]
     n = b * s
     auto = lanes in ("auto", "wide")
+    if allow_raw is None:
+        allow_raw = auto
     if auto:
         if lanes == "auto" and 0 < n <= narrow_max_syms():
             lanes, chunk_len = _narrow_geometry(n)
@@ -446,10 +528,13 @@ def encode_plane_batch(
                 idx, lens, freq, prob_bits=CTX_PROB_BITS, cum=cum,
                 lanes=lanes,
             )
-            return PlaneStream(
-                nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
-                states=states, block_counts=counts, payload=payload,
-                coding=CODING_CTX16, lanes=lanes,
+            return _maybe_raw(
+                PlaneStream(
+                    nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+                    states=states, block_counts=counts, payload=payload,
+                    coding=CODING_CTX16, lanes=lanes,
+                ),
+                plane, allow_raw,
             )
         from fpv_tpu.ops import rans_pallas as rp
 
@@ -468,9 +553,12 @@ def encode_plane_batch(
             chunk_len=chunk_len, nblocks=nblocks, prob_bits=CTX_PROB_BITS,
             ctx_mode=True,
         )
-        return _package_pallas(
-            states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq,
-            coding=CODING_CTX16,
+        return _maybe_raw(
+            _package_pallas(
+                states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq,
+                coding=CODING_CTX16,
+            ),
+            plane, allow_raw,
         )
 
     if engine == "numpy" and hist is None:
@@ -487,9 +575,13 @@ def encode_plane_batch(
         states, counts, payload = rans_numpy.encode_blocks(
             flat, lens, freq, lanes=lanes
         )
-        return PlaneStream(
-            nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
-            states=states, block_counts=counts, payload=payload, lanes=lanes,
+        return _maybe_raw(
+            PlaneStream(
+                nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+                states=states, block_counts=counts, payload=payload,
+                lanes=lanes,
+            ),
+            plane, allow_raw,
         )
 
     from fpv_tpu.ops import rans_pallas as rp
@@ -501,8 +593,11 @@ def encode_plane_batch(
         syms, lens_dev, jnp.asarray(fc),
         chunk_len=chunk_len, nblocks=nblocks,
     )
-    return _package_pallas(
-        states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq
+    return _maybe_raw(
+        _package_pallas(
+            states_d, words_d, counts_d, b, s, chunk_len, nblocks, freq
+        ),
+        plane, allow_raw,
     )
 
 
@@ -571,6 +666,8 @@ def decode_plane_batch(
     b, s, k = stream.nframes, stream.plane_size, stream.chunk_len
     if stream.coding == CODING_CONST:
         return np.full((b, s), stream.value, np.uint8)
+    if stream.coding == CODING_RAW:
+        return stream.raw_bytes.reshape(b, s)
     if stream.lanes != BLOCK_LANES:
         engine = "numpy"  # narrow streams are host-coded
     lens = chunk_lens(b, s, k, stream.lanes)

@@ -12,22 +12,29 @@ import struct
 
 import numpy as np
 
-from fpv_tpu.entropy.plane_codec import PlaneStream, const_plane_stream
+from fpv_tpu.entropy.plane_codec import (
+    PlaneStream,
+    const_plane_stream,
+    raw_plane_stream,
+)
 from fpv_tpu.ops.rans_layout import (
     BLOCK_LANES,
     CODING_CONST,
     CODING_CTX16,
     CODING_ORDER0,
+    CODING_RAW,
     LANES_MIN,
 )
 
 MAGIC = b"FPVT"
-VERSION = 5  # v5: prev-frame temporal prediction (F_USE_PREV).  v4 added
-# per-stream lane counts (narrow streams), CODING_CONST plane streams and
-# preview delta prediction (F_PV_USE_DELTA).  Older decoders must reject
-# newer files.  v4 files read losslessly under v5 semantics (frame-flag
-# bit 7 was reserved-zero in v4), so existing captures stay readable.
-READ_VERSIONS = (4, VERSION)
+VERSION = 6  # v6: CODING_RAW stored plane streams (incompressible planes
+# store their residual bytes verbatim — rans_layout.CODING_RAW).  v5 added
+# prev-frame temporal prediction (F_USE_PREV); v4 added per-stream lane
+# counts (narrow streams), CODING_CONST plane streams and preview delta
+# prediction (F_PV_USE_DELTA).  Older decoders must reject newer files.
+# v4/v5 files read losslessly under v6 semantics (coding 3 and frame-flag
+# bit 7 were invalid/reserved before), so existing captures stay readable.
+READ_VERSIONS = (4, 5, VERSION)
 PROFILE_RANS12 = 1
 
 SECTION_BATCH = 0
@@ -158,6 +165,22 @@ def serialize_plane_stream(ps: PlaneStream) -> bytes:
         )
         size = 4 + len(body)
         return struct.pack("<I", size) + body
+    if ps.coding == CODING_RAW:
+        # stored plane batch: 20-byte header + the residual bytes verbatim.
+        # The num_chunks field holds an Adler-32 of the bytes — the
+        # integrity role the per-chunk rANS final states play for coded
+        # streams (raw bytes would otherwise corrupt silently).
+        import zlib
+
+        n = ps.nframes * ps.plane_size
+        raw = ps.payload.tobytes()[:n]
+        body = struct.pack(
+            "<IIIIHH", ps.plane_size, ps.chunk_len,
+            zlib.adler32(raw) & 0xFFFFFFFF, CODING_RAW, 0, 0,
+        ) + raw
+        size = 4 + len(body)
+        pad = _pad8(size)
+        return struct.pack("<I", size + pad) + body + b"\0" * pad
     # freq field is always 512 bytes: 256 x u16 (coding=0) or the 32x16
     # per-context u8 tables (coding=1, values <= 128)
     if ps.coding == CODING_CTX16:
@@ -183,6 +206,12 @@ def plane_stream_accounting(ps: PlaneStream) -> dict:
     if ps.coding == CODING_CONST:
         return dict(total=hdr, tables=0, states=0, counts=0, payload=0,
                     stream_headers=hdr, coding=ps.coding, lanes=0)
+    if ps.coding == CODING_RAW:
+        n = ps.nframes * ps.plane_size
+        size = hdr + n
+        return dict(total=size + _pad8(size), tables=0, states=0, counts=0,
+                    payload=n, stream_headers=hdr + _pad8(size),
+                    coding=ps.coding, lanes=0)
     states = 4 * ps.num_chunks
     counts = 4 * ps.num_groups
     payload = 2 * ps.payload.size
@@ -229,6 +258,19 @@ def parse_plane_stream(
         if cval > 255:
             raise ValueError("invalid constant plane value")
         return const_plane_stream(nframes, plane_size, chunk_len, cval), end
+    if coding == CODING_RAW:
+        import zlib
+
+        n = nframes * plane_size
+        _need(data, p, n)
+        if p + n > end:
+            raise ValueError("plane stream overruns section")
+        raw = np.frombuffer(data, dtype=np.uint8, count=n, offset=p).copy()
+        # num_chunks carries the Adler-32 of the stored bytes (integrity
+        # role of the rANS final-state checks; raw has no coder structure)
+        if zlib.adler32(raw.tobytes()) & 0xFFFFFFFF != num_chunks:
+            raise ValueError("raw plane stream checksum mismatch")
+        return raw_plane_stream(nframes, plane_size, chunk_len, raw), end
     if coding not in (CODING_ORDER0, CODING_CTX16):
         raise ValueError("unknown plane-stream coding")
     if (

@@ -79,6 +79,15 @@ CODING_CTX16 = 1
 # (/root/reference/fusion_power_video.cc:166-169): after delta prediction a
 # repeated frame's residual planes are all-zero and cost ~nothing.
 CODING_CONST = 2
+# stored (raw) plane batch: the stream is the residual plane bytes verbatim
+# — no tables, no states, no counts.  Chosen by encoders exactly when the
+# rANS stream would not be smaller (incompressible planes: 16-bit noise
+# codes at ~8.005 bits/byte plus table/state overhead), so the worst case
+# is bounded at 1 byte/byte + 24 bytes/stream and decodes at memcpy speed
+# instead of paying two rANS kernel passes.  The role of deflate's stored
+# blocks; the reference has no equivalent (brotli-q1 on noise emits
+# slightly MORE than raw, fusion_power_video.cc:166-169).
+CODING_RAW = 3
 
 # Narrow streams: small plane batches (delta sections, small-file batches)
 # may use fewer than 1024 lanes per block so they store proportionally fewer

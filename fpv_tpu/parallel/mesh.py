@@ -317,7 +317,7 @@ def sharded_decode_file(data: bytes, mesh: Mesh, want_previews: bool = False):
         section_rows_need,
     )
     from fpv_tpu.format import fpvt as _fpvt
-    from fpv_tpu.ops.rans_layout import CODING_CONST
+    from fpv_tpu.ops.rans_layout import CODING_CONST, CODING_RAW
 
     rdr = FpvtReader(data)
     ndev = mesh.shape["data"]
@@ -333,12 +333,13 @@ def sharded_decode_file(data: bytes, mesh: Mesh, want_previews: bool = False):
             continue
         streams = (pb.high, pb.low, pb.preview)
         const_planes = tuple(st.coding == CODING_CONST for st in streams)
-        key = (n, const_planes, bool(pb.low.coding == 1))
+        raw_planes = tuple(st.coding == CODING_RAW for st in streams)
+        key = (n, const_planes, raw_planes, bool(pb.low.coding == 1))
         groups.setdefault(key, []).append((bi, pb, section_rows_need(pb, k)))
     # flatten full mesh-sized groups into an ordered work list; remainders
     # join the leftovers
     units: list[tuple[int, list]] = []
-    for (n, _const, _lowctx), items in groups.items():
+    for (n, _const, _raw, _lowctx), items in groups.items():
         while len(items) >= ndev:
             units.append((n, items[:ndev]))
             items = items[ndev:]
@@ -551,6 +552,17 @@ def sharded_encode_file(
                 st_g[d * SL : (d + 1) * SL],
                 *(p[d * pl : (d + 1) * pl] for p, pl in zip(pays, plens)),
                 b=bpb, h=h, w=w, chunk_len=k, low_coding=wri._low_coding,
+                # CODING_RAW recovery context: the same decision (exact
+                # serialized sizes from counts) and the same integer-exact
+                # residual recompute as the single-device writer, so the
+                # sharded file stays byte-identical to it
+                raw_ctx=dict(
+                    imgs=body[base + d * bpb : base + (d + 1) * bpb],
+                    delta_high=wri._delta_high,
+                    delta_low=wri._delta_low,
+                    shift=shift,
+                    big_endian=big_endian,
+                ),
             )
             ts = (
                 np.full(bpb, -1, np.int64)

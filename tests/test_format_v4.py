@@ -12,7 +12,7 @@ from fpv_tpu.api.fpvt_codec import (
 )
 from fpv_tpu.cli.inspect import inspect_bytes
 from fpv_tpu.format import fpvt
-from fpv_tpu.ops.rans_layout import BLOCK_LANES, CODING_CONST
+from fpv_tpu.ops.rans_layout import BLOCK_LANES, CODING_CONST, CODING_RAW
 from fpv_tpu.utils import testdata
 
 from conftest import REFBIN, requires_reference
@@ -67,7 +67,7 @@ def test_narrow_streams_on_small_batches():
         br["lanes"]
         for sec in info["sections"]
         for br in sec.get("planes", {}).values()
-        if br["coding"] != CODING_CONST
+        if br["coding"] not in (CODING_CONST, CODING_RAW)
     ]
     assert narrow and all(0 < l < BLOCK_LANES for l in narrow)
     np.testing.assert_array_equal(
@@ -185,6 +185,9 @@ def test_narrow_policy_keyed_to_file_size(monkeypatch):
     non-const stream keeps the 1024-lane device geometry (no per-batch
     host-coding cliff on long files), and the file still decodes."""
     monkeypatch.setenv("FPV_TPU_NARROW_MAX", "4096")
+    # keep streams coded: at these tiny wide-geometry sizes the CODING_RAW
+    # policy would otherwise store every plane (states outweigh payloads)
+    monkeypatch.setenv("FPV_TPU_RAW", "0")
     fr = testdata.plasma_frames(6, 32, 32, bits=12, seed=11)  # body 5120 px
     data = encode_file_fpvt(fr, shift=4, frames_per_batch=2)
     info = inspect_bytes(data)
@@ -193,7 +196,7 @@ def test_narrow_policy_keyed_to_file_size(monkeypatch):
         for sec in info["sections"]
         if sec["type"] == "batch"
         for br in sec.get("planes", {}).values()
-        if br["coding"] != CODING_CONST
+        if br["coding"] not in (CODING_CONST, CODING_RAW)
     ]
     assert lanes and all(l == BLOCK_LANES for l in lanes)
     np.testing.assert_array_equal(

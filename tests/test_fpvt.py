@@ -175,8 +175,11 @@ def test_fpvt_per_block_random_access(monkeypatch):
     (no batch decode, no cache fill) and matches the full decode."""
     monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
     # pin the 1024-lane device geometry: the narrow-stream policy would
-    # otherwise host-code these tiny planes (no per-block path)
+    # otherwise host-code these tiny planes (no per-block path), and the
+    # CODING_RAW policy would store them (wide-geometry states outweigh
+    # coded payloads at test sizes; raw streams have no per-block path)
     monkeypatch.setenv("FPV_TPU_NARROW_MAX", "0")
+    monkeypatch.setenv("FPV_TPU_RAW", "0")
     frames = testdata.plasma_frames(6, 32, 32, bits=12)
     data = encode_file_fpvt(frames, shift=4, frames_per_batch=3, chunk_log2=4)
     r = FpvtReader(data)
@@ -387,7 +390,9 @@ def test_multistream_decoder_multi_device(monkeypatch):
 
     monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
     # device geometry on tiny planes so the FUSED (pinned) path executes
+    # (and coded streams, not CODING_RAW stores — see per-block RA test)
     monkeypatch.setenv("FPV_TPU_NARROW_MAX", "0")
+    monkeypatch.setenv("FPV_TPU_RAW", "0")
     devs = jax.devices()[:4]
     streams = {
         f"cam{i}": testdata.plasma_frames(5, 32, 32, seed=10 + i)

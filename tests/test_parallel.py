@@ -120,7 +120,7 @@ def test_sharded_codec_roundtrip_lossless():
     np.testing.assert_array_equal(np.asarray(out), frames)
 
 
-def test_sharded_decode_file_mixed_sections():
+def test_sharded_decode_file_mixed_sections(monkeypatch):
     """sharded_decode_file over a file mixing device-geometry sections
     (grouped by decode signature, full mesh groups decode as one sharded
     program), CODING_CONST sections (their own signature group), and a
@@ -130,6 +130,7 @@ def test_sharded_decode_file_mixed_sections():
     from fpv_tpu.format import fpvt as _fpvt
     from fpv_tpu.utils import testdata
 
+    monkeypatch.setenv("FPV_TPU_RAW", "0")  # keep tiny sections rANS-coded
     D, h, w, bpb, shift = 2, 32, 32, 2, 4
     m = pmesh.make_mesh(D, data=D)
     rng = np.random.default_rng(7)
@@ -191,6 +192,9 @@ def test_sharded_encode_file_byte_identical(monkeypatch):
 
     monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "pallas")
     monkeypatch.setenv("FPV_TPU_NARROW_MAX", "0")
+    # keep streams CODED at these tiny sizes (raw-store parity has its own
+    # test: test_raw.test_sharded_encode_raw_byte_identical)
+    monkeypatch.setenv("FPV_TPU_RAW", "0")
     D, h, w, bpb = 2, 16, 16, 2
     m = pmesh.make_mesh(D, data=D)
     n = 1 + 2 * D * bpb + bpb  # delta frame + 2 mesh groups + tail batch
