@@ -704,10 +704,12 @@ def test_temporal_prev_random_access_out_of_order(monkeypatch):
 
 
 def test_version_compat_window():
-    """v4 files (bit 7 reserved-zero) read losslessly under v5 semantics;
-    other versions are rejected."""
-    # iid noise: no frame ever picks prev, so the v5 bytes with the version
-    # field relabeled ARE a valid v4 file (bit 7 unset everywhere)
+    """Every version in READ_VERSIONS reads losslessly under current
+    semantics (older versions only reserved bits/codings the current reader
+    understands); versions outside the window are rejected."""
+    # iid noise: no frame ever picks prev, so the current bytes with the
+    # version field relabeled stay structurally valid for older versions
+    # (bit 7 unset everywhere)
     frames = testdata.noise_frames(3, 32, 32)
     data = bytearray(encode_file_fpvt(frames, frames_per_batch=3, chunk_log2=8))
     assert data[4] == fpvt.VERSION
@@ -716,9 +718,10 @@ def test_version_compat_window():
     )
     assert not (pb.frame_flags & fpvt.F_USE_PREV).any()
     want = decode_file_fpvt(bytes(data))
-    data[4] = 4
-    np.testing.assert_array_equal(decode_file_fpvt(bytes(data)), want)
-    for bad in (3, 6):
+    for ver in fpvt.READ_VERSIONS:
+        data[4] = ver
+        np.testing.assert_array_equal(decode_file_fpvt(bytes(data)), want)
+    for bad in (min(fpvt.READ_VERSIONS) - 1, fpvt.VERSION + 1):
         data[4] = bad
         with pytest.raises(ValueError, match="version"):
             FpvtReader(bytes(data))
