@@ -65,26 +65,36 @@ def best_spatial(plane: np.ndarray) -> np.ndarray:
     return cands[pick, np.arange(plane.shape[0])]
 
 
-def code_plane(plane: np.ndarray, delta: np.ndarray, allow_prev: bool,
+def code_plane(plane: np.ndarray, delta: np.ndarray, mode: str,
                spatial: bool = True) -> float:
     """Model one byte plane batch: per-frame temporal mode (exact cost),
     then per-frame spatial mode, then shared-table batch entropy (bits).
 
+    ``mode``: "static" = {none, frame0-delta}; "prev" adds the prev-frame
+    candidate (the shipped v5 model); "lin" further adds second-order
+    linear extrapolation (2*prev - prev2, mod 256 per byte plane) — a
+    candidate that was MEASURED AND REJECTED, see main() docnote.
+
     Mirrors the SHIPPED encoder policy: every PREV_ANCHOR-th frame is
-    barred from the prev candidate (fpvt_codec.PREV_ANCHOR), so these
-    numbers estimate — not upper-bound — the implementation's win."""
+    barred from the chain-forming candidates (fpvt_codec.PREV_ANCHOR), so
+    these numbers estimate — not upper-bound — the implementation's win."""
     from fpv_tpu.api.fpvt_codec import PREV_ANCHOR
 
     b = plane.shape[0]
     p16 = plane.astype(np.int16)
     cands = [plane, (p16 - delta.astype(np.int16)) % 256]
-    if allow_prev:
+    if mode in ("prev", "lin"):
         prev = np.concatenate([delta[None], plane[:-1]], axis=0)
         cands.append((p16 - prev.astype(np.int16)) % 256)
+    if mode == "lin":
+        prev = np.concatenate([delta[None], plane[:-1]], 0).astype(np.int32)
+        prev2 = np.concatenate([delta[None], delta[None], plane[:-2]],
+                               0).astype(np.int32)
+        pred = (2 * prev - prev2) % 256
+        cands.append((plane.astype(np.int32) - pred) % 256)
     cands = np.stack([c.astype(np.uint8) for c in cands])
     costs = np.stack([wrap_cost(c) for c in cands]).astype(np.float64)
-    if allow_prev:
-        costs[2, ::PREV_ANCHOR] = np.inf  # anchor frames: no prev
+    costs[2:, ::PREV_ANCHOR] = np.inf  # anchor frames: no chain candidates
     pick = costs.argmin(axis=0)
     chosen = cands[pick, np.arange(b)]
     if spatial:
@@ -103,21 +113,26 @@ def study(name: str, frames: np.ndarray, shift: int) -> dict:
     pv = np.asarray(generate_preview(jnp.asarray(high)))
     res = {"corpus": name}
     total = {}
-    for mode, allow_prev in (("static", False), ("prev", True)):
-        hb = code_plane(high, high[0], allow_prev)
-        lb = code_plane(low, low[0], allow_prev, spatial=False)
+    for mode in ("static", "prev", "lin"):
+        hb = code_plane(high, high[0], mode)
+        lb = code_plane(low, low[0], mode, spatial=False)
         # previews are never USE_PREV-predicted (they stay decodable
         # stand-alone, FORMAT_FPVT.md) — static in both variants
-        pb = code_plane(pv, pv[0], False)
+        pb = code_plane(pv, pv[0], "static")
         res[f"{mode}_high_bits"] = hb
         res[f"{mode}_low_bits"] = lb
         res[f"{mode}_pv_bits"] = pb
         total[mode] = hb + lb + pb
     res["static_total_bits"] = total["static"]
     res["prev_total_bits"] = total["prev"]
+    res["lin_total_bits"] = total["lin"]
     res["save_pct"] = (
         100.0 * (1 - total["prev"] / total["static"])
         if total["static"] > 0 else 0.0
+    )
+    res["lin_vs_prev_pct"] = (
+        100.0 * (1 - total["lin"] / total["prev"])
+        if total["prev"] > 0 else 0.0
     )
     return res
 
@@ -143,11 +158,22 @@ def main():
         ("drift12", np.stack([np.roll(pl[0], (i, i), (0, 1))
                               for i in range(n)]).astype(np.uint16), 4),
     ]
-    print(f"{'corpus':<10} {'static kB':>10} {'+prev kB':>10} {'save%':>7}")
+    # The "lin" column is a RECORDED NEGATIVE RESULT (round 4): adding
+    # second-order linear extrapolation (2*prev - prev2) as a 4th temporal
+    # mode.  The wrap-|residual| decision picks it on every drifting corpus,
+    # yet total coded size GROWS (16x256x256: plasma -7.7%, mixed -7.9%,
+    # drift -11.5% vs prev) — on independently-wrapping byte planes the
+    # second difference doubles carry noise and smears the shared table,
+    # and |residual| misranks it against the first-order candidate.  A
+    # viable lin mode would need u16-domain prediction (a format break) or
+    # an entropy-aware decision; neither is justified by any corpus here.
+    print(f"{'corpus':<10} {'static kB':>10} {'+prev kB':>10} {'save%':>7} "
+          f"{'+lin kB':>9} {'lin_vs_prev%':>12}")
     for name, frames, shift in corpora:
         r = study(name, frames, shift)
         print(f"{r['corpus']:<10} {r['static_total_bits']/8192:10.1f} "
-              f"{r['prev_total_bits']/8192:10.1f} {r['save_pct']:7.2f}")
+              f"{r['prev_total_bits']/8192:10.1f} {r['save_pct']:7.2f} "
+              f"{r['lin_total_bits']/8192:9.1f} {r['lin_vs_prev_pct']:12.2f}")
 
 
 if __name__ == "__main__":
