@@ -8,13 +8,15 @@ associative scan over B planes), something the reference's frame-at-a-time
 decoder was never positioned to exploit.  This script measures what that
 buys BEFORE paying for the format/kernel work.
 
-Method: for each bench corpus, both variants run the SAME decision
+Method: for each bench corpus, all variants run the SAME decision
 procedure (per-frame temporal mode by exact wraparound-|residual| cost,
 then per-frame spatial predictor none/up/cg2d by exact cost), so the
-comparison isolates the prev-frame option:
+comparison isolates the temporal-candidate set:
 
-* static: temporal mode in {none, frame0-delta}          (shipping model)
-* +prev:  temporal mode in {none, frame0-delta, prev-frame}
+* static: temporal mode in {none, frame0-delta}          (pre-v5 model)
+* +prev:  temporal mode in {none, frame0-delta, prev-frame}   (shipped v5)
+* +lin:   +prev plus second-order extrapolation 2*prev - prev2 —
+          MEASURED AND REJECTED (see the docnote in main())
 
 Sizes are shared-table order-0 batch entropies (matching the rANS coder up
 to the table constant, identical on both sides).  The low plane and the
@@ -24,8 +26,8 @@ static-only here as in the format; the study decides the low plane's
 temporal mode independently where the encoder ties it to the high plane's;
 and the low plane is priced order-0 where the encoder ctx16-codes it.
 
-Run: JAX_PLATFORMS=cpu python examples/temporal_study.py [--fast]
-Results recorded in docs/ROUND4.md.
+Run: JAX_PLATFORMS=cpu python examples/temporal_study.py [--fast] [--size N D]
+Results recorded in docs/ROUND4.md (captured with --size 16 256).
 """
 
 from __future__ import annotations
@@ -86,15 +88,19 @@ def code_plane(plane: np.ndarray, delta: np.ndarray, mode: str,
     if mode in ("prev", "lin"):
         prev = np.concatenate([delta[None], plane[:-1]], axis=0)
         cands.append((p16 - prev.astype(np.int16)) % 256)
-    if mode == "lin":
+    if mode == "lin" and b >= 2:
         prev = np.concatenate([delta[None], plane[:-1]], 0).astype(np.int32)
         prev2 = np.concatenate([delta[None], delta[None], plane[:-2]],
-                               0).astype(np.int32)
+                               0)[:b].astype(np.int32)
         pred = (2 * prev - prev2) % 256
         cands.append((plane.astype(np.int32) - pred) % 256)
     cands = np.stack([c.astype(np.uint8) for c in cands])
     costs = np.stack([wrap_cost(c) for c in cands]).astype(np.float64)
     costs[2:, ::PREV_ANCHOR] = np.inf  # anchor frames: no chain candidates
+    if costs.shape[0] > 3:
+        # lin at anchor+1 would read plane[anchor-1], crossing the anchor
+        # boundary — not expressible under the random-access guarantee
+        costs[3, 1::PREV_ANCHOR] = np.inf
     pick = costs.argmin(axis=0)
     chosen = cands[pick, np.arange(b)]
     if spatial:
@@ -137,12 +143,37 @@ def study(name: str, frames: np.ndarray, shift: int) -> dict:
     return res
 
 
+def pan_frames(n: int, d: int, step: float = 0.4, seed: int = 5) -> np.ndarray:
+    """Smooth sub-pixel pan: one plasma field sampled at a fractional
+    offset that advances ``step`` px/frame (bilinear interpolation), the
+    motion class where second-order extrapolation should shine if ever."""
+    from fpv_tpu.utils import testdata
+
+    base = testdata.plasma_frames(1, d * 2, d * 2, bits=12, seed=seed)[0]
+    base = base.astype(np.float64)
+    out = np.empty((n, d, d), np.uint16)
+    for i in range(n):
+        off = i * step
+        i0, f = int(np.floor(off)), off - np.floor(off)
+        a = base[i0:i0 + d, i0:i0 + d]
+        b = base[i0 + 1:i0 + 1 + d, i0:i0 + d]
+        c = base[i0:i0 + d, i0 + 1:i0 + 1 + d]
+        e = base[i0 + 1:i0 + 1 + d, i0 + 1:i0 + 1 + d]
+        out[i] = np.clip((a * (1 - f) * (1 - f) + b * f * (1 - f)
+                          + c * (1 - f) * f + e * f * f), 0, 4095
+                         ).astype(np.uint16)
+    return out
+
+
 def main():
     import sys
 
     from fpv_tpu.utils import testdata
 
     n, d = (4, 128) if "--fast" in sys.argv else (16, 512)
+    if "--size" in sys.argv:
+        i = sys.argv.index("--size")
+        n, d = int(sys.argv[i + 1]), int(sys.argv[i + 2])
     rng = np.random.default_rng(0)
     pl = testdata.plasma_frames(n, d, d, bits=12, seed=5).astype(np.int32)
     dark = rng.poisson(50, (n, d, d)).astype(np.uint16)
@@ -157,16 +188,22 @@ def main():
         ("dark12", dark, 4),
         ("drift12", np.stack([np.roll(pl[0], (i, i), (0, 1))
                               for i in range(n)]).astype(np.uint16), 4),
+        ("pan12", pan_frames(n, d), 4),
     ]
-    # The "lin" column is a RECORDED NEGATIVE RESULT (round 4): adding
-    # second-order linear extrapolation (2*prev - prev2) as a 4th temporal
-    # mode.  The wrap-|residual| decision picks it on every drifting corpus,
-    # yet total coded size GROWS (16x256x256: plasma -7.7%, mixed -7.9%,
-    # drift -11.5% vs prev) — on independently-wrapping byte planes the
-    # second difference doubles carry noise and smears the shared table,
-    # and |residual| misranks it against the first-order candidate.  A
-    # viable lin mode would need u16-domain prediction (a format break) or
-    # an entropy-aware decision; neither is justified by any corpus here.
+    # The "lin" column is a RECORDED NEGATIVE RESULT (round 4, boundary
+    # sharpened round 5): adding second-order linear extrapolation
+    # (2*prev - prev2) as a 4th temporal mode.  The wrap-|residual|
+    # decision picks it on every drifting corpus, yet total coded size
+    # GROWS (16x256x256: plasma -7.0%, mixed -7.2%, drift -10.9% vs prev)
+    # — on independently-wrapping byte planes the second difference
+    # doubles carry noise and smears the shared table, and |residual|
+    # misranks it against the first-order candidate.  The one exception is
+    # pan12 (noise-FREE bilinear sub-pixel pan: +11.4%), and it is fragile:
+    # adding gaussian sensor noise of sigma 0.5/1/2 DN (12-bit scale)
+    # drops the win to +6.1/+0.8/-4.0% — below any realistic shot-noise
+    # floor.  A viable lin mode would need u16-domain prediction (a format
+    # break) or an entropy-aware decision; no realistic corpus justifies
+    # either.
     print(f"{'corpus':<10} {'static kB':>10} {'+prev kB':>10} {'save%':>7} "
           f"{'+lin kB':>9} {'lin_vs_prev%':>12}")
     for name, frames, shift in corpora:

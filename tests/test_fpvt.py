@@ -707,16 +707,29 @@ def test_version_compat_window():
     """Every version in READ_VERSIONS reads losslessly under current
     semantics (older versions only reserved bits/codings the current reader
     understands); versions outside the window are rejected."""
-    # iid noise: no frame ever picks prev, so the current bytes with the
-    # version field relabeled stay structurally valid for older versions
-    # (bit 7 unset everywhere)
+    # iid noise: no frame ever picks prev (bit 7 unset everywhere).  For the
+    # relabeled bytes to be truly valid for pre-v6 readers they must also
+    # contain no CODING_RAW streams (invalid before v6) — noise planes DO go
+    # raw under the v6 policy, so encode with it disabled and assert both
+    # properties rather than assume them.
     frames = testdata.noise_frames(3, 32, 32)
-    data = bytearray(encode_file_fpvt(frames, frames_per_batch=3, chunk_log2=8))
+    monkey = pytest.MonkeyPatch()
+    monkey.setenv("FPV_TPU_RAW", "0")
+    try:
+        data = bytearray(
+            encode_file_fpvt(frames, frames_per_batch=3, chunk_log2=8))
+    finally:
+        monkey.undo()
     assert data[4] == fpvt.VERSION
     pb = FpvtReader(bytes(data))._parse_batch(
         FpvtReader(bytes(data))._batches[0][0]
     )
     assert not (pb.frame_flags & fpvt.F_USE_PREV).any()
+    from fpv_tpu.ops.rans_layout import CODING_RAW
+
+    assert all(ps is None or ps.coding != CODING_RAW
+               for ps in (pb.high, pb.low, pb.preview)), (
+        "batch emitted CODING_RAW; relabeling would not be v4/v5-valid")
     want = decode_file_fpvt(bytes(data))
     for ver in fpvt.READ_VERSIONS:
         data[4] = ver
