@@ -75,6 +75,37 @@ def _compress_frame_bytes(
     return container.serialize_frame_chunk(preview_bs, image_bs)
 
 
+def _compress_planes_bytes(
+    high: np.ndarray,
+    low: np.ndarray | None,
+    delta: FramePlanes | None,
+) -> bytes:
+    """Plane-adopting twin of :func:`_compress_frame_bytes`: pre-split byte
+    planes enter the pipeline directly (the reference's plane-adopting
+    Frame ctor, fusion_power_video.cc:467-489) — no combine/split round
+    trip, bitstream byte-identical to image ingest."""
+    fn = None
+    if _native_compress_frame() is not None:
+        from fpv_tpu.entropy.brotli import _native
+
+        fn = getattr(_native, "compress_frame_planes", None)
+    if fn is not None:
+        dh = delta.high if delta is not None else None
+        dl = delta.low if delta is not None else None
+        _flags, image_bs, preview_bs = fn(
+            high, low, high.shape[1], high.shape[0], dh, dl,
+            delta is not None, True,
+        )
+        return container.serialize_frame_chunk(preview_bs, image_bs)
+    planes = frame_ops.adopt_planes(high, low)
+    predicted = frame_ops.predict(planes, delta, make_preview=True)
+    image_bs = container.serialize_image(predicted)
+    preview_bs = container.serialize_preview_image(
+        predicted.preview, predicted.flags
+    )
+    return container.serialize_frame_chunk(preview_bs, image_bs)
+
+
 class Encoder:
     """Streaming encoder producing reference-format (FPV1) files.
 
@@ -163,6 +194,39 @@ class Encoder:
         self._bytes_written = len(out)
         callback(out, payload)
 
+    def init_planes(
+        self,
+        high: np.ndarray,
+        low: np.ndarray | None,
+        callback: Callback,
+        payload: object = None,
+    ) -> None:
+        """Plane-adopting twin of :meth:`init`: the delta frame enters as
+        pre-split byte planes (fusion_power_video.cc:467-489)."""
+        self._ysize, self._xsize = np.asarray(high).shape
+        high, low = self._coerce_planes(high, low)
+        self._delta = frame_ops.adopt_planes(high, low)
+        fn = None
+        if _native_compress_frame() is not None:
+            from fpv_tpu.entropy.brotli import _native
+
+            fn = getattr(_native, "compress_frame_planes", None)
+        if fn is not None:
+            _flags, image_bs, _pv = fn(
+                high, low, self._xsize, self._ysize, None, None, False, False
+            )
+        else:
+            predicted = frame_ops.predict(
+                self._delta, None, make_preview=False
+            )
+            image_bs = container.serialize_image(predicted)
+        out = (
+            container.serialize_header(self._xsize, self._ysize)
+            + container.serialize_delta_chunk(image_bs)
+        )
+        self._bytes_written = len(out)
+        callback(out, payload)
+
     def compress_frame(
         self, img: np.ndarray, callback: Callback, payload: object = None
     ) -> None:
@@ -193,6 +257,53 @@ class Encoder:
             )
         # Emit every already-completed head-of-queue task; then apply
         # backpressure by blocking on the head until under the limit.
+        self._drain(block=False)
+        while len(self._pending) >= self.max_queued():
+            self._drain_one()
+
+    def _coerce_planes(
+        self, high: np.ndarray, low: np.ndarray | None
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        high = np.ascontiguousarray(high, dtype=np.uint8)
+        if high.shape != (self._ysize, self._xsize):
+            raise ValueError("high plane must be [ysize, xsize] uint8")
+        if low is not None:
+            low = np.ascontiguousarray(low, dtype=np.uint8)
+            if low.shape != high.shape:
+                raise ValueError("low plane shape must match high plane")
+        return high, low
+
+    def compress_frame_planes(
+        self,
+        high: np.ndarray,
+        low: np.ndarray | None,
+        callback: Callback,
+        payload: object = None,
+    ) -> None:
+        """Queue one frame given as pre-split byte planes.
+
+        The plane-adopting ingest path (reference Frame plane ctor,
+        fusion_power_video.cc:467-489): a source that already produces
+        high/low byte planes skips the uint16 combine + re-split round
+        trip entirely.  ``low=None`` (or an all-zero low) emits a
+        NO_LOW_BYTES frame.  Output bytes are identical to
+        :meth:`compress_frame` on the combined image; ordering and
+        backpressure semantics are shared."""
+        if self._delta is None:
+            raise RuntimeError("init() must be called first")
+        high, low = self._coerce_planes(high, low)
+        high = np.array(high, copy=True)
+        low = np.array(low, copy=True) if low is not None else None
+        args = (high, low, self._delta)
+        if self._pool is None:
+            self._pending.append(
+                (_compress_planes_bytes(*args), callback, payload)
+            )
+        else:
+            self._pending.append(
+                (self._pool.submit(_compress_planes_bytes, *args),
+                 callback, payload)
+            )
         self._drain(block=False)
         while len(self._pending) >= self.max_queued():
             self._drain_one()

@@ -1300,8 +1300,35 @@ class FpvtWriter:
                 1, self.header.ysize, self.header.xsize
             )
         )
-        high, low, nonzero_low = split_planes(
+        return self._init_core(
             img, self.header.shift, self.header.big_endian
+        )
+
+    def init_planes(
+        self, high: np.ndarray, low: np.ndarray | None = None
+    ) -> bytes:
+        """Plane-adopting twin of :meth:`init` (the reference's plane ctor,
+        fusion_power_video.cc:467-489): the delta frame enters as pre-split
+        [H, W] uint8 byte planes; bytes identical to :meth:`init` on the
+        combined image."""
+        h, w = self.header.ysize, self.header.xsize
+        high = np.ascontiguousarray(high, dtype=np.uint8)
+        if high.shape != (h, w):
+            raise ValueError("high plane must be [ysize, xsize] uint8")
+        hi = self._put(high.reshape(1, h, w))
+        imgs = hi.astype(jnp.uint16) << 8
+        if low is not None:
+            low = np.ascontiguousarray(low, dtype=np.uint8)
+            if low.shape != (h, w):
+                raise ValueError("low plane shape must match high plane")
+            imgs = imgs | self._put(low.reshape(1, h, w)).astype(jnp.uint16)
+        return self._init_core(imgs, 0, False)
+
+    def _init_core(
+        self, img: jax.Array, split_shift: int, split_big_endian: bool
+    ) -> bytes:
+        high, low, nonzero_low = split_planes(
+            img, split_shift, split_big_endian
         )
         self._delta_high = high[0]
         self._delta_low = low[0]
@@ -1377,8 +1404,6 @@ class FpvtWriter:
         :meth:`add_batch`."""
         if self._delta_high is None:
             raise RuntimeError("init() must be called first")
-        from fpv_tpu.entropy.plane_codec import engine_name, narrow_max_syms
-
         imgs = np.asarray(imgs)
         if imgs.dtype == np.uint8:
             # 8-bit direct input rides the shift==8 single-plane layout
@@ -1390,6 +1415,64 @@ class FpvtWriter:
         else:
             imgs = np.asarray(imgs, dtype=np.uint16)
         imgs = self._put(imgs)
+        return self._encode_batch_core(
+            imgs, self.header.shift, self.header.big_endian, timestamps
+        )
+
+    def encode_batch_planes_bytes(
+        self,
+        high: np.ndarray,
+        low: np.ndarray | None = None,
+        timestamps: np.ndarray | None = None,
+    ) -> bytes:
+        """Pre-split byte-plane ingest (the reference's plane-adopting
+        Frame ctor, fusion_power_video.cc:467-489): ``high`` (and optional
+        ``low``) are [B, H, W] uint8 planes as the writer's shift config
+        would have split them.  No host combine/split round trip — the
+        planes upload as-is and the device-side combine fuses into the
+        split's elementwise chain under XLA, so the encoded bytes are
+        identical to :meth:`encode_batch_bytes` on the combined images."""
+        if self._delta_high is None:
+            raise RuntimeError("init() must be called first")
+        high = np.ascontiguousarray(high, dtype=np.uint8)
+        if high.ndim != 3:
+            raise ValueError("high must be [B, H, W] uint8")
+        hi = self._put(high)
+        if low is None:
+            imgs = hi.astype(jnp.uint16) << 8
+        else:
+            low = np.ascontiguousarray(low, dtype=np.uint8)
+            if low.shape != high.shape:
+                raise ValueError("low plane shape must match high plane")
+            imgs = (hi.astype(jnp.uint16) << 8) | self._put(low).astype(
+                jnp.uint16
+            )
+        # the combined image is left-aligned by construction, so the core
+        # runs with a shift-0 little-endian split — which recovers exactly
+        # the planes given (split(high<<8|low, 0, LE) == (high, low))
+        return self._encode_batch_core(imgs, 0, False, timestamps)
+
+    def encode_batch_planes(
+        self,
+        high: np.ndarray,
+        low: np.ndarray | None = None,
+        timestamps: np.ndarray | None = None,
+    ) -> bytes:
+        """Plane-ingest twin of :meth:`encode_batch` (records the batch)."""
+        n = np.asarray(high).shape[0]
+        return self.add_batch(
+            self.encode_batch_planes_bytes(high, low, timestamps), n
+        )
+
+    def _encode_batch_core(
+        self,
+        imgs: jax.Array,
+        split_shift: int,
+        split_big_endian: bool,
+        timestamps: np.ndarray | None,
+    ) -> bytes:
+        from fpv_tpu.entropy.plane_codec import engine_name, narrow_max_syms
+
         b = imgs.shape[0]
         # previews of H<4 or W<4 frames have zero pixels: skip the stream
         has_pv = (self.header.ysize // 4) * (self.header.xsize // 4) > 0
@@ -1409,7 +1492,9 @@ class FpvtWriter:
         if engine_name() == "pallas" and (
             not self._narrow or n_main > narrow_max_syms()
         ):
-            flags, streams = self._encode_batch_fused(imgs, b)
+            flags, streams = self._encode_batch_fused(
+                imgs, b, split_shift, split_big_endian
+            )
             hs, ls, pvs = streams
             if not has_pv:
                 pvs = None
@@ -1418,8 +1503,8 @@ class FpvtWriter:
                 imgs,
                 self._delta_high,
                 self._delta_low,
-                self.header.shift,
-                self.header.big_endian,
+                split_shift,
+                split_big_endian,
                 low_ctx=bool(self._low_coding),
                 allow_prev=self._allow_prev,
             )
@@ -1489,15 +1574,29 @@ class FpvtWriter:
             flags = flags | use_prev.astype(np.uint8) * F_USE_PREV
         return flags
 
-    def _encode_batch_fused(self, imgs: jax.Array, b: int):
-        """One-jit encode; single small sync + bucketed payload pulls."""
+    def _encode_batch_fused(
+        self,
+        imgs: jax.Array,
+        b: int,
+        split_shift: int | None = None,
+        split_big_endian: bool | None = None,
+    ):
+        """One-jit encode; single small sync + bucketed payload pulls.
+
+        ``split_shift``/``split_big_endian`` override the header's split
+        config (plane ingest passes a left-aligned combined image with a
+        shift-0 LE split); default is the header config."""
+        if split_shift is None:
+            split_shift = self.header.shift
+        if split_big_endian is None:
+            split_big_endian = self.header.big_endian
         h, w = self.header.ysize, self.header.xsize
         small_d, states_d, pay_h, pay_l, pay_p = fused_encode_batch(
             imgs,
             self._delta_high,
             self._delta_low,
-            self.header.shift,
-            self.header.big_endian,
+            split_shift,
+            split_big_endian,
             self._chunk_len,
             low_coding=self._low_coding,
             allow_prev=self._allow_prev,
@@ -1510,8 +1609,8 @@ class FpvtWriter:
                 imgs=imgs,
                 delta_high=self._delta_high,
                 delta_low=self._delta_low,
-                shift=self.header.shift,
-                big_endian=self.header.big_endian,
+                shift=split_shift,
+                big_endian=split_big_endian,
             ),
         )
 

@@ -112,6 +112,33 @@ def split_planes(
     return FramePlanes(high=high, low=low, flags=flags, timestamp=timestamp)
 
 
+def adopt_planes(
+    high: np.ndarray, low: np.ndarray | None = None, timestamp: int = -1
+) -> FramePlanes:
+    """Adopt pre-split byte planes without a combine/split round trip.
+
+    Parity with the reference's plane-adopting Frame ctor
+    (fusion_power_video.cc:467-489): a camera driver that already delivers
+    byte planes enters the pipeline directly.  NO_LOW_BYTES is derived the
+    same way the image ctor does (:447-449): low missing OR all zero — so a
+    plane-adopted frame encodes byte-identically to the equivalent combined
+    uint16 image.
+    """
+    high = np.ascontiguousarray(high, dtype=np.uint8)
+    if high.ndim != 2:
+        raise ValueError("high plane must be [H, W] uint8")
+    flags = 0
+    if low is not None:
+        low = np.ascontiguousarray(low, dtype=np.uint8)
+        if low.shape != high.shape:
+            raise ValueError("low plane shape must match high plane")
+        if not low.any():
+            flags |= FrameFlags.NO_LOW_BYTES
+    else:
+        flags |= FrameFlags.NO_LOW_BYTES
+    return FramePlanes(high=high, low=low, flags=int(flags), timestamp=timestamp)
+
+
 def generate_preview(high: np.ndarray) -> np.ndarray:
     """1/4-scale preview: 4x4 box filter, ``(sum/16) & 0xfe``.
 

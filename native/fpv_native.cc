@@ -388,6 +388,124 @@ static bool BrotliQ1(const uint8_t* data, size_t n, std::vector<uint8_t>* out) {
   return true;
 }
 
+// Shared post-split frame pipeline (preview + delta decision + CG decision
+// + brotli q1), operating on the byte planes in place.  Factored out so the
+// plane-adopting ingest path (the reference's plane ctor,
+// fusion_power_video.cc:467-489) runs the IDENTICAL stages as image ingest
+// — byte-identical bitstreams by construction.  Runs without the GIL; the
+// kNoLow bit of *flags_io must already reflect the low plane.  Returns
+// false on brotli failure.
+static bool CompressFromPlanes(std::vector<uint8_t>& high,
+                               std::vector<uint8_t>& low, bool has_low,
+                               size_t xsize, size_t ysize,
+                               const uint8_t* delta_high,
+                               const uint8_t* delta_low, bool use_delta,
+                               bool make_preview, int* flags_io,
+                               std::vector<uint8_t>* comp_high,
+                               std::vector<uint8_t>* comp_low,
+                               std::vector<uint8_t>* comp_preview) {
+  const size_t size = xsize * ysize;
+  int flags = *flags_io;
+  std::vector<uint8_t> preview;
+
+  // --- 1/4-scale preview from the unpredicted high plane (:491-515)
+  const size_t ph = ysize / 4, pw = xsize / 4;
+  if (make_preview) {
+    preview.resize(ph * pw);
+    for (size_t py = 0; py < ph; py++) {
+      for (size_t px = 0; px < pw; px++) {
+        uint32_t sum = 0;
+        for (size_t dy = 0; dy < 4; dy++)
+          for (size_t dx = 0; dx < 4; dx++)
+            sum += high[(py * 4 + dy) * xsize + px * 4 + dx];
+        preview[py * pw + px] = (uint8_t)((sum / 16) & 0xFE);
+      }
+    }
+  }
+
+  // --- delta decision (:517-533; degenerate always-zero "delta"
+  // histogram, so USE_DELTA iff EstimateEntropy(sampled high) > 0)
+  if (use_delta && delta_high) {
+    uint64_t counta[256] = {0};
+    for (size_t i = 0; i < size; i += 15) counta[high[i]]++;
+    if (0 < EstimateEntropy(counta)) {
+      flags |= kUseDelta;
+      for (size_t i = 0; i < size; i++) high[i] = (uint8_t)(high[i] - delta_high[i]);
+      if (has_low && delta_low)
+        for (size_t i = 0; i < size; i++) low[i] = (uint8_t)(low[i] - delta_low[i]);
+    }
+  }
+
+  // --- CG decision on the (possibly delta-predicted) high plane
+  // (:546-564), flat-buffer neighbor semantics including row wrap
+  {
+    uint64_t counta[256] = {0}, countb[256] = {0};
+    for (size_t i = xsize + 1; i < size; i += 31) {
+      uint8_t a = high[i];
+      uint8_t r = (uint8_t)(a - ClampedGradient(high[i - xsize], high[i - 1],
+                                                high[i - xsize - 1]));
+      counta[a]++;
+      countb[r]++;
+    }
+    if (EstimateEntropy(countb) < EstimateEntropy(counta)) {
+      flags |= kUseCG;
+      // forward transform in reverse scan order: reads original neighbors
+      for (size_t i = size - 1; i >= xsize + 1; i--) {
+        high[i] = (uint8_t)(high[i] - ClampedGradient(high[i - xsize], high[i - 1],
+                                                      high[i - xsize - 1]));
+      }
+      if (make_preview && ph > 0 && pw > 0) {
+        for (size_t i = ph * pw - 1; i >= pw + 1; i--) {
+          preview[i] = (uint8_t)(preview[i] -
+                                 ClampedGradient(preview[i - pw], preview[i - 1],
+                                                 preview[i - pw - 1]));
+        }
+      }
+    }
+  }
+
+  // --- brotli q1 entropy coding (:643-688)
+  if (!(flags & kNoLow) && !BrotliQ1(low.data(), size, comp_low)) return false;
+  if (!BrotliQ1(high.data(), size, comp_high)) return false;
+  if (make_preview && !BrotliQ1(preview.data(), preview.size(), comp_preview))
+    return false;
+  *flags_io = flags;
+  return true;
+}
+
+// Shared result serializer: flags byte + [low stream] + high stream
+// (OutputCore, fusion_power_video.cc:820-828), plus the preview bitstream
+// with its flags byte (OutputFull :842).  Steals nothing; copies into
+// PyBytes.
+static PyObject* BuildFrameResult(int flags,
+                                  const std::vector<uint8_t>& comp_high,
+                                  const std::vector<uint8_t>& comp_low,
+                                  const std::vector<uint8_t>& comp_preview,
+                                  bool make_preview) {
+  std::vector<uint8_t> image_bs;
+  image_bs.reserve(1 + comp_low.size() + comp_high.size());
+  image_bs.push_back((uint8_t)flags);
+  image_bs.insert(image_bs.end(), comp_low.begin(), comp_low.end());
+  image_bs.insert(image_bs.end(), comp_high.begin(), comp_high.end());
+  PyObject* image_obj = PyBytes_FromStringAndSize((const char*)image_bs.data(),
+                                                  (Py_ssize_t)image_bs.size());
+  if (!image_obj) return nullptr;
+  PyObject* preview_obj;
+  if (make_preview) {
+    std::vector<uint8_t> pv_bs;
+    pv_bs.reserve(1 + comp_preview.size());
+    pv_bs.push_back((uint8_t)((flags & kUseCG) | kNoLow));
+    pv_bs.insert(pv_bs.end(), comp_preview.begin(), comp_preview.end());
+    preview_obj = PyBytes_FromStringAndSize((const char*)pv_bs.data(),
+                                            (Py_ssize_t)pv_bs.size());
+    if (!preview_obj) { Py_DECREF(image_obj); return nullptr; }
+  } else {
+    preview_obj = Py_None;
+    Py_INCREF(Py_None);
+  }
+  return Py_BuildValue("(iNN)", flags, image_obj, preview_obj);
+}
+
 // compress_frame(img u16 native-LE, xsize, ysize, shift, big_endian,
 //                delta_high|None, delta_low|None, use_delta_frame,
 //                make_preview) -> (flags, image_bs, preview_bs|None)
@@ -483,66 +601,9 @@ PyObject* py_compress_frame(PyObject*, PyObject* args) {
       if (low[i]) { low_nonzero = true; break; }
     if (!has_low || !low_nonzero) flags |= kNoLow;
 
-    // --- 1/4-scale preview from the unpredicted high plane (:491-515)
-    const size_t ph = (size_t)ysize / 4, pw = (size_t)xsize / 4;
-    if (make_preview) {
-      preview.resize(ph * pw);
-      for (size_t py = 0; py < ph; py++) {
-        for (size_t px = 0; px < pw; px++) {
-          uint32_t sum = 0;
-          for (size_t dy = 0; dy < 4; dy++)
-            for (size_t dx = 0; dx < 4; dx++)
-              sum += high[(py * 4 + dy) * xsize + px * 4 + dx];
-          preview[py * pw + px] = (uint8_t)((sum / 16) & 0xFE);
-        }
-      }
-    }
-
-    // --- delta decision (:517-533; degenerate always-zero "delta"
-    // histogram, so USE_DELTA iff EstimateEntropy(sampled high) > 0)
-    if (use_delta && delta_high) {
-      uint64_t counta[256] = {0};
-      for (size_t i = 0; i < size; i += 15) counta[high[i]]++;
-      if (0 < EstimateEntropy(counta)) {
-        flags |= kUseDelta;
-        for (size_t i = 0; i < size; i++) high[i] = (uint8_t)(high[i] - delta_high[i]);
-        if (has_low && delta_low)
-          for (size_t i = 0; i < size; i++) low[i] = (uint8_t)(low[i] - delta_low[i]);
-      }
-    }
-
-    // --- CG decision on the (possibly delta-predicted) high plane
-    // (:546-564), flat-buffer neighbor semantics including row wrap
-    {
-      uint64_t counta[256] = {0}, countb[256] = {0};
-      for (size_t i = (size_t)xsize + 1; i < size; i += 31) {
-        uint8_t a = high[i];
-        uint8_t r = (uint8_t)(a - ClampedGradient(high[i - xsize], high[i - 1],
-                                                  high[i - xsize - 1]));
-        counta[a]++;
-        countb[r]++;
-      }
-      if (EstimateEntropy(countb) < EstimateEntropy(counta)) {
-        flags |= kUseCG;
-        // forward transform in reverse scan order: reads original neighbors
-        for (size_t i = size - 1; i >= (size_t)xsize + 1; i--) {
-          high[i] = (uint8_t)(high[i] - ClampedGradient(high[i - xsize], high[i - 1],
-                                                        high[i - xsize - 1]));
-        }
-        if (make_preview && ph > 0 && pw > 0) {
-          for (size_t i = ph * pw - 1; i >= pw + 1; i--) {
-            preview[i] = (uint8_t)(preview[i] -
-                                   ClampedGradient(preview[i - pw], preview[i - 1],
-                                                   preview[i - pw - 1]));
-          }
-        }
-      }
-    }
-
-    // --- brotli q1 entropy coding (:643-688)
-    if (!(flags & kNoLow) && !BrotliQ1(low.data(), size, &comp_low)) { failed = true; break; }
-    if (!BrotliQ1(high.data(), size, &comp_high)) { failed = true; break; }
-    if (make_preview && !BrotliQ1(preview.data(), preview.size(), &comp_preview)) {
+    if (!CompressFromPlanes(high, low, has_low, (size_t)xsize, (size_t)ysize,
+                            delta_high, delta_low, use_delta, make_preview,
+                            &flags, &comp_high, &comp_low, &comp_preview)) {
       failed = true;
       break;
     }
@@ -556,36 +617,118 @@ PyObject* py_compress_frame(PyObject*, PyObject* args) {
     return nullptr;
   }
 
-  // image bitstream: flags byte + [low stream] + high stream (OutputCore)
-  std::vector<uint8_t> image_bs;
-  image_bs.reserve(1 + comp_low.size() + comp_high.size());
-  image_bs.push_back((uint8_t)flags);
-  image_bs.insert(image_bs.end(), comp_low.begin(), comp_low.end());
-  image_bs.insert(image_bs.end(), comp_high.begin(), comp_high.end());
-  PyObject* image_obj = PyBytes_FromStringAndSize((const char*)image_bs.data(),
-                                                  (Py_ssize_t)image_bs.size());
-  if (!image_obj) return nullptr;
-  PyObject* preview_obj;
-  if (make_preview) {
-    // preview flags byte: (main & USE_CG) | NO_LOW_BYTES (OutputFull :842)
-    std::vector<uint8_t> pv_bs;
-    pv_bs.reserve(1 + comp_preview.size());
-    pv_bs.push_back((uint8_t)((flags & kUseCG) | kNoLow));
-    pv_bs.insert(pv_bs.end(), comp_preview.begin(), comp_preview.end());
-    preview_obj = PyBytes_FromStringAndSize((const char*)pv_bs.data(),
-                                            (Py_ssize_t)pv_bs.size());
-    if (!preview_obj) { Py_DECREF(image_obj); return nullptr; }
-  } else {
-    preview_obj = Py_None;
-    Py_INCREF(Py_None);
+  return BuildFrameResult(flags, comp_high, comp_low, comp_preview,
+                          make_preview);
+}
+
+// compress_frame_planes(high u8, low u8|None, xsize, ysize,
+//                       delta_high|None, delta_low|None, use_delta_frame,
+//                       make_preview) -> (flags, image_bs, preview_bs|None)
+//
+// Plane-adopting ingest: the pre-split byte planes enter the pipeline
+// directly, skipping the u16 combine/split round trip — the reference's
+// plane-adopting Frame ctor (fusion_power_video.cc:467-489).  Produces
+// bitstreams byte-identical to compress_frame on the corresponding
+// combined image (same NO_LOW detection: a missing OR all-zero low plane
+// sets the flag, matching the image ctor's :447-449).
+PyObject* py_compress_frame_planes(PyObject*, PyObject* args) {
+  Py_buffer high_buf, low_buf = {}, dh_buf = {}, dl_buf = {};
+  PyObject* low_obj;
+  PyObject* dh_obj;
+  PyObject* dl_obj;
+  Py_ssize_t xsize, ysize;
+  int use_delta, make_preview;
+  if (!PyArg_ParseTuple(args, "y*OnnOOpp", &high_buf, &low_obj, &xsize,
+                        &ysize, &dh_obj, &dl_obj, &use_delta, &make_preview))
+    return nullptr;
+  if (xsize <= 0 || ysize <= 0 || xsize > 65536 || ysize > 65536) {
+    PyBuffer_Release(&high_buf);
+    PyErr_SetString(PyExc_ValueError, "bad image dimensions");
+    return nullptr;
   }
-  return Py_BuildValue("(iNN)", flags, image_obj, preview_obj);
+  const size_t size = (size_t)xsize * (size_t)ysize;
+  if ((size_t)high_buf.len != size) {
+    PyBuffer_Release(&high_buf);
+    PyErr_SetString(PyExc_ValueError, "bad high plane buffer");
+    return nullptr;
+  }
+  bool has_low = low_obj != Py_None;
+  if (has_low) {
+    if (PyObject_GetBuffer(low_obj, &low_buf, PyBUF_SIMPLE) < 0 ||
+        (size_t)low_buf.len != size) {
+      PyBuffer_Release(&high_buf);
+      PyErr_SetString(PyExc_ValueError, "bad low plane buffer");
+      return nullptr;
+    }
+  }
+  const uint8_t* delta_high = nullptr;
+  const uint8_t* delta_low = nullptr;
+  if (dh_obj != Py_None) {
+    if (PyObject_GetBuffer(dh_obj, &dh_buf, PyBUF_SIMPLE) < 0 ||
+        (size_t)dh_buf.len != size) {
+      PyBuffer_Release(&high_buf);
+      if (has_low) PyBuffer_Release(&low_buf);
+      PyErr_SetString(PyExc_ValueError, "bad delta high buffer");
+      return nullptr;
+    }
+    delta_high = (const uint8_t*)dh_buf.buf;
+  }
+  if (dl_obj != Py_None) {
+    if (PyObject_GetBuffer(dl_obj, &dl_buf, PyBUF_SIMPLE) < 0 ||
+        (size_t)dl_buf.len != size) {
+      PyBuffer_Release(&high_buf);
+      if (has_low) PyBuffer_Release(&low_buf);
+      if (delta_high) PyBuffer_Release(&dh_buf);
+      PyErr_SetString(PyExc_ValueError, "bad delta low buffer");
+      return nullptr;
+    }
+    delta_low = (const uint8_t*)dl_buf.buf;
+  }
+
+  int flags = 0;
+  bool failed = false;
+  std::vector<uint8_t> high, low;
+  std::vector<uint8_t> comp_high, comp_low, comp_preview;
+  Py_BEGIN_ALLOW_THREADS;
+  do {
+    const uint8_t* hp = (const uint8_t*)high_buf.buf;
+    high.assign(hp, hp + size);
+    bool low_nonzero = false;
+    if (has_low) {
+      const uint8_t* lp = (const uint8_t*)low_buf.buf;
+      low.assign(lp, lp + size);
+      for (size_t i = 0; i < size; i++)
+        if (low[i]) { low_nonzero = true; break; }
+    }
+    if (!has_low || !low_nonzero) flags |= kNoLow;
+    if (!CompressFromPlanes(high, low, has_low, (size_t)xsize, (size_t)ysize,
+                            delta_high, delta_low, use_delta, make_preview,
+                            &flags, &comp_high, &comp_low, &comp_preview)) {
+      failed = true;
+      break;
+    }
+  } while (false);
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&high_buf);
+  if (has_low) PyBuffer_Release(&low_buf);
+  if (delta_high) PyBuffer_Release(&dh_buf);
+  if (delta_low) PyBuffer_Release(&dl_buf);
+  if (failed) {
+    PyErr_SetString(PyExc_RuntimeError, "brotli compression failed");
+    return nullptr;
+  }
+  return BuildFrameResult(flags, comp_high, comp_low, comp_preview,
+                          make_preview);
 }
 
 PyMethodDef methods[] = {
     {"compress_frame", py_compress_frame, METH_VARARGS,
      "compress_frame(img, xsize, ysize, shift, big_endian, delta_high, "
      "delta_low, use_delta, make_preview) -> (flags, image_bs, preview_bs)"},
+    {"compress_frame_planes", py_compress_frame_planes, METH_VARARGS,
+     "compress_frame_planes(high, low, xsize, ysize, delta_high, delta_low, "
+     "use_delta, make_preview) -> (flags, image_bs, preview_bs) — pre-split "
+     "byte-plane ingest (plane-adopting ctor parity)"},
     {"brotli_compress", py_brotli_compress, METH_VARARGS,
      "brotli_compress(data, quality=1, lgwin=22) -> bytes"},
     {"brotli_compress_into", py_brotli_compress_into, METH_VARARGS,
