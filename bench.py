@@ -233,6 +233,32 @@ def main() -> None:
     log(f"link probe: up {link_up:.1f} MB/s, down {link_down:.1f} MB/s "
         "(median of 3)")
 
+    # shape-matched link probes: the tunnel's rate is SHAPE-sensitive
+    # (flat 1-D moves ~4x slower than 2-D tiles), and the codec's real
+    # transfers are (a) u16 frame batches up, (b) 1-D u16 payloads up/down,
+    # (c) [B,H,W,2] u8 packed frames down.  Modeling each leg at the rate
+    # of ITS OWN shape is what makes the e2e model track the measurement
+    # across tunnel drift (docs/E2E_MODEL.md).
+    def _rate(arr: np.ndarray, n: int = 3) -> tuple[float, float]:
+        dev = jax.block_until_ready(jnp.asarray(arr))  # setup out
+        u, d = [], []
+        for _ in range(n):
+            t0 = time.time()
+            dev = jax.block_until_ready(jnp.asarray(arr))
+            u.append(time.time() - t0)
+            t0 = time.time()
+            np.asarray(dev)
+            d.append(time.time() - t0)
+        mbs = arr.nbytes / 1e6
+        return mbs / statistics.median(u), mbs / statistics.median(d)
+
+    up_frames, _ = _rate(np.zeros((32, H, W), np.uint16))
+    up_1d, down_1d = _rate(np.zeros(16 << 20, np.uint16))
+    _, down_imgs = _rate(np.zeros((32, H, W, 2), np.uint8))
+    log(f"shape-matched link: frames-up {up_frames:.1f}, payload-1d "
+        f"up {up_1d:.1f} / down {down_1d:.1f}, imgs-down {down_imgs:.1f} "
+        "MB/s")
+
     from concurrent.futures import ThreadPoolExecutor
 
     def encode_once() -> bytes:
@@ -432,6 +458,80 @@ def main() -> None:
     log(f"device-resident decode (frames+previews): {dev_dec:.1f} Mpix/s"
         f" ({min(times)*1000:.0f} ms / {b0} frames)")
 
+    # ---- large-frame proof point: 4096x4096 (16 Mpix/frame — the format
+    # allows 65536^2, fusion_power_video.cc:164).  Everything above is
+    # <=1 Mpix/frame; this exercises the big-geometry tiling (payload
+    # windows, rows_alloc) at speed.  Device-resident, same methodology as
+    # the main sections.
+    lf_enc = lf_dec = None
+    try:
+        from fpv_tpu.api.fpvt_codec import encode_file_fpvt
+
+        LF_B, LF_H, LF_W = 4, 4096, 4096
+        base_lf = testdata.plasma_frames(1, LF_H, LF_W, bits=BITS, seed=11)[0]
+        lf_frames = np.stack(
+            [np.roll(base_lf, (3 * i, 5 * i), (0, 1)) for i in range(LF_B + 1)]
+        )
+        lf_data = encode_file_fpvt(
+            lf_frames, shift=SHIFT, frames_per_batch=LF_B
+        )
+        lf_ok = bool(
+            (decode_file_fpvt(lf_data)
+             == (lf_frames.astype(np.uint16) << SHIFT)).all()
+        )
+        lf_w = FpvtWriter(LF_W, LF_H, shift=SHIFT, frames_per_batch=LF_B)
+        lf_w.init(lf_frames[0])
+        lf_chunk = 1 << lf_w.header.chunk_log2
+        lf_dev = jax.block_until_ready(jnp.asarray(lf_frames[1:]))
+
+        @jax.jit
+        def _lf_enc(im):
+            return _reduce_all(
+                fused_encode_batch(im, lf_w._delta_high, lf_w._delta_low,
+                                   SHIFT, False, lf_chunk,
+                                   low_coding=lf_w._low_coding,
+                                   allow_prev=True)
+            )
+
+        lf_enc_s = _steady(_lf_enc, lf_dev)
+        lf_enc = LF_B * LF_H * LF_W / 1e6 / lf_enc_s
+
+        lf_rdr = FpvtReader(lf_data)
+        lf_pb = lf_rdr._parse_batch(lf_rdr._batches[0][0])
+        lf_arrays, lf_static = batch_decode_args(lf_pb, lf_chunk)
+        lf_args = (
+            jnp.asarray(lf_arrays["payload"]),
+            jnp.asarray(lf_arrays["plane_offs"]),
+            jnp.asarray(lf_arrays["counts"]),
+            jnp.asarray(lf_arrays["states"]),
+            jnp.asarray(lf_arrays["flags"]),
+            jnp.asarray(lf_arrays["sym_tabs"]),
+            jnp.asarray(lf_arrays["fcs"]),
+            lf_rdr._delta_high, lf_rdr._delta_low,
+            jnp.asarray(lf_arrays["const_vals"]),
+        )
+        jax.block_until_ready(lf_args)
+        lf_kw = dict(chunk_len=lf_chunk, b=LF_B, h=LF_H, w=LF_W,
+                     decode_preview=True, **lf_static)
+
+        def _lf_dec():
+            imgs, ok, _pv = fused_decode_batch(*lf_args, **lf_kw)
+            return bool(np.asarray(ok))
+
+        assert _lf_dec()
+        lf_times = []
+        for _ in range(4):
+            t0 = time.time()
+            _lf_dec()
+            lf_times.append(time.time() - t0)
+        lf_dec = LF_B * LF_H * LF_W / 1e6 / min(lf_times)
+        log(f"large-frame 4096x4096: device encode {lf_enc:.1f} Mpix/s, "
+            f"decode {lf_dec:.1f} Mpix/s ({min(lf_times)*1000:.0f} ms / "
+            f"{LF_B} frames; lossless={lf_ok})")
+        del lf_dev, lf_args, lf_frames
+    except Exception as e:  # noqa: BLE001 — keep the main bench alive
+        log(f"large-frame section failed: {e}")
+
     # ---- serving hub: MultiStreamDecoder throughput (bytes in -> frames
     # out through the fused per-batch decode program).  Includes the
     # host<->device transfers a serving process actually pays — on this
@@ -477,6 +577,49 @@ def main() -> None:
         f"({hub_px/1e6:.0f} Mpix in {hub_dt:.1f}s; "
         f"shared-link ceiling {hub_link_ceiling:.1f} Mpix/s)")
 
+    # ---- device-resident hub: payloads pre-staged in HBM (shared
+    # content-addressed upload cache), frames LEFT in HBM (device_frames
+    # sink) — the aggregate-serving number the tunnel otherwise hides.
+    # 1/2/4 streams on one chip; remaining per-batch host work is section
+    # parsing + content hashing + dispatch, which the issue/finalize
+    # pipeline overlaps with device compute.
+    hub_dev = {}
+    try:
+        stage: dict = {}
+
+        def _hub_run_dev(nstreams):
+            pixels = [0]
+
+            def _sink(sid, frames_out, ts):
+                # device arrays: count via shape, pull nothing
+                pixels[0] += int(np.prod(frames_out.shape))
+
+            hub = MultiStreamDecoder(
+                sink=_sink, device_frames=True, upload_cache=stage
+            )
+            for i in range(nstreams):
+                hub.add_stream(f"dev{i}")
+            t0 = time.time()
+            for i in range(nstreams):
+                hub.feed(f"dev{i}", data)
+            hub.close()
+            return pixels[0], time.time() - t0
+
+        _hub_run_dev(1)  # compile (unpacked-output program) + stage uploads
+        for ns in (1, 2, 4):
+            ts_d = []
+            px_d = 0
+            for _ in range(3):
+                px_d, dt_d = _hub_run_dev(ns)
+                ts_d.append(dt_d)
+            hub_dev[ns] = round(px_d / 1e6 / min(ts_d), 2)
+        log(f"device-resident hub aggregate: 1 stream {hub_dev[1]:.1f}, "
+            f"2 streams {hub_dev[2]:.1f}, 4 streams {hub_dev[4]:.1f} Mpix/s"
+            f" (x{hub_dev[4]/max(hub_dev[1],1e-9):.2f} at 4; device decode "
+            f"ceiling {dev_dec:.1f})")
+    except Exception as e:  # noqa: BLE001 — keep the main bench alive
+        log(f"device-resident hub section failed: {e}")
+
     # ---- low-plane ratio vs brotli-q1 (the reference's entropy coder):
     # the context-coded nibble mode should win on the residual low plane
     from fpv_tpu.entropy import brotli as _brotli
@@ -503,15 +646,21 @@ def main() -> None:
     t_codec_enc = npix / 1e6 / dev_enc_1shot
     t_codec_dec = npix / 1e6 / dev_dec
 
-    def _e2e_model(up_mbs: float, down_mbs: float):
-        t_enc = (frames.nbytes / (up_mbs * 1e6) + t_codec_enc
-                 + len(data) / (down_mbs * 1e6))
-        t_dec = (len(data) / (up_mbs * 1e6) + t_codec_dec
-                 + npix * 2 / (down_mbs * 1e6))
+    def _e2e_model(fr_up: float, pay_down: float,
+                   pay_up: float, img_down: float):
+        # each transfer leg at the measured rate of ITS OWN shape:
+        # encode = frames up (u16 3-D) + codec + payload down (1-D),
+        # decode = payload up (1-D) + codec + packed frames down (u8 4-D)
+        t_enc = (frames.nbytes / (fr_up * 1e6) + t_codec_enc
+                 + len(data) / (pay_down * 1e6))
+        t_dec = (len(data) / (pay_up * 1e6) + t_codec_dec
+                 + npix * 2 / (img_down * 1e6))
         return npix / 1e6 / t_enc, npix / 1e6 / t_dec
 
-    e2e_enc_model, e2e_dec_model = _e2e_model(link_up, link_down)
-    e2e_enc_proj, e2e_dec_proj = _e2e_model(nominal, nominal)
+    e2e_enc_model, e2e_dec_model = _e2e_model(
+        up_frames, down_1d, up_1d, down_imgs
+    )
+    e2e_enc_proj, e2e_dec_proj = _e2e_model(*((nominal,) * 4))
     log(f"e2e encode: {e2e_enc:.1f} Mpix/s (link+codec model "
         f"{e2e_enc_model:.1f}), e2e decode: {e2e_dec:.1f} Mpix/s (model "
         f"{e2e_dec_model:.1f}) — tunnel link-bound; projected at "
@@ -562,6 +711,8 @@ def main() -> None:
     # ---- compression-ratio parity across corpus types (size vs the live
     # reference binary; one shape so all corpora share compiled programs)
     corpus_ratios = {}
+    corpus_codings = {}
+    raw_dec_mps = None
     ref_enc_bin = _build_ref_tool("encode.cc", REFBIN.parent / "ref_encode")
     if ref_enc_bin is not None:
         sweep = [
@@ -588,8 +739,20 @@ def main() -> None:
         sweep.append(("drift12", np.stack(
             [np.roll(_pl[0], (i, i), (0, 1)) for i in range(16)]
         ).astype(np.uint16), 4))
+        # smooth high byte + iid low byte: the low plane's residuals are
+        # incompressible, so its stream goes CODING_RAW (stored verbatim,
+        # format v6) — the corpus that exercises the raw path for real
+        _hi_base = testdata.plasma_frames(1, 512, 512, bits=8, seed=3)[0]
+        _rl = np.empty((16, 512, 512), np.uint16)
+        for _t in range(16):
+            _rl[_t] = (
+                (((_hi_base.astype(np.uint16) + _t) & 0xFF) << 8)
+                | _prng.integers(0, 256, (512, 512)).astype(np.uint16)
+            )
+        sweep.append(("rawlow16", _rl, 0))
         from fpv_tpu.api.fpvt_codec import encode_file_fpvt
 
+        _coding_names = {0: "order0", 1: "ctx16", 2: "const", 3: "raw"}
         for cname, cframes, cshift in sweep:
             rr = subprocess.run(
                 [str(ref_enc_bin), "512", "512", "0", str(cshift), "4"],
@@ -608,9 +771,58 @@ def main() -> None:
             )
             ratio = len(ours_c) / len(rr.stdout)
             corpus_ratios[cname] = round(ratio, 4)
+            # per-plane coding choices (order0/ctx16/const/raw per batch):
+            # proves which entropy mode each corpus actually exercises
+            rdr_c = FpvtReader(ours_c)
+            pb_c = rdr_c._parse_batch(rdr_c._batches[0][0])
+            modes_c = {
+                pname: (_coding_names[st.coding] if st is not None else None)
+                for pname, st in zip(
+                    ("high", "low", "preview"),
+                    (pb_c.high, pb_c.low, pb_c.preview),
+                )
+            }
+            corpus_codings[cname] = modes_c
             log(f"corpus {cname}: fpvt {8*len(ours_c)/cframes.size:.4f} bpp"
                 f" vs ref {8*len(rr.stdout)/cframes.size:.4f} bpp"
-                f" ({ratio:.4f}x, lossless={ok_c})")
+                f" ({ratio:.4f}x, lossless={ok_c}, codings={modes_c})")
+            if cname == "rawlow16" and modes_c["low"] == "raw":
+                # device decode throughput with a raw plane in the batch:
+                # the claimed memcpy-bound raw decode, measured
+                try:
+                    ck = 1 << rdr_c.header.chunk_log2
+                    arr_r, st_r = batch_decode_args(pb_c, ck)
+                    args_r = (
+                        jnp.asarray(arr_r["payload"]),
+                        jnp.asarray(arr_r["plane_offs"]),
+                        jnp.asarray(arr_r["counts"]),
+                        jnp.asarray(arr_r["states"]),
+                        jnp.asarray(arr_r["flags"]),
+                        jnp.asarray(arr_r["sym_tabs"]),
+                        jnp.asarray(arr_r["fcs"]),
+                        rdr_c._delta_high, rdr_c._delta_low,
+                        jnp.asarray(arr_r["const_vals"]),
+                    )
+                    jax.block_until_ready(args_r)
+                    b_r = len(pb_c.frame_flags)
+                    kw_r = dict(chunk_len=ck, b=b_r, h=512, w=512,
+                                decode_preview=True, **st_r)
+
+                    def _dec_r():
+                        _imgs, okr, _pv = fused_decode_batch(*args_r, **kw_r)
+                        return bool(np.asarray(okr))
+
+                    assert _dec_r()
+                    ts_r = []
+                    for _ in range(4):
+                        t0 = time.time()
+                        _dec_r()
+                        ts_r.append(time.time() - t0)
+                    raw_dec_mps = b_r * 512 * 512 / 1e6 / min(ts_r)
+                    log(f"raw-plane device decode (low=raw): "
+                        f"{raw_dec_mps:.1f} Mpix/s")
+                except Exception as e:  # noqa: BLE001
+                    log(f"raw decode timing failed: {e}")
 
     # headline = the honest single-dispatch device number (one fused
     # program, one host round trip); the marginal-cost "sustained" figure
@@ -625,6 +837,10 @@ def main() -> None:
         "e2e_decode_mpix_s": round(e2e_dec, 2),
         "link_up_mb_s": round(link_up, 1),
         "link_down_mb_s": round(link_down, 1),
+        "link_frames_up_mb_s": round(up_frames, 1),
+        "link_payload_up_mb_s": round(up_1d, 1),
+        "link_payload_down_mb_s": round(down_1d, 1),
+        "link_imgs_down_mb_s": round(down_imgs, 1),
         "e2e_encode_model_mpix_s": round(e2e_enc_model, 2),
         "e2e_decode_model_mpix_s": round(e2e_dec_model, 2),
         "e2e_encode_projected_mpix_s": round(e2e_enc_proj, 2),
@@ -634,6 +850,13 @@ def main() -> None:
         "multistream_decode_1stream_mpix_s": round(hub1_dec, 2),
         "multistream_aggregate_ratio": round(hub_dec / max(hub1_dec, 1e-9), 3),
         "multistream_link_ceiling_mpix_s": round(hub_link_ceiling, 2),
+        "hub_device_resident_mpix_s": (
+            {str(k): v for k, v in hub_dev.items()} or None
+        ),
+        "hub_device_resident_scaling_4v1": (
+            round(hub_dev[4] / hub_dev[1], 3)
+            if 4 in hub_dev and hub_dev.get(1) else None
+        ),
         "warm_cache_warmup_s": (
             round(warm_cache_s, 1) if warm_cache_s is not None else None
         ),
@@ -646,6 +869,12 @@ def main() -> None:
         "rans_decode_msym_s": (
             round(bound["full_msym_s"], 1) if bound else None
         ),
+        "large_frame_device_encode_mpix_s": (
+            round(lf_enc, 2) if lf_enc is not None else None
+        ),
+        "large_frame_device_decode_mpix_s": (
+            round(lf_dec, 2) if lf_dec is not None else None
+        ),
         "bits_per_pixel": round(8 * len(data) / npix, 3),
         "lossless_roundtrip": True,
         "fpv1_encode_mpix_s": round(fpv1_mps, 2),
@@ -654,6 +883,10 @@ def main() -> None:
         "fpv1_lossless_roundtrip": fpv1_ok,
         "low_plane_vs_brotli": round(low_coded / br_low, 4),
         "corpus_size_ratios_vs_ref": corpus_ratios,
+        "corpus_coding_modes": corpus_codings,
+        "raw_corpus_device_decode_mpix_s": (
+            round(raw_dec_mps, 2) if raw_dec_mps is not None else None
+        ),
         "baseline_mpix_s": round(ref_mps, 2),
     }))
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import hashlib
 import struct
 
 import jax
@@ -1642,8 +1643,15 @@ class FpvtReader:
     decode concurrently (the multi-device serving axis; same-geometry
     readers still share compiled executables)."""
 
-    def __init__(self, data: bytes, device=None) -> None:
+    def __init__(
+        self, data: bytes, device=None, upload_cache: dict | None = None
+    ) -> None:
         self._device = device
+        # optional content-addressed staging cache for batch uploads
+        # (dict, caller-owned and caller-bounded; see
+        # _decode_batch_fused_issue) — share one dict across readers to
+        # stage a multicast working set in HBM once
+        self._upload_cache = upload_cache
         self._data = bytes(data)
         self.header = Header.parse(data)
         h, w = self.header.ysize, self.header.xsize
@@ -1747,14 +1755,18 @@ class FpvtReader:
             return self._decode_parsed_batch_slow(pb, b, want_previews)
 
     def _decode_parsed_batch_issue(
-        self, pb: fpvt.ParsedBatch, b: int, want_previews: bool = False
+        self, pb: fpvt.ParsedBatch, b: int, want_previews: bool = False,
+        device_frames: bool = False,
     ):
         """Issue a parsed-batch decode, returning ``finalize() -> (imgs, pv)``.
 
         On the fused path the device program is queued immediately and only
         the pulls wait inside ``finalize`` (see _decode_batch_fused_issue);
         the fallback engines have no async split and run entirely in
-        ``finalize``."""
+        ``finalize``.  With ``device_frames`` the frames (and previews) are
+        returned as device arrays left in HBM — the serving mode for
+        pipelines that feed decoded frames straight into an on-device
+        consumer (only the integrity scalar is pulled)."""
         from fpv_tpu.entropy.plane_codec import engine_name
 
         with self._on_device():
@@ -1762,11 +1774,17 @@ class FpvtReader:
                 pb, 1 << self.header.chunk_log2
             ):
                 return self._decode_batch_fused_issue(
-                    pb, b, decode_preview=want_previews
+                    pb, b, decode_preview=want_previews,
+                    device_frames=device_frames,
                 )
         def slow():
             with self._on_device():
-                return self._decode_parsed_batch_slow(pb, b, want_previews)
+                imgs, pv = self._decode_parsed_batch_slow(pb, b, want_previews)
+                if device_frames:
+                    return jnp.asarray(imgs), (
+                        jnp.asarray(pv) if pv is not None else None
+                    )
+                return imgs, pv
         return slow
 
     def _decode_parsed_batch_slow(
@@ -1801,7 +1819,8 @@ class FpvtReader:
         return self._decode_batch_fused_issue(pb, b, decode_preview)()
 
     def _decode_batch_fused_issue(
-        self, pb: fpvt.ParsedBatch, b: int, decode_preview: bool = False
+        self, pb: fpvt.ParsedBatch, b: int, decode_preview: bool = False,
+        device_frames: bool = False,
     ):
         """Upload + dispatch the fused batch decode, DEFERRING every pull.
 
@@ -1811,34 +1830,60 @@ class FpvtReader:
         device program is already queued when finalize blocks).  With
         ``decode_preview`` the preview plane decodes inside the same fused
         program (the fast-path analog of the reference's DecodePreview,
-        fusion_power_video.cc:1038-1070)."""
+        fusion_power_video.cc:1038-1070).
+
+        ``device_frames``: finalize returns u16 [B,H,W] device arrays LEFT
+        IN HBM (and u8 previews likewise) — only the integrity scalar is
+        pulled.  When ``self._upload_cache`` is set (a dict), uploads are
+        content-addressed: re-decoding a batch whose inputs are already
+        staged in HBM skips the host->device transfer entirely (multicast
+        serving / replay workloads)."""
         h, w = self.header.ysize, self.header.xsize
         k = 1 << self.header.chunk_log2
         arrays, static = batch_decode_args(pb, k)
+        names = ("payload", "plane_offs", "counts", "states", "flags",
+                 "sym_tabs", "fcs", "const_vals")
+        cache = getattr(self, "_upload_cache", None)
+        dev = None
+        if cache is not None:
+            hsh = hashlib.blake2b(digest_size=16)
+            for n in names:
+                hsh.update(np.ascontiguousarray(arrays[n]))
+            key = (b, h, w, k, tuple(sorted(static.items())), hsh.digest())
+            dev = cache.get(key)
+        if dev is None:
+            dev = tuple(jnp.asarray(arrays[n]) for n in names)
+            if cache is not None:
+                jax.block_until_ready(dev)
+                cache[key] = dev
+        (payload_d, plane_offs_d, counts_d, states_d, flags_d, sym_tabs_d,
+         fcs_d, const_vals_d) = dev
         out = fused_decode_batch(
-            jnp.asarray(arrays["payload"]),
-            jnp.asarray(arrays["plane_offs"]),
-            jnp.asarray(arrays["counts"]),
-            jnp.asarray(arrays["states"]),
-            jnp.asarray(arrays["flags"]),
-            jnp.asarray(arrays["sym_tabs"]),
-            jnp.asarray(arrays["fcs"]),
+            payload_d,
+            plane_offs_d,
+            counts_d,
+            states_d,
+            flags_d,
+            sym_tabs_d,
+            fcs_d,
             self._delta_high,
             self._delta_low,
-            jnp.asarray(arrays["const_vals"]),
+            const_vals_d,
             chunk_len=k,
             b=b,
             h=h,
             w=w,
             decode_preview=decode_preview,
-            pack_u8=True,
+            pack_u8=not device_frames,
             **static,
         )
 
         def finalize() -> tuple[np.ndarray, np.ndarray | None]:
-            imgs_np = np.asarray(out[0]).view("<u2").reshape(b, h, w)
             if not bool(np.asarray(out[1])):
                 raise ValueError("rANS stream integrity check failed")
+            if device_frames:
+                return out[0], (out[2] if decode_preview else None)
+            imgs_np = np.asarray(out[0]).view("<u2").reshape(b, h, w)
             pv_np = np.asarray(out[2]) if decode_preview else None
             return imgs_np, pv_np
 
@@ -2098,7 +2143,8 @@ class FpvtStreamingReader:
 
     def __init__(
         self, callback, want_previews: bool = False, batch_hook=None,
-        device=None,
+        device=None, device_frames: bool = False,
+        upload_cache: dict | None = None,
     ) -> None:
         """``callback(frames u16 [B,H,W], timestamps i64 [B])`` per batch;
         with ``want_previews`` the callback receives a third argument, the
@@ -2113,11 +2159,18 @@ class FpvtStreamingReader:
         compute.  The callback is then the owner's responsibility.
 
         ``device``: optional jax.Device pinning this stream's programs
-        (FpvtReader ``device`` semantics)."""
+        (FpvtReader ``device`` semantics).
+
+        ``device_frames``: deliver frames/previews as device arrays left in
+        HBM instead of pulling them to host (see
+        FpvtReader._decode_parsed_batch_issue).  ``upload_cache``: optional
+        shared dict staging batch uploads in HBM by content hash."""
         self._callback = callback
         self._want_previews = want_previews
         self._batch_hook = batch_hook
         self._device = device
+        self._device_frames = device_frames
+        self._upload_cache = upload_cache
         self._buffer = bytearray()
         self._inner: FpvtReader | None = None
         self._header: Header | None = None
@@ -2136,6 +2189,7 @@ class FpvtStreamingReader:
             self._header = header
             self._inner = FpvtReader.__new__(FpvtReader)
             self._inner._device = self._device
+            self._inner._upload_cache = self._upload_cache
             self._inner._data = b""
             self._inner.header = header
             h, w = header.ysize, header.xsize
@@ -2152,12 +2206,15 @@ class FpvtStreamingReader:
             self._pos = fpvt.HEADER_SIZE + dsize
             if header.delta_is_frame0:
                 frame0 = self._inner.frame0()[None]
+                if self._device_frames:
+                    with self._inner._on_device():
+                        frame0 = jnp.asarray(frame0)
                 ts0 = np.full(1, -1, dtype=np.int64)
                 if self._want_previews:
                     with self._inner._on_device():
-                        pv0 = np.asarray(
-                            generate_preview(self._inner._delta_high[None])
-                        )
+                        pv0 = generate_preview(self._inner._delta_high[None])
+                        if not self._device_frames:
+                            pv0 = np.asarray(pv0)
                 else:
                     pv0 = None
                 if self._batch_hook is not None:
@@ -2181,9 +2238,19 @@ class FpvtStreamingReader:
             b = len(pb.frame_flags)
             if self._batch_hook is not None:
                 fin = self._inner._decode_parsed_batch_issue(
-                    pb, b, want_previews=self._want_previews
+                    pb, b, want_previews=self._want_previews,
+                    device_frames=self._device_frames,
                 )
                 self._batch_hook(fin, pb.timestamps)
+            elif self._device_frames:
+                imgs, pv = self._inner._decode_parsed_batch_issue(
+                    pb, b, want_previews=self._want_previews,
+                    device_frames=True,
+                )()
+                if self._want_previews:
+                    self._callback(imgs, pb.timestamps, pv)
+                else:
+                    self._callback(imgs, pb.timestamps)
             else:
                 imgs, pv = self._inner._decode_parsed_batch(
                     pb, b, want_previews=self._want_previews

@@ -173,13 +173,28 @@ class MultiStreamDecoder:
     """
 
     def __init__(
-        self, sink=None, want_previews: bool = False, devices=None
+        self, sink=None, want_previews: bool = False, devices=None,
+        device_frames: bool = False, upload_cache: dict | None = None,
     ) -> None:
         """``devices``: optional list of jax.Devices; streams are assigned
         round-robin (the encoder hub's twin), so independent streams decode
-        on different chips concurrently."""
+        on different chips concurrently.
+
+        ``device_frames``: the sink receives frames (and previews) as
+        device arrays LEFT IN HBM instead of host numpy — the serving mode
+        for pipelines whose consumer is itself on-device (an inference
+        model, a transcode), where pulling frames to host would waste the
+        PCIe link both ways.
+
+        ``upload_cache``: optional dict staging batch uploads in HBM by
+        content hash, shared across this hub's streams (and any other hub
+        given the same dict): feeding bytes whose batches are already
+        staged skips the host->device payload transfer — multicast/replay
+        serving.  Caller-owned and caller-bounded (entries pin HBM)."""
         self._sink = sink or (lambda sid, *a: None)
         self._want_previews = want_previews
+        self._device_frames = device_frames
+        self._upload_cache = upload_cache
         self._devices = list(devices) if devices else [None]
         self._next_device = 0
         self._readers: dict[str, object] = {}
@@ -215,6 +230,8 @@ class MultiStreamDecoder:
             want_previews=self._want_previews,
             batch_hook=hook,
             device=dev,
+            device_frames=self._device_frames,
+            upload_cache=self._upload_cache,
         )
 
     def feed(self, stream_id: str, data: bytes) -> None:

@@ -738,3 +738,85 @@ def test_version_compat_window():
         data[4] = bad
         with pytest.raises(ValueError, match="version"):
             FpvtReader(bytes(data))
+
+
+def test_device_frames_sink():
+    """device_frames=True delivers frames/previews as device arrays LEFT on
+    the device (the serving mode for on-device consumers); pixel values and
+    timestamps match the host-path decode exactly."""
+    import jax
+
+    from fpv_tpu.api.multistream import MultiStreamDecoder
+
+    frames = testdata.plasma_frames(6, 32, 32, seed=7)
+    data = encode_file_fpvt(frames, shift=4, frames_per_batch=2, chunk_log2=8)
+
+    got: list = []
+    hub = MultiStreamDecoder(
+        sink=lambda sid, fr, ts, pv: got.append((fr, ts, pv)),
+        want_previews=True, device_frames=True,
+    )
+    hub.add_stream("s")
+    hub.feed("s", data)
+    hub.close()
+
+    assert got, "sink never called"
+    for fr, _ts, pv in got:
+        assert isinstance(fr, jax.Array), type(fr)
+        assert pv is None or isinstance(pv, jax.Array), type(pv)
+
+    out = np.concatenate([np.asarray(fr).astype(np.uint16) for fr, _, _ in got])
+    # device_frames skips the u8 pack: frames may arrive as u16 already
+    np.testing.assert_array_equal(
+        out.reshape(-1, 32, 32), _leftaligned(frames, 4)
+    )
+
+
+def test_device_frames_slow_path(monkeypatch):
+    """device_frames on the non-fused (slow) decode path still returns
+    device arrays with exact pixels (raw-coded planes force the fallback)."""
+    import jax
+
+    from fpv_tpu.api.fpvt_codec import FpvtStreamingReader
+
+    monkeypatch.setenv("FPV_TPU_RANS_ENGINE", "numpy")
+    frames = testdata.plasma_frames(4, 32, 32, seed=3)
+    data = encode_file_fpvt(frames, frames_per_batch=2, chunk_log2=8)
+
+    got: list = []
+    rdr = FpvtStreamingReader(
+        lambda fr, ts: got.append(fr), device_frames=True
+    )
+    rdr.decode(data)
+    assert got and all(isinstance(fr, jax.Array) for fr in got)
+    out = np.concatenate([np.asarray(fr).astype(np.uint16) for fr in got])
+    np.testing.assert_array_equal(out.reshape(-1, 32, 32), frames)
+
+
+def test_upload_cache_shared_staging():
+    """A shared upload_cache stages batch uploads by content hash: decoding
+    the same bytes through two hub streams (multicast serving) populates the
+    cache once and both streams decode exactly."""
+    from fpv_tpu.api.multistream import MultiStreamDecoder
+
+    frames = testdata.plasma_frames(6, 32, 32, seed=9)
+    data = encode_file_fpvt(frames, shift=4, frames_per_batch=2, chunk_log2=8)
+
+    stage: dict = {}
+    got: dict[str, list] = {"a": [], "b": []}
+    hub = MultiStreamDecoder(
+        sink=lambda sid, fr, ts: got[sid].append(np.asarray(fr)),
+        device_frames=True, upload_cache=stage,
+    )
+    hub.add_stream("a")
+    hub.add_stream("b")
+    hub.feed("a", data)
+    n_after_first = len(stage)
+    hub.feed("b", data)
+    hub.close()
+    if n_after_first:  # fused path ran: stream b re-used stream a's staging
+        assert len(stage) == n_after_first
+    want = _leftaligned(frames, 4)
+    for sid in ("a", "b"):
+        out = np.concatenate(got[sid]).astype(np.uint16).reshape(-1, 32, 32)
+        np.testing.assert_array_equal(out, want)
