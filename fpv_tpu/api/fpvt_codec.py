@@ -43,6 +43,7 @@ from fpv_tpu.format.fpvt import (
     Header,
 )
 from fpv_tpu.ops.planes import combine_planes, split_planes
+from fpv_tpu.utils.aotcache import aot_jit
 from fpv_tpu.ops.predict import (
     cg2d_decode,
     cg2d_encode,
@@ -199,7 +200,7 @@ def _batch_hist(plane: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=(
         "shift", "big_endian", "use_delta_frame", "low_ctx", "allow_prev",
     ),
@@ -356,7 +357,7 @@ def encode_model_step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("any_up", "any_cg"))
+@functools.partial(aot_jit, static_argnames=("any_up", "any_cg"))
 def _inverse_spatial(res: jax.Array, spatial: jax.Array, any_up: bool, any_cg: bool):
     out = res
     if any_up:
@@ -376,7 +377,7 @@ def _apply_delta_and_combine(high, low, use_delta, delta_high, delta_low):
     return combine_planes(h, l)
 
 
-@functools.partial(jax.jit, static_argnames=("any_prev",))
+@functools.partial(aot_jit, static_argnames=("any_prev",))
 def _apply_temporal_and_combine(
     high, low, use_delta, use_prev, delta_high, delta_low,
     any_prev: bool = False,
@@ -429,7 +430,7 @@ def _plane_geometry(b: int, s: int, chunk_len: int):
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=(
         "shift", "big_endian", "chunk_len", "use_delta_frame", "low_coding",
         "allow_prev",
@@ -740,7 +741,7 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
                      "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc",
                      "low_ctx", "const_planes", "any_pv_delta", "pack_u8",
@@ -891,7 +892,7 @@ def fused_decode_batch(
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("chunk_len", "h", "w", "nbh", "nbl", "spatial",
                      "use_delta", "no_low", "low_ctx", "rows_h", "rows_l"),
 )
@@ -982,7 +983,7 @@ def fused_decode_frame(
 
 
 @functools.partial(
-    jax.jit,
+    aot_jit,
     static_argnames=("chunk_len", "b", "ph", "pw", "pv_any_up", "pv_any_cg",
                      "rows_alloc", "any_pv_delta"),
 )
@@ -1040,7 +1041,7 @@ def fused_decode_preview(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pv_any_up", "pv_any_cg", "any_pv_delta")
+    aot_jit, static_argnames=("pv_any_up", "pv_any_cg", "any_pv_delta")
 )
 def _inverse_preview(
     pv: jax.Array,
@@ -1063,7 +1064,7 @@ def _inverse_preview(
     return pv
 
 
-@functools.partial(jax.jit, static_argnames=("shift", "big_endian"))
+@functools.partial(aot_jit, static_argnames=("shift", "big_endian"))
 def _residual_planes_for_flags(
     imgs: jax.Array,
     delta_high: jax.Array,
