@@ -305,6 +305,55 @@ def main() -> None:
         times.append(time.time() - t0)
     e2e_enc = npix / 1e6 / statistics.median(times)
 
+    # phase decomposition of one e2e encode: where the wall time actually
+    # goes (upload / fused device program / packaging incl. payload pulls /
+    # host serialize).  The r4+r5 captures both measured e2e encode at
+    # 0.44x the link+codec model across a 2x link-rate change — this pins
+    # the unmodeled constant-factor cost (docs/E2E_MODEL.md).
+    e2e_enc_phases = None
+    try:
+        from fpv_tpu.api.fpvt_codec import FpvtWriter as _FW
+
+        w_d = _FW(W, H, shift=SHIFT, frames_per_batch=BATCH)
+        w_d.init(frames[0])
+        t0 = time.time()
+        up_d = jax.block_until_ready(jnp.asarray(frames[:BATCH]))
+        t_up = time.time() - t0
+        t0 = time.time()
+        outs_d = fused_encode_batch(
+            up_d, w_d._delta_high, w_d._delta_low, SHIFT, False,
+            w_d._chunk_len, low_coding=w_d._low_coding, allow_prev=True,
+        )
+        jax.block_until_ready(outs_d)
+        t_dev = time.time() - t0
+        from fpv_tpu.api.fpvt_codec import package_encoded_batch as _pkg
+
+        t0 = time.time()
+        flags_d, streams_d = _pkg(
+            np.asarray(outs_d[0]), np.asarray(outs_d[1]), *outs_d[2:],
+            b=BATCH, h=H, w=W, chunk_len=w_d._chunk_len,
+            low_coding=w_d._low_coding,
+        )
+        t_pkg = time.time() - t0
+        from fpv_tpu.format import fpvt as _fpvt
+
+        t0 = time.time()
+        _fpvt.serialize_batch_section(
+            flags_d, np.full(BATCH, -1, np.int64), *streams_d
+        )
+        t_ser = time.time() - t0
+        e2e_enc_phases = {
+            "upload_s": round(t_up, 3), "device_s": round(t_dev, 3),
+            "package_s": round(t_pkg, 3), "serialize_s": round(t_ser, 3),
+        }
+        log(f"e2e encode phases: upload {t_up:.2f}s, device {t_dev:.2f}s, "
+            f"package(+pulls) {t_pkg:.2f}s, serialize {t_ser:.2f}s "
+            f"(sum {t_up+t_dev+t_pkg+t_ser:.2f}s vs measured "
+            f"{statistics.median(times):.2f}s)")
+        del up_d, outs_d
+    except Exception as e:  # noqa: BLE001 — keep the main bench alive
+        log(f"e2e decomposition failed: {e}")
+
     times = []
     for _ in range(3):
         t0 = time.time()
@@ -788,9 +837,44 @@ def main() -> None:
                 f" ({ratio:.4f}x, lossless={ok_c}, codings={modes_c})")
             if cname == "rawlow16" and modes_c["low"] == "raw":
                 # device decode throughput with a raw plane in the batch:
-                # the claimed memcpy-bound raw decode, measured
+                # the claimed memcpy-bound raw decode, measured.  The
+                # corpus files auto-pick large chunks (narrow streams, the
+                # slow path), so re-encode at the main stream's fused
+                # geometry (chunk 4096 -> 1024-lane wide streams).
                 try:
+                    from fpv_tpu.api.fpvt_codec import _fused_decodable
+
+                    # the 16-frame ratio corpus sits exactly AT the narrow
+                    # policy boundary (16*512^2 == NARROW_MAX_SYMS), so its
+                    # streams host-code narrow; time the raw path on a
+                    # 32-frame batch (8.4M syms > boundary -> wide fused
+                    # geometry), fresh noise per frame so low stays raw
+                    _rl32 = np.empty((32, 512, 512), np.uint16)
+                    for _t in range(32):
+                        _rl32[_t] = (
+                            (((_hi_base.astype(np.uint16) + _t) & 0xFF) << 8)
+                            | _prng.integers(0, 256, (512, 512)).astype(
+                                np.uint16
+                            )
+                        )
+                    # zero delta keeps every frame's residual iid noise
+                    # (delta=_rl32[0] would zero frame 0's residual and tip
+                    # the batch entropy below the raw threshold)
+                    ours_t = encode_file_fpvt(
+                        _rl32, shift=cshift, frames_per_batch=32,
+                        chunk_log2=12, delta_frame=np.zeros_like(_rl32[0]),
+                    )
+                    rdr_c = FpvtReader(ours_t)
+                    pb_c = rdr_c._parse_batch(rdr_c._batches[0][0])
                     ck = 1 << rdr_c.header.chunk_log2
+                    if not _fused_decodable(pb_c, ck):
+                        raise RuntimeError(
+                            "raw corpus stream not fused-decodable"
+                        )
+                    from fpv_tpu.ops.rans_layout import CODING_RAW as _CRAW
+
+                    if pb_c.low is None or pb_c.low.coding != _CRAW:
+                        raise RuntimeError("timing batch's low plane not raw")
                     arr_r, st_r = batch_decode_args(pb_c, ck)
                     args_r = (
                         jnp.asarray(arr_r["payload"]),
@@ -841,6 +925,7 @@ def main() -> None:
         "link_payload_up_mb_s": round(up_1d, 1),
         "link_payload_down_mb_s": round(down_1d, 1),
         "link_imgs_down_mb_s": round(down_imgs, 1),
+        "e2e_encode_phases_s": e2e_enc_phases,
         "e2e_encode_model_mpix_s": round(e2e_enc_model, 2),
         "e2e_decode_model_mpix_s": round(e2e_dec_model, 2),
         "e2e_encode_projected_mpix_s": round(e2e_enc_proj, 2),
