@@ -1757,7 +1757,7 @@ class FpvtReader:
 
     def _decode_parsed_batch_issue(
         self, pb: fpvt.ParsedBatch, b: int, want_previews: bool = False,
-        device_frames: bool = False,
+        device_frames: bool = False, section_key=None,
     ):
         """Issue a parsed-batch decode, returning ``finalize() -> (imgs, pv)``.
 
@@ -1776,7 +1776,7 @@ class FpvtReader:
             ):
                 return self._decode_batch_fused_issue(
                     pb, b, decode_preview=want_previews,
-                    device_frames=device_frames,
+                    device_frames=device_frames, section_key=section_key,
                 )
         def slow():
             with self._on_device():
@@ -1821,7 +1821,7 @@ class FpvtReader:
 
     def _decode_batch_fused_issue(
         self, pb: fpvt.ParsedBatch, b: int, decode_preview: bool = False,
-        device_frames: bool = False,
+        device_frames: bool = False, section_key=None,
     ):
         """Upload + dispatch the fused batch decode, DEFERRING every pull.
 
@@ -1839,24 +1839,49 @@ class FpvtReader:
         content-addressed: re-decoding a batch whose inputs are already
         staged in HBM skips the host->device transfer entirely (multicast
         serving / replay workloads)."""
+        k = 1 << self.header.chunk_log2
+        cache = getattr(self, "_upload_cache", None)
+        staged = (
+            cache.get(section_key)
+            if cache is not None and section_key is not None
+            else None
+        )
+        if staged is None:
+            arrays, static = batch_decode_args(pb, k)
+            names = ("payload", "plane_offs", "counts", "states", "flags",
+                     "sym_tabs", "fcs", "const_vals")
+            key = section_key
+            if cache is not None and key is None:
+                # no section bytes in hand (random-access path): fall back
+                # to content-addressing the built arrays
+                hsh = hashlib.blake2b(digest_size=16)
+                for n in names:
+                    hsh.update(np.ascontiguousarray(arrays[n]))
+                key = (
+                    b, self.header.ysize, self.header.xsize, k,
+                    tuple(sorted(static.items())), hsh.digest(),
+                )
+                staged = cache.get(key)
+            if staged is None:
+                dev = tuple(jnp.asarray(arrays[n]) for n in names)
+                if cache is not None:
+                    jax.block_until_ready(dev)
+                    cache[key] = (
+                        dev, static, b, np.asarray(pb.timestamps)
+                    )
+                staged = (dev, static, b, pb.timestamps)
+        return self._fused_dispatch(
+            staged[0], staged[1], staged[2], decode_preview, device_frames
+        )
+
+    def _fused_dispatch(
+        self, dev, static: dict, b: int, decode_preview: bool,
+        device_frames: bool,
+    ):
+        """Queue the fused decode program on staged device args; return
+        ``finalize`` (see _decode_batch_fused_issue)."""
         h, w = self.header.ysize, self.header.xsize
         k = 1 << self.header.chunk_log2
-        arrays, static = batch_decode_args(pb, k)
-        names = ("payload", "plane_offs", "counts", "states", "flags",
-                 "sym_tabs", "fcs", "const_vals")
-        cache = getattr(self, "_upload_cache", None)
-        dev = None
-        if cache is not None:
-            hsh = hashlib.blake2b(digest_size=16)
-            for n in names:
-                hsh.update(np.ascontiguousarray(arrays[n]))
-            key = (b, h, w, k, tuple(sorted(static.items())), hsh.digest())
-            dev = cache.get(key)
-        if dev is None:
-            dev = tuple(jnp.asarray(arrays[n]) for n in names)
-            if cache is not None:
-                jax.block_until_ready(dev)
-                cache[key] = dev
         (payload_d, plane_offs_d, counts_d, states_d, flags_d, sym_tabs_d,
          fcs_d, const_vals_d) = dev
         out = fused_decode_batch(
@@ -1889,6 +1914,28 @@ class FpvtReader:
             return imgs_np, pv_np
 
         return finalize
+
+    def _staged_issue(self, section_key, want_previews: bool,
+                      device_frames: bool):
+        """Streaming fast path: issue a batch decode straight from staged
+        device args WITHOUT parsing the section (multicast/replay serving —
+        the upload cache key is the section bytes' hash).  Returns
+        ``(finalize, b, timestamps)`` or None when the key is not staged.
+        Per-stream state (delta planes, device pin) still comes from THIS
+        reader, so identical sections in streams with different deltas stay
+        independent: only the uploaded batch arrays are shared."""
+        cache = getattr(self, "_upload_cache", None)
+        if cache is None:
+            return None
+        staged = cache.get(section_key)
+        if staged is None:
+            return None
+        dev, static, b, ts = staged
+        with self._on_device():
+            fin = self._fused_dispatch(
+                dev, static, b, want_previews, device_frames
+            )
+        return fin, b, ts
 
     def decode_frame(self, index: int) -> np.ndarray:
         """Random-access decode of ONE frame.
@@ -2232,6 +2279,30 @@ class FpvtStreamingReader:
                 break  # incomplete section
             section = bytes(buf[self._pos : self._pos + size])
             hh, ww = self._header.ysize, self._header.xsize
+            skey = None
+            if self._upload_cache is not None:
+                # section-bytes content key: a staged hit skips parsing,
+                # array building AND the payload upload (multicast/replay)
+                skey = (
+                    "sec",
+                    hashlib.blake2b(section, digest_size=16).digest(),
+                    hh, ww, self._header.chunk_log2,
+                )
+                hit = self._inner._staged_issue(
+                    skey, self._want_previews, self._device_frames
+                )
+                if hit is not None:
+                    fin, _bh, ts = hit
+                    if self._batch_hook is not None:
+                        self._batch_hook(fin, ts)
+                    else:
+                        imgs, pv = fin()
+                        if self._want_previews:
+                            self._callback(imgs, ts, pv)
+                        else:
+                            self._callback(imgs, ts)
+                    self._pos += size
+                    continue
             pb = fpvt.parse_batch_section(
                 section, 0, plane_size=hh * ww,
                 preview_size=(hh // 4) * (ww // 4),
@@ -2241,12 +2312,13 @@ class FpvtStreamingReader:
                 fin = self._inner._decode_parsed_batch_issue(
                     pb, b, want_previews=self._want_previews,
                     device_frames=self._device_frames,
+                    section_key=skey,
                 )
                 self._batch_hook(fin, pb.timestamps)
             elif self._device_frames:
                 imgs, pv = self._inner._decode_parsed_batch_issue(
                     pb, b, want_previews=self._want_previews,
-                    device_frames=True,
+                    device_frames=True, section_key=skey,
                 )()
                 if self._want_previews:
                     self._callback(imgs, pb.timestamps, pv)

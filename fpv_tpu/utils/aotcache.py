@@ -49,8 +49,22 @@ _FORMAT_VERSION = 1
 _USE_JIT = object()  # memo sentinel: this key is jit-only for the process
 
 
-def enabled() -> bool:
-    return os.environ.get("FPV_TPU_AOT", "1") != "0"
+def enabled() -> bool | None:
+    """Tri-state: True (forced on), False (off), None (platform default).
+
+    The platform default is ON for accelerator backends (the deployment
+    target, where warmup otherwise costs minutes behind unstable cache
+    keys) and OFF for CPU: XLA:CPU deserializes some AOT executables into
+    a state whose output buffers fail to materialize at fetch time
+    ("Buffer Definition Event ... not found"), a loader limitation we can
+    only avoid, not detect at load time.
+    """
+    v = os.environ.get("FPV_TPU_AOT")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return None
 
 
 def cache_dir() -> pathlib.Path:
@@ -133,7 +147,8 @@ class _AotFn:
         return self._jit.lower(*args, **kwargs)
 
     def __call__(self, *args, **kwargs):
-        if not enabled():
+        on = enabled()
+        if on is False:
             return self._jit(*args, **kwargs)
         try:
             bound = self._sig.bind(*args, **kwargs)
@@ -152,6 +167,8 @@ class _AotFn:
                 self.stats["bypasses"] += 1
                 return self._jit(*args, **kwargs)
         dev = _target_device(v for _, v in dyn)
+        if on is None and getattr(dev, "platform", None) == "cpu":
+            return self._jit(*args, **kwargs)  # see enabled()
         key = (
             tuple(statics),
             tuple((v.shape, str(v.dtype)) for _, v in dyn),

@@ -21,6 +21,8 @@ def main() -> int:
     os.environ.setdefault("FPV_TPU_RAW", "0")
     # the XLA persistent cache would mask what the AOT layer contributes
     os.environ["FPV_TPU_CACHE"] = "0"
+    # force the AOT layer on: the platform default keeps it off on CPU
+    os.environ["FPV_TPU_AOT"] = "1"
     import jax
 
     jax.config.update("jax_platforms", "cpu")

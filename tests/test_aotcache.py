@@ -60,6 +60,7 @@ def test_dispatch_mid_signature_statics_and_tracer_bypass(tmp_path, monkeypatch)
     bit-identical results, and bypasses to jit under tracing (the mesh
     layer's shard_map traces through the wrapped entry points)."""
     monkeypatch.setenv("FPV_TPU_AOT_CACHE", str(tmp_path / "aot"))
+    monkeypatch.setenv("FPV_TPU_AOT", "1")  # platform default is off on CPU
     import jax
     import jax.numpy as jnp
 

@@ -816,6 +816,11 @@ def test_upload_cache_shared_staging():
     hub.close()
     if n_after_first:  # fused path ran: stream b re-used stream a's staging
         assert len(stage) == n_after_first
+        # streaming entries are keyed by section-bytes hash (the parse-skip
+        # fast path), not by built-array content
+        assert all(
+            isinstance(k, tuple) and k[0] == "sec" for k in stage
+        ), list(stage)
     want = _leftaligned(frames, 4)
     for sid in ("a", "b"):
         out = np.concatenate(got[sid]).astype(np.uint16).reshape(-1, 32, 32)
