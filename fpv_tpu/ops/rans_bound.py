@@ -234,6 +234,82 @@ def nsub_report(nblocks: int = 64, reps: int = 7, ctx: bool = False) -> dict:
     return res
 
 
+def fused_rows_report(nblocks: int = 64, reps: int = 7) -> dict:
+    """POST-fusion fused-table row sweep: prob_bits 12 / 11 / 10.
+
+    The round-3 prob_bits elimination predates the fused single-gather
+    tables: it shrank only the SYMBOL table of the two-table kernel while
+    the dependent slot->sym->fc pair still set the chain, so "row gathers
+    are free" was measured for that layout and extrapolated to this one.
+    The fused kernel's per-step table cost is a scale/128-row gather +
+    OR-merge tree (32 rows at the format's prob_bits=12); this sweep
+    re-asks the question where it now lives: does halving/quartering the
+    fused rows (prob_bits 11 -> 16 rows, 10 -> 8 rows) buy step time, and
+    what would the coarser quantization cost in stream size?
+
+    Streams are really encoded at each prob_bits (encode_pallas is
+    parametric; the wire format pins 12, so a win here would motivate a
+    format rev, not ship silently).  Decodes are verified exact, timed
+    round-robin interleaved.  Reports Msym/s and measured bits/byte per
+    variant.
+    """
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy import plane_codec as pc
+    from fpv_tpu.entropy.tables import normalize_freqs
+
+    rng = np.random.default_rng(0)
+    k = pc.DEFAULT_CHUNK_LEN
+    n = nblocks * k * 1024
+    vals = rng.geometric(0.35, n).astype(np.int64) - 1
+    plane = ((-(vals & 1) ^ (vals >> 1)) & 0xFF).astype(np.uint8)
+    hist = np.bincount(plane, minlength=256)
+    lens = pc.chunk_lens(1, n, k)
+    nb = len(lens) // 1024
+    syms = pc._to_block_symbols(jnp.asarray(plane.reshape(1, -1)), k, nb)
+    lens_dev = jnp.asarray(lens.reshape(nb, 8, 128))
+    syms_np = np.asarray(syms)
+
+    variants, meta = [], []
+    for pb in (12, 11, 10):
+        scale = 1 << pb
+        freq = normalize_freqs(
+            hist, scale=scale, ensure_all=True, floor_mask=hist > 0
+        )
+        cum = np.zeros(256, np.uint32)
+        cum[1:] = np.cumsum(freq)[:-1].astype(np.uint32)
+        fc = (
+            ((np.maximum(freq, 1) - 1).astype(np.uint32) & (scale - 1))
+            | (cum << np.uint32(pb))
+        ).reshape(2, 128)
+        states, words, counts = rp.encode_pallas(
+            syms, lens_dev, jnp.asarray(fc), chunk_len=k, nblocks=nb,
+            prob_bits=pb,
+        )
+        ftab = rp.fused_table_arrays(freq, prob_bits=pb)
+        args = (
+            jax.block_until_ready(counts), states, lens_dev,
+            jnp.asarray(ftab), jnp.asarray(fc),
+            words.astype(jnp.uint32),
+        )
+        kwargs = dict(chunk_len=k, nblocks=nb, prob_bits=pb, fused_tab=True)
+        out, ok = rp.decode_pallas(*args, **kwargs)
+        if not bool(np.asarray(ok).all()):
+            raise AssertionError(f"prob_bits={pb} decode integrity failed")
+        if not (np.asarray(out)[: nb] == syms_np).all():
+            raise AssertionError(f"prob_bits={pb} decode mismatch")
+        nbytes = int(np.asarray(counts).sum()) * 2 + 4 * nb * 1024
+        variants.append((args, kwargs, {}))
+        meta.append((pb, ftab.shape[0], nbytes))
+    times = _time_interleaved(variants, reps=reps)
+    res: dict = {"nblocks": nb, "chunk_len": k, "syms": n}
+    for (pb, rows, nbytes), t in zip(meta, times):
+        res[f"pb{pb}_rows"] = rows
+        res[f"pb{pb}_msym_s"] = n / 1e6 / t
+        res[f"pb{pb}_bits_per_byte"] = 8.0 * nbytes / n
+    return res
+
+
 if __name__ == "__main__":
     import json
     import sys
@@ -242,6 +318,8 @@ if __name__ == "__main__":
         rep = nsub_encode_report()
     elif "nsub" in sys.argv[1:]:
         rep = nsub_report()
+    elif "fused_rows" in sys.argv[1:]:
+        rep = fused_rows_report()
     else:
         rep = bound_report()
     print(json.dumps(rep, indent=2))

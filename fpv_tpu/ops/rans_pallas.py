@@ -657,26 +657,35 @@ def table_arrays(freq: np.ndarray):
     )
 
 
-def fused_table_arrays(freq: np.ndarray) -> np.ndarray:
-    """Order-0 DECODE table with one u32 entry per slot: [32, 128] u32.
+def fused_table_arrays(
+    freq: np.ndarray, prob_bits: int = PROB_BITS
+) -> np.ndarray:
+    """Order-0 DECODE table with one u32 entry per slot: [scale/128, 128].
 
-    entry = off << 20 | (f-1) << 8 | sym, where off = slot - cum[sym] (the
-    value the step loop otherwise derives as slot - cum).  off < f <= 4096
-    and f-1 < 4096 so the packing is exact.  One slot-indexed gather then
-    yields everything the state update needs — see _lookup_fused for why
-    this beats the denser two-table layout.
+    entry = off << (8+prob_bits) | (f-1) << 8 | sym, where off =
+    slot - cum[sym] (the value the step loop otherwise derives as
+    slot - cum).  off < f <= scale and f-1 < scale so the packing is exact
+    for prob_bits <= 12.  One slot-indexed gather then yields everything
+    the state update needs — see _lookup_fused for why this beats the
+    denser two-table layout.  ``prob_bits`` != PROB_BITS is used only by
+    the rans_bound fused-row sweep (the wire format pins 12).
     """
     freq = np.asarray(freq, dtype=np.uint32)
+    scale = 1 << prob_bits
+    assert freq.sum() == scale, (freq.sum(), scale)
     cum = np.zeros(256, dtype=np.uint32)
     cum[1:] = np.cumsum(freq)[:-1]
     sym_of_slot = np.repeat(
         np.arange(256, dtype=np.uint32), freq.astype(np.int64)
     )
-    slots = np.arange(PROB_SCALE, dtype=np.uint32)
+    slots = np.arange(scale, dtype=np.uint32)
     off = slots - cum[sym_of_slot]
     f1 = freq[sym_of_slot] - 1
-    entries = (off << np.uint32(20)) | (f1 << np.uint32(8)) | sym_of_slot
-    return entries.reshape(PROB_SCALE // BLOCK_COLS, BLOCK_COLS)
+    entries = (
+        (off << np.uint32(8 + prob_bits)) | (f1 << np.uint32(8))
+        | sym_of_slot
+    )
+    return entries.reshape(scale // BLOCK_COLS, BLOCK_COLS)
 
 
 def ctx_table_arrays(freq_ctx: np.ndarray):
