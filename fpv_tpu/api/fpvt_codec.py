@@ -2192,7 +2192,7 @@ class FpvtStreamingReader:
     def __init__(
         self, callback, want_previews: bool = False, batch_hook=None,
         device=None, device_frames: bool = False,
-        upload_cache: dict | None = None,
+        upload_cache: dict | None = None, content_id=None,
     ) -> None:
         """``callback(frames u16 [B,H,W], timestamps i64 [B])`` per batch;
         with ``want_previews`` the callback receives a third argument, the
@@ -2212,17 +2212,28 @@ class FpvtStreamingReader:
         ``device_frames``: deliver frames/previews as device arrays left in
         HBM instead of pulling them to host (see
         FpvtReader._decode_parsed_batch_issue).  ``upload_cache``: optional
-        shared dict staging batch uploads in HBM by content hash."""
+        shared dict staging batch uploads in HBM by content hash.
+
+        ``content_id``: caller-declared identity of this stream's BYTES
+        (an object key, blob hash, message id...).  With an upload_cache,
+        batch sections are then staged under (content_id, absolute byte
+        offset) instead of a content hash — replaying a stream whose id is
+        known skips the per-section hash entirely (the hash of an 88 MB
+        stream otherwise costs ~ half a device decode of it).  The caller
+        GUARANTEES ids name identical bytes; two different streams fed
+        under one id will decode the first stream's staged batches."""
         self._callback = callback
         self._want_previews = want_previews
         self._batch_hook = batch_hook
         self._device = device
         self._device_frames = device_frames
         self._upload_cache = upload_cache
+        self._content_id = content_id
         self._buffer = bytearray()
         self._inner: FpvtReader | None = None
         self._header: Header | None = None
         self._pos = 0
+        self._abs_base = 0  # stream offset of buffer position 0
 
     def decode(self, data: bytes) -> None:
         self._buffer += data
@@ -2281,13 +2292,22 @@ class FpvtStreamingReader:
             hh, ww = self._header.ysize, self._header.xsize
             skey = None
             if self._upload_cache is not None:
-                # section-bytes content key: a staged hit skips parsing,
-                # array building AND the payload upload (multicast/replay)
-                skey = (
-                    "sec",
-                    hashlib.blake2b(section, digest_size=16).digest(),
-                    hh, ww, self._header.chunk_log2,
-                )
+                # section content key: a staged hit skips parsing, array
+                # building AND the payload upload (multicast/replay).
+                # Caller-declared stream identity replaces hashing when
+                # given (same bytes -> same section offsets).
+                if self._content_id is not None:
+                    skey = (
+                        "cid", self._content_id,
+                        self._abs_base + self._pos,
+                        hh, ww, self._header.chunk_log2,
+                    )
+                else:
+                    skey = (
+                        "sec",
+                        hashlib.blake2b(section, digest_size=16).digest(),
+                        hh, ww, self._header.chunk_log2,
+                    )
                 hit = self._inner._staged_issue(
                     skey, self._want_previews, self._device_frames
                 )
@@ -2338,6 +2358,7 @@ class FpvtStreamingReader:
         # must not skip this or the buffer retains the whole decoded
         # stream and grows without bound)
         if self._pos > 1 << 22:
+            self._abs_base += self._pos
             del self._buffer[: self._pos]
             self._pos = 0
 

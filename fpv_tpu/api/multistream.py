@@ -214,7 +214,10 @@ class MultiStreamDecoder:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def add_stream(self, stream_id: str) -> None:
+    def add_stream(self, stream_id: str, content_id=None) -> None:
+        """``content_id``: caller-declared identity of the stream's bytes;
+        with an ``upload_cache`` it replaces per-section content hashing
+        (FpvtStreamingReader ``content_id`` semantics and caveats)."""
         from fpv_tpu.api.fpvt_codec import FpvtStreamingReader
 
         if stream_id in self._readers:
@@ -232,6 +235,7 @@ class MultiStreamDecoder:
             device=dev,
             device_frames=self._device_frames,
             upload_cache=self._upload_cache,
+            content_id=content_id,
         )
 
     def feed(self, stream_id: str, data: bytes) -> None:

@@ -825,3 +825,35 @@ def test_upload_cache_shared_staging():
     for sid in ("a", "b"):
         out = np.concatenate(got[sid]).astype(np.uint16).reshape(-1, 32, 32)
         np.testing.assert_array_equal(out, want)
+
+
+def test_upload_cache_content_id():
+    """Caller-declared content_id replaces section hashing: streams fed the
+    same bytes under one id share staged uploads (keys carry the id, not a
+    hash) and decode exactly."""
+    from fpv_tpu.api.multistream import MultiStreamDecoder
+
+    frames = testdata.plasma_frames(6, 32, 32, seed=9)
+    data = encode_file_fpvt(frames, shift=4, frames_per_batch=2, chunk_log2=8)
+
+    stage: dict = {}
+    got: dict[str, list] = {"a": [], "b": []}
+    hub = MultiStreamDecoder(
+        sink=lambda sid, fr, ts: got[sid].append(np.asarray(fr)),
+        device_frames=True, upload_cache=stage,
+    )
+    hub.add_stream("a", content_id="blob-1")
+    hub.add_stream("b", content_id="blob-1")
+    hub.feed("a", data)
+    n_after_first = len(stage)
+    hub.feed("b", data)
+    hub.close()
+    if n_after_first:  # fused path ran
+        assert len(stage) == n_after_first
+        assert all(k[0] == "cid" and k[1] == "blob-1" for k in stage), (
+            list(stage)
+        )
+    want = _leftaligned(frames, 4)
+    for sid in ("a", "b"):
+        out = np.concatenate(got[sid]).astype(np.uint16).reshape(-1, 32, 32)
+        np.testing.assert_array_equal(out, want)
