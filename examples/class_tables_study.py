@@ -137,14 +137,22 @@ def main():
                               for i in range(n)]).astype(np.uint16), 4),
         ("pan12", pan_frames(n, d), 4),
     ]
-    # DOCNOTE (recorded result, 16x512x512): splitting the shared table
-    # by temporal class moves total size by well under the 1% bar on
-    # every corpus — the two classes' residual distributions are close
-    # enough (both zero-centred after CG/up spatial prediction) that the
-    # shared table is within noise of per-class optimal, and the wire
-    # cost (512 B/table) eats the remainder.  Per-pick 3-way splitting
-    # is no better.  NEGATIVE — the single shared table stands, now with
-    # data rather than by analogy to the reference.
+    # DOCNOTE (recorded result, 16x512x512): per-class tables DO measure
+    # a real size win — split2 {static+delta | prev}: plasma +0.92%,
+    # drift +0.72%, pan +1.45%; split3 (per pick): mixed +1.52%, dark
+    # +3.81%, pan +2.08% — the classes' residual stats differ enough to
+    # beat the 512 B/table wire cost.  NOT SHIPPED, with the trade
+    # recorded: the block layout interleaves lanes across the flat
+    # symbol stream, so symbols of every class mix within one decode
+    # step; in-kernel per-class tables mean a per-step class select over
+    # a 3x-row fused gather tree (tables already cost ~12% of step time
+    # -> est. +15-25% decode step cost for ~1% avg size), and the
+    # alternative (per-class sub-streams, whole frames regrouped) makes
+    # stream shapes a function of per-batch class membership — a compile
+    # variant per class-split signature in the one-program design.  The
+    # single shared table stands as a measured engineering decision
+    # (decode throughput is the headline), not as a claim the win is
+    # zero.  See docs/ROUND5.md.
     print(f"{'corpus':<10} {'prevN':>5} {'shared kB':>10} {'split2 kB':>10} "
           f"{'save%':>7} {'split3 kB':>10} {'save%':>7}")
     for name, frames, shift in corpora:
