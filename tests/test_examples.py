@@ -12,7 +12,8 @@ from conftest import REPO
 @pytest.mark.parametrize(
     "script", ["fpv1_compat.py", "fpvt_pipeline.py", "serving_hubs.py",
                "multichip.py", "ctx_study.py --fast",
-               "temporal_study.py --fast"]
+               "temporal_study.py --fast",
+               "large_frame_study.py --fast --reps 1 --chunks 9,10"]
 )
 def test_example_runs(script):
     script, *extra = script.split()
