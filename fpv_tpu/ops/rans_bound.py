@@ -39,6 +39,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from fpv_tpu.ops import rans_pallas as rp
 
@@ -287,10 +288,31 @@ def fused_rows_report(nblocks: int = 64, reps: int = 7) -> dict:
             prob_bits=pb,
         )
         ftab = rp.fused_table_arrays(freq, prob_bits=pb)
+        # compact the encode staging buffer to the production rows_alloc
+        # window (pallas_decode_args does the same): passing the full
+        # worst-case wrows=4144 staging rows would both trip the decode
+        # VMEM guard (nsub drop) and mistime the shipping window geometry
+        counts_np = np.asarray(counts).reshape(-1)
+        rows_q = pc._quantize_rows(int(counts_np.max()), k)
+        cap = pc._quantize_cap(int(counts_np.sum()), k, nb)
+        cum = np.zeros(len(counts_np) + 1, np.int32)
+        cum[1:] = np.cumsum(counts_np)
+        payload = pc._compact_payload(
+            words.reshape(len(counts_np), -1, 128), jnp.asarray(cum), cap,
+            rows_q,
+        )
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((rows_q + 16) * 128, jnp.uint16)]
+        )
+        words_c = pc._expand_payload(
+            payload, jnp.asarray(cum),
+            jnp.asarray(counts_np.astype(np.int32)), rows_q + 16,
+        )
         args = (
-            jax.block_until_ready(counts), states, lens_dev,
+            jax.block_until_ready(jnp.asarray(counts_np.reshape(-1, 1, 1))),
+            states, lens_dev,
             jnp.asarray(ftab), jnp.asarray(fc),
-            words.astype(jnp.uint32),
+            words_c,
         )
         kwargs = dict(chunk_len=k, nblocks=nb, prob_bits=pb, fused_tab=True)
         out, ok = rp.decode_pallas(*args, **kwargs)
@@ -310,6 +332,46 @@ def fused_rows_report(nblocks: int = 64, reps: int = 7) -> dict:
     return res
 
 
+def class_tables_report(nblocks: int = 32, reps: int = 7) -> dict:
+    """Measured decode cost of per-temporal-class frequency tables.
+
+    examples/class_tables_study.py found class-splitting the shared table
+    saves 0.7-3.8% of stream size; the open question was the decode cost:
+    the interleaved lane layout mixes all temporal classes inside every
+    step, so a real implementation pays a (nclasses x rows)-row gather
+    tree with a per-lane class offset.  The ``stub_class`` kernel models
+    exactly that — N identical tiled copies of the fused table plus the
+    per-lane offset arithmetic — so the output stays bit-exact while the
+    tree is the real per-class size.  Reports step-time ratios for 2 and 3
+    classes vs the shipping single table, order-0 AND ctx16 paths,
+    round-robin interleaved.
+    """
+    res: dict = {"nblocks": nblocks}
+    for ctx in (False, True):
+        args, kwargs, n = _build_args(nblocks, ctx=ctx)
+        symtab = np.asarray(args[3])
+        variants = [(args, kwargs, {})]
+        for ncls in (2, 3):
+            tiled = jnp.asarray(np.tile(symtab, (ncls, 1)))
+            a2 = args[:3] + (tiled,) + args[4:]
+            variants.append((a2, kwargs, {"stub_class": ncls}))
+        outs = [
+            np.asarray(rans_outputs[0])
+            for rans_outputs in (
+                rp.decode_pallas(*v[0], **v[1], **v[2]) for v in variants
+            )
+        ]
+        for o in outs[1:]:
+            if not np.array_equal(o, outs[0]):
+                raise AssertionError("stub_class output diverged")
+        times = _time_interleaved(variants, reps=reps)
+        key = "ctx" if ctx else "order0"
+        res[f"{key}_msym_s"] = n / 1e6 / times[0]
+        res[f"{key}_cls2_ratio"] = times[1] / times[0]
+        res[f"{key}_cls3_ratio"] = times[2] / times[0]
+    return res
+
+
 if __name__ == "__main__":
     import json
     import sys
@@ -320,6 +382,8 @@ if __name__ == "__main__":
         rep = nsub_report()
     elif "fused_rows" in sys.argv[1:]:
         rep = fused_rows_report()
+    elif "class_tables" in sys.argv[1:]:
+        rep = class_tables_report()
     else:
         rep = bound_report()
     print(json.dumps(rep, indent=2))

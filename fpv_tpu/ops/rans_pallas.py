@@ -278,6 +278,22 @@ NSUB = 2  # independent sub-blocks per grid cell (ILP: two dependency chains)
 # Encode keeps 2: nsub>=4 exceeds VMEM (the kseg syms tile adds ~2 MB per
 # sub-block) and nsub=1 measured 6% SLOWER than 2 (nsub_encode_report).
 NSUB_DEC = 4
+# Decode VMEM guard: the per-cell words window is nsub * wrows rows of
+# u32[128], and wrows tracks the stream's actual payload density
+# (plane_codec rows_alloc).  Near-incompressible streams — raw policy
+# disabled (FPV_TPU_RAW=0), or pre-v6 files that stored coded noise
+# planes — reach wrows ~ kseg*8+48 = 4144, where nsub=4 exceeds the 16 MB
+# scoped-vmem budget (measured: 16.30 MB at nsub*wrows = 16576).
+# decode_pallas halves nsub until nsub*wrows fits this budget; raw-policy
+# production streams stay <= ~8.2 bits/sym (~2100 rows) and keep nsub=4.
+NSUB_WROWS_BUDGET = 12288
+
+
+def decode_nsub(nsub: int, wrows: int) -> int:
+    """Clamp the decode sub-block count so nsub*wrows fits the VMEM budget."""
+    while nsub > 1 and nsub * wrows > NSUB_WROWS_BUDGET:
+        nsub //= 2
+    return nsub
 
 
 def _encode_kernel(
@@ -459,12 +475,23 @@ def _decode_kernel(
     slim_carry: bool = False,
     stub_tables: bool = False,
     stub_window: bool = False,
+    stub_class: int = 0,
     nsub: int = NSUB_DEC,
 ):
     """``fused_tab`` selects the fused-table order-0 decode: sym_ref is a
     [32,128] u32 slot->entry table (fused_table_arrays) and fc_ref goes
     unread — one gather on the critical chain instead of the dependent
     slot->sym->fc pair (see _lookup_fused).
+
+    ``stub_class`` (with fused_tab) is the per-temporal-class-tables
+    latency model: sym_ref holds ``stub_class`` vertically tiled copies of
+    the fused table and each lane adds a class offset to its slot index,
+    so the gather tree is exactly the size a real per-class implementation
+    would pay (the interleaved lane layout mixes all classes within every
+    step) while the decoded output stays bit-identical (the copies are
+    identical).  Measures the decode cost of class-splitting the shared
+    frequency table (examples/class_tables_study.py) without a format
+    change.
 
     ``stub_tables`` / ``stub_window`` build latency-model replicas of
     this kernel for ops.rans_bound (never used for real decoding): the
@@ -514,6 +541,17 @@ def _decode_kernel(
             # shifts 0/8/20 (ctx_fused_table_arrays / fused_table_arrays)
             sym_bits = 4 if ctx_mode else 8
             idx = (_ctx_from_prev(prev) * scale + slot) if ctx_mode else slot
+            if stub_class:
+                # per-lane class offset into the tiled table (see
+                # docstring); one class's span = the un-tiled table size
+                span = (sym_tab.shape[0] // stub_class) * BLOCK_COLS
+                lane_cls = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (BLOCK_ROWS, BLOCK_COLS), 1
+                    )
+                    % stub_class
+                )
+                idx = lane_cls * span + idx
             e = _lookup_fused(sym_tab, idx)
             sym = (e & ((1 << sym_bits) - 1)).astype(jnp.int32)
             f = ((e >> sym_bits) & fmask) + 1
@@ -884,7 +922,8 @@ def encode_pallas(
     jax.jit,
     static_argnames=(
         "chunk_len", "nblocks", "interpret", "prob_bits", "ctx_mode",
-        "fused_tab", "slim_carry", "stub_tables", "stub_window", "nsub",
+        "fused_tab", "slim_carry", "stub_tables", "stub_window",
+        "stub_class", "nsub",
     ),
 )
 def decode_pallas(
@@ -903,6 +942,7 @@ def decode_pallas(
     slim_carry: bool = False,
     stub_tables: bool = False,
     stub_window: bool = False,
+    stub_class: int = 0,
     nsub: int = NSUB_DEC,
 ):
     """Returns (symbols i32 [nblocks,K,8,128], ok i32 [nblocks,8,128]).
@@ -911,7 +951,9 @@ def decode_pallas(
     fused_table_arrays layout (fc is still passed but goes unread).
 
     ``stub_tables``/``stub_window`` select the latency-model replica
-    kernels used by ops.rans_bound (outputs are then meaningless)."""
+    kernels used by ops.rans_bound (outputs are then meaningless);
+    ``stub_class`` N models per-temporal-class tables (sym_tab must be N
+    tiled copies; output stays bit-exact — see _decode_kernel)."""
     interpret = _auto_interpret(interpret)
     k = chunk_len
     kseg = min(k, SEG_LEN)
@@ -919,11 +961,16 @@ def decode_pallas(
     if nseg * kseg != k:
         raise ValueError("chunk_len > SEG_LEN must be a SEG_LEN multiple")
     wrows = words.shape[1]
+    # VMEM guard (see NSUB_WROWS_BUDGET): dense streams get fewer
+    # sub-blocks per cell instead of a compile-time scoped-vmem OOM.  The
+    # lost ILP only affects streams that are payload-bandwidth-bound anyway.
+    nsub = decode_nsub(nsub, wrows)
     kernel = functools.partial(
         _decode_kernel, chunk_len=k, kseg=kseg, nseg=nseg,
         prob_bits=prob_bits, ctx_mode=ctx_mode, fused_tab=fused_tab,
         slim_carry=slim_carry,
-        stub_tables=stub_tables, stub_window=stub_window, nsub=nsub,
+        stub_tables=stub_tables, stub_window=stub_window,
+        stub_class=stub_class, nsub=nsub,
     )
     npad = (-nblocks) % nsub
     if npad:

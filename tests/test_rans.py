@@ -136,6 +136,92 @@ def test_nsub_launch_geometry_bit_exact():
     assert np.array_equal(dec[1], dec[2]) and np.array_equal(dec[2], dec[4])
 
 
+def test_decode_nsub_vmem_guard():
+    """Dense payload windows clamp nsub instead of OOMing scoped VMEM.
+
+    The decode words window is nsub * wrows rows of u32[128] per grid
+    cell, and wrows tracks the stream's real payload density
+    (plane_codec rows_alloc).  Near-incompressible streams — FPV_TPU_RAW=0,
+    or pre-v6 files that stored coded noise planes — reach the
+    worst-case wrows ~ 4144, where nsub=4 exceeded the 16 MB scoped-vmem
+    limit on v5e (measured compile OOM, round 5).  decode_pallas now
+    halves nsub until nsub*wrows fits; the clamped launch must stay
+    bit-exact (nsub is pure launch geometry)."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy import plane_codec as pc
+    from fpv_tpu.ops import rans_pallas as rp
+
+    # decision table: raw-policy production streams (<= ~8.2 bits/sym,
+    # ~2100 rows) keep 4; the worst-case window drops to 2; beyond-budget
+    # windows clamp to 1
+    assert rp.decode_nsub(4, 2100) == 4
+    assert rp.decode_nsub(4, 4144) == 2
+    assert rp.decode_nsub(4, 12289) == 1
+    assert rp.decode_nsub(2, 4144) == 2
+    assert rp.decode_nsub(1, 99999) == 1
+
+    # end-to-end: an over-wide window (wrows past the nsub=4 budget) must
+    # decode bit-identically through the clamped launch
+    rng = np.random.default_rng(10)
+    k, nb = 32, 2
+    n = nb * k * 1024
+    vals = rng.geometric(0.35, n).astype(np.int64) - 1
+    plane = ((-(vals & 1) ^ (vals >> 1)) & 0xFF).astype(np.uint8)
+    plane = plane.reshape(1, -1)
+    hist = np.bincount(plane.reshape(-1), minlength=256)
+    stream = pc.encode_plane_batch(plane, hist, engine="numpy", chunk_len=k)
+    args, kwargs = pc.pallas_decode_args(stream)
+    ref, ok_ref = rp.decode_pallas(*args, **kwargs)
+    assert np.all(np.asarray(ok_ref) == 1)
+    words = args[5]
+    wide = jnp.zeros((words.shape[0], 3200, words.shape[2]), words.dtype)
+    wide = wide.at[:, : words.shape[1]].set(words)
+    assert rp.decode_nsub(rp.NSUB_DEC, 3200) == 2  # the launch this takes
+    syms, ok = rp.decode_pallas(*args[:5], wide, **kwargs)
+    assert np.all(np.asarray(ok) == 1)
+    assert np.array_equal(np.asarray(syms), np.asarray(ref))
+
+
+def test_stub_class_tables_bit_exact():
+    """The per-class-tables latency model (stub_class) decodes
+    bit-identically: N tiled identical table copies + per-lane class
+    offsets reach the same entries, so only the gather-tree size differs
+    (that's the point — it isolates the decode cost of class-splitting,
+    ops/rans_bound.class_tables_report)."""
+    import jax.numpy as jnp
+
+    from fpv_tpu.entropy import plane_codec as pc
+    from fpv_tpu.ops import rans_pallas as rp
+
+    rng = np.random.default_rng(13)
+    k, nb = 32, 2
+    n = nb * k * 1024
+    vals = rng.geometric(0.35, n).astype(np.int64) - 1
+    plane = ((-(vals & 1) ^ (vals >> 1)) & 0xFF).astype(np.uint8)
+    plane = plane.reshape(1, -1)
+    hist = np.bincount(plane.reshape(-1), minlength=256)
+    for coding in (pc.CODING_ORDER0, pc.CODING_CTX16):
+        if coding == pc.CODING_CTX16:
+            plane_c = (plane & 0xF0).astype(np.uint8)  # low nibble clear
+            hist_c = np.bincount(plane_c.reshape(-1), minlength=256)
+        else:
+            plane_c, hist_c = plane, hist
+        stream = pc.encode_plane_batch(
+            plane_c, hist_c, engine="numpy", chunk_len=k, coding=coding
+        )
+        args, kwargs = pc.pallas_decode_args(stream)
+        ref, ok = rp.decode_pallas(*args, **kwargs)
+        assert np.all(np.asarray(ok) == 1)
+        for ncls in (2, 3):
+            tiled = jnp.asarray(np.tile(np.asarray(args[3]), (ncls, 1)))
+            syms, ok2 = rp.decode_pallas(
+                *args[:3], tiled, *args[4:], **kwargs, stub_class=ncls
+            )
+            assert np.all(np.asarray(ok2) == 1)
+            assert np.array_equal(np.asarray(syms), np.asarray(ref))
+
+
 def test_fused_decode_tables_device_matches_host():
     """Device fused-table builder (one-hot matmul) == host builder, for
     both dense and narrow-support freq tables."""
