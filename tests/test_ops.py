@@ -66,6 +66,24 @@ def test_cg2d_roundtrip():
     np.testing.assert_array_equal(back, high)
 
 
+def test_cg2d_wavefront_kernel_matches_scan():
+    """The TPU pallas wavefront (interpret mode here) must reconstruct
+    bit-identically to the XLA scan oracle across shape classes: tiny,
+    non-multiple-of-128, multi-lane-tile H, degenerate 1-row/1-col, and
+    multi-batch (the kernel packs batch x row-tiles into sublanes)."""
+    rng = np.random.default_rng(7)
+    for (b, h, w) in [
+        (2, 8, 8), (1, 16, 12), (3, 12, 36), (2, 130, 140), (1, 1, 7),
+        (1, 7, 1), (3, 12, 260), (2, 256, 128), (5, 33, 20),
+    ]:
+        plane = rng.integers(0, 256, (b, h, w), np.int64).astype(np.uint8)
+        res = np.asarray(jpredict.cg2d_encode(plane))
+        ref = np.asarray(jpredict._cg2d_decode_scan(res))
+        np.testing.assert_array_equal(ref, plane)
+        got = np.asarray(jpredict._cg2d_decode_pallas(res, interpret=True))
+        np.testing.assert_array_equal(got, plane, err_msg=str((b, h, w)))
+
+
 def test_up_roundtrip():
     high = (testdata.noise_frames(3, 20, 28) >> 8).astype(np.uint8)
     res = np.asarray(jpredict.up_encode(high))
