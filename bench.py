@@ -312,6 +312,12 @@ def main() -> None:
     # the unmodeled constant-factor cost (docs/E2E_MODEL.md).
     e2e_enc_phases = None
     try:
+        # NOTE: fused_encode_batch must be imported HERE — the later
+        # section-local `from ... import fused_encode_batch` makes the name
+        # function-local everywhere, so an unimported use above it raises
+        # UnboundLocalError (this section silently logged that failure in
+        # the r5 interim captures)
+        from fpv_tpu.api.fpvt_codec import fused_encode_batch
         from fpv_tpu.api.fpvt_codec import FpvtWriter as _FW
 
         w_d = _FW(W, H, shift=SHIFT, frames_per_batch=BATCH)

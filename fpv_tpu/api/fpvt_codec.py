@@ -61,6 +61,21 @@ _DECISION_STRIDE = 16  # sampling stride for predictor decisions
 # instead of silently wrapping offsets.  (At 2 B/px a 2^31-symbol batch is
 # ~4 GB of raw frames — beyond any sensible per-batch HBM budget anyway.)
 MAX_DEVICE_SYMS = (1 << 31) - 1
+
+# Preview streams code with their own (shorter) chunk length: a preview
+# has 1/16 of a main plane's symbols, so at the header chunk a big-frame
+# preview lands in very few — often ONE — rANS blocks and the decode
+# kernel runs long per-chunk step loops at fractional cell occupancy
+# (measured ~20 ms of a 124 ms 4x4096^2 batch decode).  The wire format
+# has always carried chunk_len per stream (format/fpvt.py plane-stream
+# header) and pre-change readers fall back to the per-plane decode path
+# for such files, so this is encoder policy, not a format change.
+PV_CHUNK_MAX = 512
+
+
+def pv_chunk_len(chunk_len: int) -> int:
+    """The chunk length preview streams are coded with."""
+    return min(chunk_len, PV_CHUNK_MAX)
 _HIST_STRIDE = 16  # sampling stride for rANS table histograms
 
 # Prev-frame prediction anchor interval (encoder policy, not format): every
@@ -505,14 +520,15 @@ def fused_encode_batch(
         small.append(
             jnp.stack([(vmin == vmax).astype(jnp.uint32), vmin])
         )
-        lens, nblocks = _plane_geometry(b, s, chunk_len)
+        k_p = pv_chunk_len(chunk_len) if name == "preview" else chunk_len
+        lens, nblocks = _plane_geometry(b, s, k_p)
         lens_dev = jnp.asarray(lens.reshape(nblocks, BLOCK_ROWS, BLOCK_COLS))
         if name == "low" and low_ctx:
             # the kernel computes ctx*16+sym in-register from the previous
             # step's symbols, so no full-size index array materializes in
             # HBM; the table histogram samples the STEP axis (contiguous
             # slices — flat strided sampling lowers to a ~150 ms gather)
-            sym4 = _to_block_symbols(plane >> 4, chunk_len, nblocks)
+            sym4 = _to_block_symbols(plane >> 4, k_p, nblocks)
             nbk = sym4.shape[0]
             sampled = sym4[:, :: _HIST_STRIDE]
             prev_s = jnp.concatenate(
@@ -533,15 +549,15 @@ def fused_encode_batch(
             freq = normalize_freqs_ctx_device(hist, mask)
             fc = encode_tables_ctx_device(freq)
             states, words, counts = rp.encode_pallas(
-                sym4, lens_dev, fc, chunk_len, nblocks,
+                sym4, lens_dev, fc, k_p, nblocks,
                 prob_bits=CTX_PROB_BITS, ctx_mode=True,
             )
         else:
             freq = normalize_freqs_device(m[f"hist_{name}"], m[f"mask_{name}"])
             fc, _finv = encode_tables_device(freq)
-            syms = _to_block_symbols(plane, chunk_len, nblocks)
+            syms = _to_block_symbols(plane, k_p, nblocks)
             states, words, counts = rp.encode_pallas(
-                syms, lens_dev, fc, chunk_len, nblocks
+                syms, lens_dev, fc, k_p, nblocks
             )
         counts_flat = counts.reshape(-1).astype(jnp.uint32)
         cum = jnp.concatenate(
@@ -565,19 +581,27 @@ def fused_encode_batch(
 def _fused_decodable(pb: "fpvt.ParsedBatch", chunk_len: int) -> bool:
     """True when every plane stream of a parsed batch can decode inside the
     fused device program: present, and either CODING_CONST or coded with
-    the device-kernel geometry (1024 lanes, the header chunk length).
-    Narrow (host-coded) streams fall back to the per-plane path."""
+    the device-kernel geometry (1024 lanes; main planes at the header
+    chunk length, the preview at any kernel-valid chunk — the stream
+    carries its own, see PV_CHUNK_MAX).  Narrow (host-coded) streams fall
+    back to the per-plane path."""
     from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
     from fpv_tpu.ops.rans_layout import CODING_CONST as _CC
-
     from fpv_tpu.ops.rans_layout import CODING_RAW as _CR
+    from fpv_tpu.ops.rans_layout import SEG_LEN as _SL
 
-    for st in (pb.high, pb.low, pb.preview):
+    for st, is_pv in ((pb.high, False), (pb.low, False), (pb.preview, True)):
         if st is None:
             return False
         if st.coding in (_CC, _CR):
             continue
-        if st.lanes != _BL or st.chunk_len != chunk_len:
+        if st.lanes != _BL:
+            return False
+        if is_pv:
+            # any segment-compatible chunk decodes in the fused program
+            if st.chunk_len > _SL and st.chunk_len % _SL:
+                return False
+        elif st.chunk_len != chunk_len:
             return False
     return True
 
@@ -589,15 +613,18 @@ def section_rows_need(pb: "fpvt.ParsedBatch", chunk_len: int) -> int:
     from fpv_tpu.entropy.plane_codec import _quantize_rows
     from fpv_tpu.ops.rans_layout import CODING_CONST
 
-    max_cnt = max(
-        (
-            int(st.block_counts.max())
-            for st in (pb.high, pb.low, pb.preview)
-            if st.coding != CODING_CONST and st.block_counts.size
-        ),
-        default=0,
+    # per-stream chunk: the preview may carry a shorter one (PV_CHUNK_MAX)
+    return (
+        max(
+            (
+                _quantize_rows(int(st.block_counts.max()), st.chunk_len)
+                for st in (pb.high, pb.low, pb.preview)
+                if st.coding != CODING_CONST and st.block_counts.size
+            ),
+            default=0,
+        )
+        + 16
     )
-    return _quantize_rows(max_cnt, chunk_len) + 16
 
 
 def batch_decode_args(
@@ -697,6 +724,7 @@ def batch_decode_args(
     )
     static = dict(
         rows_alloc=rows_alloc,
+        pv_chunk_len=int(pb.preview.chunk_len),
         low_ctx=bool(pb.low.coding == 1),
         const_planes=const_planes,
         raw_planes=raw_planes,
@@ -716,13 +744,14 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     from fpv_tpu.ops.rans_layout import BLOCK_LANES as _BL
     from fpv_tpu.ops.rans_layout import CODING_CTX16, CTX_NIDX, num_segments
 
-    nseg = num_segments(chunk_len)
     sizes = [b, b, b, b, b, b]
     names = ["use_delta", "use_prev", "spatial", "pv_spatial",
              "pv_use_delta", "nonzero_low"]
     st_sizes, st_names = [], []
     for name, s in (("high", h * w), ("low", h * w), ("preview", (h // 4) * (w // 4))):
-        _lens, nblocks = _plane_geometry(b, s, chunk_len)
+        k_p = pv_chunk_len(chunk_len) if name == "preview" else chunk_len
+        nseg = num_segments(k_p)
+        _lens, nblocks = _plane_geometry(b, s, k_p)
         nfreq = (
             CTX_NIDX
             if (name == "low" and low_coding == CODING_CTX16)
@@ -745,7 +774,7 @@ def _small_layout(b: int, h: int, w: int, chunk_len: int, low_coding: int = 0):
     static_argnames=("chunk_len", "b", "h", "w", "any_up", "any_cg",
                      "pv_any_up", "pv_any_cg", "decode_preview", "rows_alloc",
                      "low_ctx", "const_planes", "any_pv_delta", "pack_u8",
-                     "any_prev", "raw_planes"),
+                     "any_prev", "raw_planes", "pv_chunk_len"),
 )
 def fused_decode_batch(
     payload: jax.Array,  # u16, all planes concatenated (+clamp-safe)
@@ -774,8 +803,13 @@ def fused_decode_batch(
     pack_u8: bool = False,
     any_prev: bool = False,
     raw_planes: tuple = (False, False, False),
+    pv_chunk_len: int | None = None,
 ):
     """Whole-batch FPVT decode as ONE device program -> (imgs u16, ok).
+
+    ``pv_chunk_len``: the preview stream's own chunk length (the wire
+    carries it per stream; new writers use PV_CHUNK_MAX).  None means the
+    header chunk (pre-change files).
 
     ``const_planes[pi]`` marks a CODING_CONST stream: the residual plane is
     ``const_vals[pi]`` everywhere and contributes nothing to counts/states/
@@ -792,19 +826,22 @@ def fused_decode_batch(
     )
     from fpv_tpu.entropy.plane_codec import _from_block_symbols
 
-    geoms = []
-    for s in (h * w, h * w, (h // 4) * (w // 4)):
-        geoms.append((s, *_plane_geometry(b, s, chunk_len)))  # (s, lens, nblocks)
-
     from fpv_tpu.ops.rans_layout import num_segments
 
-    nseg = num_segments(chunk_len)
+    pv_k = pv_chunk_len or chunk_len
+    geoms = []
+    for s, k_p in (
+        (h * w, chunk_len), (h * w, chunk_len),
+        ((h // 4) * (w // 4), pv_k),
+    ):
+        geoms.append((s, k_p, *_plane_geometry(b, s, k_p)))
+
     planes = []
     oks = []
     coff = 0
     soff = 0
-    for pi, (s, lens, nblocks) in enumerate(geoms):
-        ngroups = nblocks * nseg
+    for pi, (s, k_p, lens, nblocks) in enumerate(geoms):
+        ngroups = nblocks * num_segments(k_p)
         if pi == 2 and not decode_preview:
             planes.append(None)
             continue
@@ -828,7 +865,7 @@ def fused_decode_batch(
         coff += ngroups
         soff += c
         cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])
-        wrows = rows_alloc or rp.words_rows(chunk_len)
+        wrows = rows_alloc or rp.words_rows(k_p)
         win = wrows * BLOCK_COLS
         base = plane_offs[pi]
         # one batched window gather over a start-index vector — an unrolled
@@ -852,13 +889,13 @@ def fused_decode_batch(
             sym_tabs[pi],
             fcs[pi, :2],
             words,
-            chunk_len,
+            k_p,
             nblocks,
             prob_bits=CTX_PROB_BITS if ctx else 12,
             ctx_mode=ctx,
             fused_tab=True,
         )
-        out_plane = _from_block_symbols(syms, b, s, chunk_len)
+        out_plane = _from_block_symbols(syms, b, s, k_p)
         if ctx:
             out_plane = (out_plane << 4).astype(jnp.uint8)
         planes.append(out_plane)
@@ -1192,11 +1229,12 @@ def package_encoded_batch(
             return np.asarray(rec_cache[name]).reshape(b, -1)
 
     def package(name, pay_dev, s):
+        k_p = pv_chunk_len(chunk_len) if name == "preview" else chunk_len
         is_const, cval = seg(f"const_{name}")
         if is_const:
             from fpv_tpu.entropy.plane_codec import const_plane_stream
 
-            return const_plane_stream(b, s, chunk_len, int(cval))
+            return const_plane_stream(b, s, k_p, int(cval))
         freq = seg(f"freq_{name}").astype(np.uint16)
         counts = seg(f"counts_{name}").astype(np.uint32)
         lo, hi = lay[f"states_{name}"]
@@ -1204,16 +1242,16 @@ def package_encoded_batch(
         from fpv_tpu.ops.rans_layout import BLOCK_LANES, num_segments
 
         total = int(counts.sum())
-        nblocks = len(counts) // num_segments(chunk_len)
+        nblocks = len(counts) // num_segments(k_p)
         if raw_ctx is not None and s and raw_stream_bytes(
             b * s
         ) <= coded_stream_bytes(nblocks * BLOCK_LANES, len(counts), total):
-            return raw_plane_stream(b, s, chunk_len, recover(name))
-        cap = _quantize_cap(total, chunk_len, nblocks)
+            return raw_plane_stream(b, s, k_p, recover(name))
+        cap = _quantize_cap(total, k_p, nblocks)
         payload = np.asarray(pay_dev[: min(cap, pay_dev.shape[0])])[:total]
         coding = low_coding if name == "low" else 0
         return PlaneStream(
-            nframes=b, plane_size=s, chunk_len=chunk_len, freq=freq,
+            nframes=b, plane_size=s, chunk_len=k_p, freq=freq,
             states=states, block_counts=counts, payload=payload,
             coding=coding,
         )
@@ -1527,7 +1565,7 @@ class FpvtWriter:
                 encode_plane_batch(
                     m["preview"].reshape(b, -1),
                     np.asarray(m["hist_preview"]),
-                    self._chunk_len,
+                    pv_chunk_len(self._chunk_len),
                     mask=np.asarray(m["mask_preview"]),
                     lanes=lanes_mode,
                 )
@@ -2116,14 +2154,15 @@ class FpvtReader:
                 return np.zeros((b, ph, pw), np.uint8)
             raise ValueError("batch has no preview stream")
         st = pb.preview
-        k = 1 << self.header.chunk_log2
+        # the preview stream carries its own chunk length on the wire
+        # (new writers use pv_chunk_len(header chunk), see PV_CHUNK_MAX)
+        k = st.chunk_len
         pv_spatial = (pb.frame_flags >> F_PV_SPATIAL_SHIFT) & 3
         any_pv_delta = bool((pb.frame_flags & F_PV_USE_DELTA).any())
         if (
             engine_name() == "pallas"
             and st.coding != CODING_CONST
             and st.lanes == BLOCK_LANES
-            and st.chunk_len == k
         ):
             # one fused program: expand + rANS decode + inverse spatial +
             # preview delta, previews only (no main-plane work)

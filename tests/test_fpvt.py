@@ -61,6 +61,39 @@ def test_fpvt_previews():
         np.testing.assert_array_equal(r.preview_frame(i), expect[i])
 
 
+def test_preview_stream_own_chunk():
+    """Preview streams carry their own (shorter) chunk on the wire.
+
+    The plane-stream header has always stored chunk_len per stream
+    (format/fpvt.py); new writers code previews at PV_CHUNK_MAX so
+    big-frame previews land in many rANS blocks instead of one
+    under-occupied one (the ~20 ms preview gap of the 4096^2 bench).
+    The wide fused path, the preview-only decoder, and the slow
+    per-plane path must all honor it."""
+    from fpv_tpu.api.fpvt_codec import PV_CHUNK_MAX, FpvtWriter
+    from fpv_tpu.ops.preview import generate_preview
+
+    frames = testdata.plasma_frames(3, 256, 256, bits=12)
+    w = FpvtWriter(256, 256, shift=4, frames_per_batch=2, chunk_log2=12,
+                   narrow=False)
+    data = w.init(frames[0]) + w.encode_batch(frames[1:]) + w.finish()
+    r = FpvtReader(data)
+    pb = r._parse_batch(r._batches[0][0])
+    assert pb.high.chunk_len == 4096
+    assert pb.preview.chunk_len == PV_CHUNK_MAX
+    # the init frame is the delta frame only (no HDR_F_DELTA_IS_FRAME0 on
+    # the manual writer path): the file body is frames[1:]
+    np.testing.assert_array_equal(
+        decode_file_fpvt(data), frames[1:].astype(np.uint16) << 4
+    )
+    pv = r.decode_previews(0)
+    expect = np.asarray(
+        generate_preview(((frames.astype(np.uint16) << 4) >> 8)
+                         .astype(np.uint8))
+    )
+    np.testing.assert_array_equal(pv, expect[1:])
+
+
 def test_fpvt_compression_beats_raw():
     frames = testdata.plasma_frames(8, 256, 256, bits=12)
     data = encode_file_fpvt(frames, shift=4, frames_per_batch=8)
