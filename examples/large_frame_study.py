@@ -20,8 +20,10 @@ Geometry maps (B=4, 4096^2, per plane): chunk 2^11 -> 32 blocks,
 this directly varies cells-per-plane while total symbols stay fixed.
 
 Usage: python examples/large_frame_study.py [--fast] [--reps N]
---fast runs 1024x1024 frames for CI-speed smoke (geometry labels shift
+--fast runs 256x256 x2 frames for CI-speed smoke (geometry labels shift
 accordingly); results meaningful only at full size on the real chip.
+Round-5 outcome: decode is chunk-insensitive once previews ride the
+wavefront CG kernel and their own chunk length (docs/ROUND5.md §8).
 
 Replaces, as the scaling evidence, the reference's single-threaded
 per-pixel loop which has no geometry sensitivity at all
